@@ -1,0 +1,469 @@
+"""Functional JAX network: init + forward for xconfig models.
+
+TPU-first redesign of the reference forward engine
+(ref: internal/nnet/forward.go).  Key departures, all deliberate:
+
+  * Everything is batched [B, T, D] and lives in one jit: no per-op host
+    round-trips (the reference bounced conv im2col and attention to the CPU,
+    forward.go:418-524, 795-909 — its known hot spots).
+  * Convolution is a patch-gather + single MXU matmul per layer (the
+    XLA-fusable equivalent of im2col where the gather is shifts, not
+    scalar loops).  Feature-map layout is Kaldi's: column = height * nf + f.
+  * BatchNorm follows Kaldi BatchNormComponent semantics: batch statistics
+    during training (autodiff backprops through them — the reference used an
+    inference-form approximation in its backward), accumulated running
+    stats for test mode, target-rms scaling, no learnable gamma/beta.
+  * Mixed precision: params are stored fp32; compute_dtype (bf16 on TPU)
+    is applied at use; matmuls accumulate fp32 via preferred_element_type.
+
+Parameters are a plain nested dict  params[layer_name][param_name] and
+BN statistics live in a separate `state` dict, so the whole network is a
+pytree ready for pjit/shard_map.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kaldi_fp16_tpu.models.xconfig import InputType, LayerType
+from kaldi_fp16_tpu.models.layers import (
+    AttentionSpec, BatchnormSpec, CombineFeatureMapsSpec, ConvReluBNSpec,
+    IDCTSpec, Layer, LinearSpec, OutputSpec, PrefinalSpec, SpecAugmentSpec,
+    TDNNFSpec,
+)
+from kaldi_fp16_tpu.models.model import Model
+
+Params = Dict[str, Dict[str, jnp.ndarray]]
+State = Dict[str, Dict[str, jnp.ndarray]]
+
+
+# ---------------------------------------------------------------------------
+# Fixed matrices
+# ---------------------------------------------------------------------------
+
+def make_idct_matrix(dim: int, cepstral_lifter: float) -> np.ndarray:
+    """IDCT matrix used as x @ M (ref: forward.go:1190-1210)."""
+    mat = np.zeros((dim, dim), dtype=np.float64)
+    for i in range(dim):
+        for j in range(dim):
+            val = math.cos(math.pi * j * (i + 0.5) / dim)
+            val *= math.sqrt((1.0 if j == 0 else 2.0) / dim)
+            if cepstral_lifter > 0 and j > 0:
+                val *= 1.0 + (cepstral_lifter / 2.0) * math.sin(
+                    math.pi * j / cepstral_lifter)
+            mat[i, j] = val
+    return mat.astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Initialization
+# ---------------------------------------------------------------------------
+
+def _xavier(key, fan_in: int, fan_out: int) -> jnp.ndarray:
+    scale = math.sqrt(2.0 / (fan_in + fan_out))
+    return jax.random.normal(key, (fan_in, fan_out), dtype=jnp.float32) * scale
+
+
+def init_params(model: Model, key: jax.Array) -> Tuple[Params, State]:
+    params: Params = {}
+    state: State = {}
+    for layer in model.execution_order():
+        key, sub = jax.random.split(key)
+        p, s = _init_layer(layer, sub)
+        if p:
+            params[layer.name] = p
+        if s:
+            state[layer.name] = s
+    return params, state
+
+
+def _bn_state(dim: int) -> Dict[str, jnp.ndarray]:
+    return {
+        "count": jnp.zeros((), jnp.float32),
+        "mean": jnp.zeros(dim, jnp.float32),
+        "var": jnp.ones(dim, jnp.float32),
+    }
+
+
+def _init_layer(layer: Layer, key) -> Tuple[dict, dict]:
+    s = layer.spec
+    t = layer.type
+    if t == LayerType.IDCT:
+        return ({"idct": jnp.asarray(make_idct_matrix(s.dim, s.cepstral_lifter))},
+                {})
+    if t == LayerType.LINEAR:
+        return ({"w": _xavier(key, s.input_dim, s.output_dim)}, {})
+    if t == LayerType.BATCHNORM:
+        return ({}, _bn_state(s.dim))
+    if t == LayerType.CONV_RELU_BATCHNORM:
+        k = len(s.offsets) * s.num_filters_in
+        return ({"w": _xavier(key, k, s.num_filters_out),
+                 "b": jnp.zeros(s.num_filters_out, jnp.float32)},
+                _bn_state(s.output_dim))
+    if t == LayerType.TDNNF:
+        k1, k2 = jax.random.split(key)
+        lin_in = s.input_dim * (2 if s.time_stride > 0 else 1)
+        aff_in = s.bottleneck_dim * (2 if s.time_stride > 0 else 1)
+        return ({"linear_w": _xavier(k1, lin_in, s.bottleneck_dim),
+                 "affine_w": _xavier(k2, aff_in, s.output_dim),
+                 "affine_b": jnp.zeros(s.output_dim, jnp.float32)},
+                _bn_state(s.output_dim))
+    if t == LayerType.ATTENTION_RELU_BATCHNORM:
+        proj_dim = s.num_heads * s.input_dim_per_head
+        return ({"w": _xavier(key, s.input_dim, proj_dim),
+                 "b": jnp.zeros(proj_dim, jnp.float32)},
+                _bn_state(s.output_dim))
+    if t == LayerType.PREFINAL:
+        k1, k2 = jax.random.split(key)
+        return ({"big_w": _xavier(k1, s.input_dim, s.big_dim),
+                 "big_b": jnp.zeros(s.big_dim, jnp.float32),
+                 "small_w": _xavier(k2, s.big_dim, s.small_dim)},
+                {"bn1": _bn_state(s.big_dim), "bn2": _bn_state(s.small_dim)})
+    if t == LayerType.OUTPUT:
+        return ({"w": _xavier(key, s.input_dim, s.output_dim),
+                 "b": jnp.zeros(s.output_dim, jnp.float32)}, {})
+    return ({}, {})
+
+
+def trainable_mask(model: Model, params: Params) -> Params:
+    """Pytree of bools: False for fixed matrices (idct)."""
+    mask = {}
+    for lname, p in params.items():
+        layer = model.layer_map.get(lname)
+        fixed = layer is not None and layer.type == LayerType.IDCT
+        mask[lname] = {k: not fixed for k in p}
+    return mask
+
+
+# ---------------------------------------------------------------------------
+# Primitive blocks
+# ---------------------------------------------------------------------------
+
+def _matmul(x: jnp.ndarray, w: jnp.ndarray, dtype) -> jnp.ndarray:
+    """bf16-in, fp32-accumulate matmul on the MXU.
+
+    For fp32 compute we request HIGHEST precision: on TPU the default fp32
+    matmul truncates inputs to bf16 passes, which would silently degrade the
+    fp32 verification path."""
+    precision = (jax.lax.Precision.HIGHEST if dtype == jnp.float32
+                 else jax.lax.Precision.DEFAULT)
+    return jnp.dot(x.astype(dtype), w.astype(dtype),
+                   preferred_element_type=jnp.float32, precision=precision)
+
+
+def _batchnorm(x: jnp.ndarray, bn_state: dict, target_rms: float,
+               epsilon: float, train: bool) -> Tuple[jnp.ndarray, dict]:
+    """Kaldi BatchNormComponent: stats over (batch, time), target-rms scale."""
+    xf = x.astype(jnp.float32)
+    if train:
+        mean = xf.mean(axis=(0, 1))
+        var = jnp.maximum(xf.var(axis=(0, 1)), 0.0)
+        n = jnp.asarray(x.shape[0] * x.shape[1], jnp.float32)
+        count = bn_state["count"] + n
+        new_mean = bn_state["mean"] + (mean - bn_state["mean"]) * (n / count)
+        new_var = bn_state["var"] + (var - bn_state["var"]) * (n / count)
+        new_state = {"count": count, "mean": new_mean, "var": new_var}
+    else:
+        mean, var = bn_state["mean"], bn_state["var"]
+        new_state = bn_state
+    scale = target_rms * jax.lax.rsqrt(var + epsilon)
+    out = (xf - mean) * scale
+    return out.astype(x.dtype), new_state
+
+
+def _shift_time(x: jnp.ndarray, offset: int, mode: str) -> jnp.ndarray:
+    """x[:, t] := x[:, t + offset]; out-of-range per mode ('zero'|'clamp')."""
+    if offset == 0:
+        return x
+    T = x.shape[1]
+    if mode == "zero":
+        pad = jnp.zeros_like(x[:, :1])
+        if offset > 0:
+            return jnp.concatenate([x[:, offset:], jnp.tile(pad, (1, offset, 1))], axis=1)
+        return jnp.concatenate([jnp.tile(pad, (1, -offset, 1)), x[:, :T + offset]], axis=1)
+    # clamp (replicate edge rows; ref splice helpers, forward.go:697-790)
+    if offset > 0:
+        return jnp.concatenate([x[:, offset:],
+                                jnp.tile(x[:, -1:], (1, offset, 1))], axis=1)
+    return jnp.concatenate([jnp.tile(x[:, :1], (1, -offset, 1)),
+                            x[:, :T + offset]], axis=1)
+
+
+def _splice(x: jnp.ndarray, offsets, mode: str) -> jnp.ndarray:
+    """Concat time-shifted copies along the feature axis."""
+    return jnp.concatenate([_shift_time(x, o, mode) for o in offsets], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Layer forwards
+# ---------------------------------------------------------------------------
+
+def _fwd_conv_relu_bn(spec: ConvReluBNSpec, p: dict, bn: dict, x: jnp.ndarray,
+                      train: bool, dtype) -> Tuple[jnp.ndarray, dict]:
+    """Patch-gather + one matmul.  x: [B, T, H_in * nf_in] (filter fastest)."""
+    B, T, _ = x.shape
+    H_in, H_out = spec.height_in, spec.height_out
+    nf_in, nf_out = spec.num_filters_in, spec.num_filters_out
+    sub = spec.height_subsample
+
+    xh = x.reshape(B, T, H_in, nf_in)
+
+    # pad the height axis so h_src = h_out*sub + h_off always lands in-range
+    h_offs = spec.height_offsets
+    pad_lo = max(0, -min(h_offs))
+    pad_hi = max(0, (H_out - 1) * sub + max(h_offs) - (H_in - 1))
+    if pad_lo or pad_hi:
+        xh = jnp.pad(xh, ((0, 0), (0, 0), (pad_lo, pad_hi), (0, 0)))
+
+    patches = []
+    for t_off in spec.time_offsets:
+        xt = _shift_time(x, t_off, "zero").reshape(B, T, H_in, nf_in)
+        if pad_lo or pad_hi:
+            xt = jnp.pad(xt, ((0, 0), (0, 0), (pad_lo, pad_hi), (0, 0)))
+        for h_off in h_offs:
+            start = pad_lo + h_off
+            sl = jax.lax.slice_in_dim(xt, start, start + (H_out - 1) * sub + 1,
+                                      stride=sub, axis=2)
+            patches.append(sl)                     # [B, T, H_out, nf_in]
+    # offsets order matches spec.offsets (time-major, height fastest)
+    patch = jnp.concatenate(patches, axis=-1)      # [B, T, H_out, n_off*nf_in]
+
+    out = _matmul(patch, p["w"], dtype) + p["b"].astype(jnp.float32)
+    out = jax.nn.relu(out)                         # [B, T, H_out, nf_out]
+    out = out.reshape(B, T, H_out * nf_out)        # filter fastest: h*nf + f
+    out = out.astype(dtype)
+    return _batchnorm(out, bn, spec.target_rms, 1e-3, train)
+
+
+def _fwd_tdnnf(spec: TDNNFSpec, p: dict, bn: dict, x: jnp.ndarray,
+               train: bool, dtype) -> Tuple[jnp.ndarray, dict]:
+    """splice[-s,0] -> linear -> splice[0,+s] -> affine -> relu -> bn -> bypass
+    (ref: forward.go:589-695; clamped edges)."""
+    s = spec.time_stride
+    lin_in = _splice(x, (-s, 0), "clamp") if s > 0 else x
+    bottleneck = _matmul(lin_in, p["linear_w"], dtype).astype(dtype)
+    aff_in = _splice(bottleneck, (0, s), "clamp") if s > 0 else bottleneck
+    out = _matmul(aff_in, p["affine_w"], dtype) + p["affine_b"].astype(jnp.float32)
+    out = jax.nn.relu(out).astype(dtype)
+    out, new_bn = _batchnorm(out, bn, spec.target_rms, 1e-3, train)
+    if spec.bypass_scale > 0 and spec.input_dim == spec.output_dim:
+        out = out + jnp.asarray(spec.bypass_scale, out.dtype) * x
+    return out, new_bn
+
+
+def _fwd_attention(spec: AttentionSpec, p: dict, bn: dict, x: jnp.ndarray,
+                   train: bool, dtype) -> Tuple[jnp.ndarray, dict]:
+    """Restricted per-head time attention, fully vectorized
+    (ref: forward.go:795-909, which computed this on CPU per element)."""
+    B, T, _ = x.shape
+    H, kd, vd, cd = spec.num_heads, spec.key_dim, spec.value_dim, spec.context_dim
+    stride = spec.time_stride
+
+    proj = _matmul(x, p["w"], dtype) + p["b"].astype(jnp.float32)  # [B,T,H*iph]
+    proj = proj.reshape(B, T, H, spec.input_dim_per_head)
+    keys = proj[..., :kd]                          # [B,T,H,kd]
+    values = proj[..., kd:kd + vd]                 # [B,T,H,vd]
+    q_key = proj[..., kd + vd: kd + vd + kd]       # [B,T,H,kd]
+    q_ctx = proj[..., kd + vd + kd:]               # [B,T,H,cd]
+
+    # offsets o=0..cd-1 map to key time t + (o - num_left)*stride
+    outs_v = []
+    outs_b = []
+    for o in range(cd):
+        delta = (o - spec.num_left_inputs) * stride
+        k_o = _shift_time_4d(keys, delta)          # zero pad outside
+        v_o = _shift_time_4d(values, delta)
+        dot = (q_key.astype(jnp.float32) * k_o.astype(jnp.float32)).sum(-1)
+        b_o = q_ctx[..., o].astype(jnp.float32) + spec.key_scale * dot  # [B,T,H]
+        outs_b.append(b_o)
+        outs_v.append(v_o)
+    scores = jnp.stack(outs_b, axis=-1)            # [B,T,H,cd]
+    attn = jax.nn.softmax(scores, axis=-1)
+    vals = jnp.stack(outs_v, axis=-2)              # [B,T,H,cd,vd]
+    ctx_out = jnp.einsum("bthc,bthcv->bthv", attn.astype(jnp.float32),
+                         vals.astype(jnp.float32))
+    out = jnp.concatenate([ctx_out, attn], axis=-1)  # [B,T,H,vd+cd]
+    out = out.reshape(B, T, H * (vd + cd))
+    out = jax.nn.relu(out).astype(dtype)
+    return _batchnorm(out, bn, spec.target_rms, 1e-3, train)
+
+
+def _shift_time_4d(x: jnp.ndarray, offset: int) -> jnp.ndarray:
+    if offset == 0:
+        return x
+    B, T = x.shape[:2]
+    zeros = jnp.zeros_like(x[:, :1])
+    if offset > 0:
+        return jnp.concatenate([x[:, offset:],
+                                jnp.tile(zeros, (1, offset) + (1,) * (x.ndim - 2))],
+                               axis=1)
+    return jnp.concatenate([jnp.tile(zeros, (1, -offset) + (1,) * (x.ndim - 2)),
+                            x[:, :T + offset]], axis=1)
+
+
+def _fwd_spec_augment(spec: SpecAugmentSpec, x: jnp.ndarray, rng) -> jnp.ndarray:
+    """Frequency band + time masks (ref spec: layers.go SpecAugmentSpec;
+    go/gotorch/cnn_tdnn.go:613-669 for the mask shapes)."""
+    B, T, D = x.shape
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    # frequency mask: one band of width uniform in [0, freq_max_proportion*D)
+    max_w = max(1, int(spec.freq_max_proportion * D))
+    width = jax.random.randint(k1, (B,), 0, max_w + 1)
+    start = jax.random.randint(k2, (B,), 0, D)
+    f_idx = jnp.arange(D)[None, :]
+    f_mask = ~((f_idx >= start[:, None]) & (f_idx < (start + width)[:, None]))
+    x = x * f_mask[:, None, :].astype(x.dtype)
+    # time masks: zero roughly time_zeroed_proportion of frames
+    if spec.time_zeroed_proportion > 0:
+        n_masks = max(1, int(T * spec.time_zeroed_proportion
+                             / max(1, spec.time_mask_max_frames // 2)))
+        t_idx = jnp.arange(T)[None, None, :]
+        starts = jax.random.randint(k3, (B, n_masks), 0, T)
+        widths = jax.random.randint(k4, (B, n_masks), 0,
+                                    spec.time_mask_max_frames + 1)
+        hit = ((t_idx >= starts[:, :, None]) &
+               (t_idx < (starts + widths)[:, :, None])).any(axis=1)
+        x = x * (~hit)[:, :, None].astype(x.dtype)
+    return x
+
+
+def _fwd_combine_feature_maps(spec: CombineFeatureMapsSpec, x: jnp.ndarray
+                              ) -> jnp.ndarray:
+    """Interleave blocked feature maps into h*(nf1+nf2[+nf3]) + f layout
+    (ref: ops.cu kernel_combine_feature_maps)."""
+    B, T, D = x.shape
+    h = spec.height
+    nfs = [spec.num_filters1, spec.num_filters2]
+    if spec.num_filters3:
+        nfs.append(spec.num_filters3)
+    blocks = []
+    off = 0
+    for nf in nfs:
+        blocks.append(x[..., off:off + h * nf].reshape(B, T, h, nf))
+        off += h * nf
+    return jnp.concatenate(blocks, axis=-1).reshape(B, T, D)
+
+
+# ---------------------------------------------------------------------------
+# Full forward
+# ---------------------------------------------------------------------------
+
+@dataclass
+class Network:
+    """Convenience wrapper binding a Model to its functional forward."""
+    model: Model
+
+    def init(self, key) -> Tuple[Params, State]:
+        return init_params(self.model, key)
+
+    def apply(self, params, state, features, ivectors=None, **kw):
+        return forward(self.model, params, state, features, ivectors, **kw)
+
+
+def forward(model: Model, params: Params, state: State,
+            features: jnp.ndarray,                 # [B, T, feat_dim]
+            ivectors: Optional[jnp.ndarray] = None,  # [B, ivec_dim]
+            *, train: bool = False, rng=None,
+            compute_dtype=jnp.bfloat16) -> Tuple[Dict[str, jnp.ndarray], State]:
+    """Run the network.  Returns ({output_name: [B, T, dim]}, new_state).
+
+    Output frames are NOT subsampled here; use `subsample_output` to pick
+    the chain-supervision frames (ref: chain_loss.go:245-254).
+    """
+    B, T, _ = features.shape
+    dtype = compute_dtype
+    acts: Dict[str, jnp.ndarray] = {}
+    new_state: State = dict(state)
+    outputs: Dict[str, jnp.ndarray] = {}
+
+    def get_input(layer: Layer, prev_name: Optional[str]) -> jnp.ndarray:
+        ref = layer.input.ref
+        if ref.type == InputType.PREVIOUS:
+            assert prev_name is not None, f"{layer.name}: no previous layer"
+            return acts[prev_name]
+        if ref.type in (InputType.SIMPLE, InputType.REPLACE_INDEX):
+            return acts[layer.input.names[0]]
+        # APPEND
+        return jnp.concatenate([acts[n] for n in layer.input.names], axis=-1)
+
+    prev_name: Optional[str] = None
+    for layer in model.execution_order():
+        t = layer.type
+        s = layer.spec
+        if t == LayerType.INPUT:
+            if layer.name == "ivector":
+                assert ivectors is not None, "model requires ivectors"
+                iv = ivectors.astype(dtype)
+                acts[layer.name] = jnp.broadcast_to(
+                    iv[:, None, :], (B, T, iv.shape[-1]))
+            else:
+                acts[layer.name] = features.astype(dtype)
+            prev_name = layer.name
+            continue
+
+        x = get_input(layer, prev_name)
+
+        if t == LayerType.IDCT:
+            out = _matmul(x, params[layer.name]["idct"], dtype)
+        elif t == LayerType.LINEAR:
+            out = _matmul(x, params[layer.name]["w"], dtype)
+        elif t == LayerType.BATCHNORM:
+            out, ns = _batchnorm(x, state[layer.name], s.target_rms,
+                                 s.epsilon, train)
+            new_state[layer.name] = ns
+        elif t == LayerType.SPEC_AUGMENT:
+            if train and rng is not None:
+                rng, sub = jax.random.split(rng)
+                out = _fwd_spec_augment(s, x, sub)
+            else:
+                out = x
+        elif t == LayerType.COMBINE_FEATURE_MAPS:
+            out = _fwd_combine_feature_maps(s, x)
+        elif t == LayerType.CONV_RELU_BATCHNORM:
+            out, ns = _fwd_conv_relu_bn(s, params[layer.name],
+                                        state[layer.name], x, train, dtype)
+            new_state[layer.name] = ns
+        elif t == LayerType.TDNNF:
+            out, ns = _fwd_tdnnf(s, params[layer.name], state[layer.name],
+                                 x, train, dtype)
+            new_state[layer.name] = ns
+        elif t == LayerType.ATTENTION_RELU_BATCHNORM:
+            out, ns = _fwd_attention(s, params[layer.name], state[layer.name],
+                                     x, train, dtype)
+            new_state[layer.name] = ns
+        elif t == LayerType.PREFINAL:
+            p = params[layer.name]
+            st = state[layer.name]
+            big = _matmul(x, p["big_w"], dtype) + p["big_b"].astype(jnp.float32)
+            big = jax.nn.relu(big).astype(dtype)
+            big, ns1 = _batchnorm(big, st["bn1"], s.target_rms, 1e-3, train)
+            small = _matmul(big, p["small_w"], dtype).astype(dtype)
+            out, ns2 = _batchnorm(small, st["bn2"], s.target_rms, 1e-3, train)
+            new_state[layer.name] = {"bn1": ns1, "bn2": ns2}
+        elif t == LayerType.OUTPUT:
+            p = params[layer.name]
+            out = _matmul(x, p["w"], dtype) + p["b"].astype(jnp.float32)
+            if s.include_log_softmax:
+                out = jax.nn.log_softmax(out, axis=-1)
+            outputs[layer.name] = out  # outputs stay fp32
+        else:
+            out = x
+
+        acts[layer.name] = out.astype(dtype) if t != LayerType.OUTPUT else out
+        prev_name = layer.name
+
+    return outputs, new_state
+
+
+def subsample_output(x: jnp.ndarray, stride: int, offset: int,
+                     num_frames: int) -> jnp.ndarray:
+    """Pick chain-supervision frames: rows offset, offset+stride, ...
+    (ref: gpu.SubsampleRows, ops.cu kernel_subsample_rows; chain_loss.go)."""
+    return jax.lax.slice_in_dim(x, offset, offset + (num_frames - 1) * stride + 1,
+                                stride=stride, axis=1)

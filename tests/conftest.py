@@ -5,7 +5,9 @@ __graft_entry__.dryrun_multichip)."""
 import os
 
 # Must be set before jax is imported anywhere in the test process.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# FORCE cpu (the ambient environment pins JAX_PLATFORMS to the real TPU
+# tunnel; tests must run on the virtual 8-device CPU mesh instead).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,0 +1,276 @@
+"""Network forward tests: shapes, layer semantics, BN behavior, gradients."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from kaldi_fp16_tpu.models.model import build_model_from_string, build_model
+from kaldi_fp16_tpu.models.network import (
+    Network, forward, init_params, make_idct_matrix, subsample_output,
+    trainable_mask, _batchnorm, _shift_time, _splice,
+)
+
+SMALL = """\
+input name=input dim=40
+input name=ivector dim=32
+idct-layer name=idct input=input dim=40
+linear-component name=linear1 input=Append(idct, ivector) dim=64
+batchnorm-component name=bn1
+tdnnf-layer name=tdnnf1 dim=64 bottleneck-dim=32 time-stride=0 bypass-scale=0.66
+tdnnf-layer name=tdnnf2 dim=64 bottleneck-dim=32 time-stride=3 bypass-scale=0.66
+prefinal-layer name=prefinal input=tdnnf2 small-dim=32 big-dim=64
+output-layer name=output dim=20 include-log-softmax=false
+"""
+
+B, T = 2, 12
+
+
+@pytest.fixture(scope="module")
+def small_net():
+    model = build_model_from_string(SMALL)
+    net = Network(model)
+    params, state = net.init(jax.random.PRNGKey(0))
+    return net, params, state
+
+
+def _inputs(rng, feat_dim=40, ivec_dim=32):
+    feats = jnp.asarray(rng.normal(size=(B, T, feat_dim)).astype(np.float32))
+    ivecs = jnp.asarray(rng.normal(size=(B, ivec_dim)).astype(np.float32))
+    return feats, ivecs
+
+
+class TestPrimitives:
+    def test_shift_time_zero(self):
+        x = jnp.arange(6, dtype=jnp.float32).reshape(1, 3, 2)
+        fwd = _shift_time(x, 1, "zero")
+        np.testing.assert_array_equal(np.asarray(fwd[0, :, 0]), [2, 4, 0])
+        bwd = _shift_time(x, -1, "zero")
+        np.testing.assert_array_equal(np.asarray(bwd[0, :, 0]), [0, 0, 2])
+
+    def test_shift_time_clamp(self):
+        x = jnp.arange(6, dtype=jnp.float32).reshape(1, 3, 2)
+        fwd = _shift_time(x, 2, "clamp")
+        np.testing.assert_array_equal(np.asarray(fwd[0, :, 0]), [4, 4, 4])
+        bwd = _shift_time(x, -2, "clamp")
+        np.testing.assert_array_equal(np.asarray(bwd[0, :, 0]), [0, 0, 0])
+
+    def test_splice_concats_features(self):
+        x = jnp.ones((1, 4, 3))
+        s = _splice(x, (-3, 0), "clamp")
+        assert s.shape == (1, 4, 6)
+
+    def test_batchnorm_train_normalizes(self, rng):
+        x = jnp.asarray(rng.normal(loc=5.0, scale=3.0, size=(4, 10, 8))
+                        .astype(np.float32))
+        st = {"count": jnp.zeros(()), "mean": jnp.zeros(8), "var": jnp.ones(8)}
+        out, new_st = _batchnorm(x, st, target_rms=1.0, epsilon=1e-3, train=True)
+        out = np.asarray(out, dtype=np.float64)
+        assert abs(out.mean()) < 1e-2
+        assert abs(out.std() - 1.0) < 2e-2
+        assert float(new_st["count"]) == 40
+        assert abs(float(new_st["mean"].mean()) - 5.0) < 0.5
+
+    def test_batchnorm_target_rms(self, rng):
+        x = jnp.asarray(rng.normal(size=(4, 10, 8)).astype(np.float32))
+        st = {"count": jnp.zeros(()), "mean": jnp.zeros(8), "var": jnp.ones(8)}
+        out, _ = _batchnorm(x, st, target_rms=0.5, epsilon=1e-3, train=True)
+        assert abs(float(jnp.std(out)) - 0.5) < 2e-2
+
+    def test_batchnorm_eval_uses_running_stats(self):
+        st = {"count": jnp.asarray(100.0), "mean": jnp.full(4, 2.0),
+              "var": jnp.full(4, 4.0)}
+        x = jnp.full((1, 5, 4), 2.0)
+        out, new_st = _batchnorm(x, st, 1.0, 0.0, train=False)
+        np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
+        assert new_st is st
+
+    def test_idct_matrix_values(self):
+        m = make_idct_matrix(4, 0.0)
+        # j=0 column: sqrt(1/4) everywhere
+        np.testing.assert_allclose(m[:, 0], 0.5, atol=1e-6)
+        m_lift = make_idct_matrix(4, 22.0)
+        assert not np.allclose(m[:, 1], m_lift[:, 1])
+
+
+class TestForward:
+    def test_shapes_and_finiteness(self, small_net, rng):
+        net, params, state = small_net
+        feats, ivecs = _inputs(rng)
+        outs, new_state = net.apply(params, state, feats, ivecs, train=False)
+        assert set(outs) == {"output"}
+        assert outs["output"].shape == (B, T, 20)
+        assert np.isfinite(np.asarray(outs["output"], dtype=np.float32)).all()
+
+    def test_train_updates_bn_state(self, small_net, rng):
+        net, params, state = small_net
+        feats, ivecs = _inputs(rng)
+        _, new_state = net.apply(params, state, feats, ivecs, train=True)
+        assert float(new_state["bn1"]["count"]) == B * T
+        assert float(state["bn1"]["count"]) == 0.0
+
+    def test_eval_state_unchanged(self, small_net, rng):
+        net, params, state = small_net
+        feats, ivecs = _inputs(rng)
+        _, new_state = net.apply(params, state, feats, ivecs, train=False)
+        assert float(new_state["bn1"]["count"]) == 0.0
+
+    def test_jit_and_grad_flow(self, small_net, rng):
+        net, params, state = small_net
+        feats, ivecs = _inputs(rng)
+
+        def loss_fn(p):
+            outs, _ = forward(net.model, p, state, feats, ivecs, train=True)
+            return jnp.sum(outs["output"] ** 2)
+
+        g = jax.jit(jax.grad(loss_fn))(params)
+        gnorm = sum(float(jnp.abs(v).sum()) for lp in g.values()
+                    for v in lp.values())
+        assert np.isfinite(gnorm) and gnorm > 0
+        # every trainable layer got gradient
+        for lname in ("linear1", "tdnnf1", "tdnnf2", "prefinal", "output"):
+            lsum = sum(float(jnp.abs(v).sum()) for v in g[lname].values())
+            assert lsum > 0, lname
+
+    def test_trainable_mask_excludes_idct(self, small_net):
+        net, params, _ = small_net
+        mask = trainable_mask(net.model, params)
+        assert mask["idct"]["idct"] is False
+        assert mask["linear1"]["w"] is True
+
+    def test_fp32_compute_dtype(self, small_net, rng):
+        net, params, state = small_net
+        feats, ivecs = _inputs(rng)
+        o32, _ = net.apply(params, state, feats, ivecs, compute_dtype=jnp.float32)
+        obf, _ = net.apply(params, state, feats, ivecs, compute_dtype=jnp.bfloat16)
+        # bf16 forward should track fp32 within bf16 tolerance
+        a, b = np.asarray(o32["output"]), np.asarray(obf["output"])
+        denom = np.maximum(np.abs(a), 1.0)
+        assert (np.abs(a - b) / denom).max() < 0.15
+
+    def test_subsample_output(self):
+        x = jnp.arange(24, dtype=jnp.float32).reshape(1, 12, 2)
+        out = subsample_output(x, stride=3, offset=2, num_frames=3)
+        np.testing.assert_array_equal(np.asarray(out[0, :, 0]), [4, 10, 16])
+
+
+class TestConvLayer:
+    CONV = """\
+input name=input dim=12
+conv-relu-batchnorm-layer name=c1 height-in=4 height-out=4 time-offsets=-1,0,1 height-offsets=-1,0,1 num-filters-out=8
+conv-relu-batchnorm-layer name=c2 height-in=4 height-out=2 height-subsample-out=2 time-offsets=0 height-offsets=0,1 num-filters-out=6
+output-layer name=output dim=5 include-log-softmax=false
+"""
+
+    def test_conv_shapes(self, rng):
+        model = build_model_from_string(self.CONV)
+        params, state = init_params(model, jax.random.PRNGKey(1))
+        feats = jnp.asarray(rng.normal(size=(B, T, 12)).astype(np.float32))
+        outs, _ = forward(model, params, state, feats, train=True)
+        assert outs["output"].shape == (B, T, 5)
+        assert params["c1"]["w"].shape == (9 * 3, 8)
+        assert params["c2"]["w"].shape == (2 * 8, 6)
+
+    def test_conv_identity_kernel(self, rng):
+        """A kernel selecting only (t_off=0, h_off=0) must reproduce the
+        (relu'd, normalized) input: checks patch ordering."""
+        text = ("input name=input dim=3\n"
+                "conv-relu-batchnorm-layer name=c height-in=3 height-out=3 "
+                "time-offsets=-1,0,1 height-offsets=0 num-filters-out=1")
+        model = build_model_from_string(text)
+        params, state = init_params(model, jax.random.PRNGKey(0))
+        # offsets = [(-1,0), (0,0), (1,0)]; select the middle (t=0) tap
+        w = np.zeros((3, 1), dtype=np.float32)
+        w[1, 0] = 1.0
+        params["c"]["w"] = jnp.asarray(w)
+        params["c"]["b"] = jnp.zeros(1)
+        feats = jnp.asarray(np.abs(rng.normal(size=(1, 6, 3))).astype(np.float32))
+        # bypass batchnorm by making stats identity-ish: eval mode, mean 0 var 1
+        outs_state = dict(state)
+        outs_state["c"] = {"count": jnp.asarray(1.0),
+                           "mean": jnp.zeros(3), "var": jnp.ones(3)}
+        model2 = model
+        from kaldi_fp16_tpu.models.network import forward as fwd
+        # run with train=False so BN uses provided stats (epsilon 1e-3)
+        acts = {}
+        outs, _ = fwd(model2, params, outs_state, feats, train=False,
+                      compute_dtype=jnp.float32)
+        del acts
+        # compare c output against relu(input) normalized with var 1, eps 1e-3
+        # (height stays 3, nf 1 -> output = input through the selected tap)
+        # we need intermediate; recompute manually:
+        expect = np.asarray(feats) / np.sqrt(1 + 1e-3)
+        # access output of layer c == network's last activation before output?
+        # simpler: model without output layer
+        model3 = build_model_from_string(
+            "input name=input dim=3\n"
+            "conv-relu-batchnorm-layer name=c height-in=3 height-out=3 "
+            "time-offsets=-1,0,1 height-offsets=0 num-filters-out=1\n"
+            "output-layer name=output dim=3 include-log-softmax=false")
+        params3, state3 = init_params(model3, jax.random.PRNGKey(0))
+        params3["c"]["w"] = jnp.asarray(w)
+        params3["c"]["b"] = jnp.zeros(1)
+        params3["output"]["w"] = jnp.eye(3)
+        params3["output"]["b"] = jnp.zeros(3)
+        state3["c"] = {"count": jnp.asarray(1.0),
+                       "mean": jnp.zeros(3), "var": jnp.ones(3)}
+        outs3, _ = forward(model3, params3, state3, feats, train=False,
+                           compute_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(outs3["output"]), expect,
+                                   rtol=1e-4, atol=1e-5)
+
+
+class TestAttentionLayer:
+    ATT = """\
+input name=input dim=16
+attention-relu-batchnorm-layer name=att num-heads=2 value-dim=4 key-dim=4 num-left-inputs=2 num-right-inputs=1 time-stride=1
+output-layer name=output dim=5 include-log-softmax=false
+"""
+
+    def test_shapes(self, rng):
+        model = build_model_from_string(self.ATT)
+        params, state = init_params(model, jax.random.PRNGKey(2))
+        feats = jnp.asarray(rng.normal(size=(B, T, 16)).astype(np.float32))
+        outs, _ = forward(model, params, state, feats, train=True)
+        # att out dim = 2 * (4 + 4) = 16
+        assert model.layer_map["att"].output_dim == 16
+        assert outs["output"].shape == (B, T, 5)
+        assert np.isfinite(np.asarray(outs["output"], np.float32)).all()
+
+
+class TestSpecAugment:
+    SA = """\
+input name=input dim=8
+spec-augment-layer name=sa freq-max-proportion=0.5 time-zeroed-proportion=0.2 time-mask-max-frames=4
+output-layer name=output dim=8 include-log-softmax=false
+"""
+
+    def test_train_masks_eval_passthrough(self, rng):
+        model = build_model_from_string(self.SA)
+        params, state = init_params(model, jax.random.PRNGKey(3))
+        params["output"]["w"] = jnp.eye(8)
+        feats = jnp.asarray(np.ones((2, 20, 8), dtype=np.float32))
+        o_eval, _ = forward(model, params, state, feats, train=False,
+                            compute_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(o_eval["output"]), 1.0, atol=1e-5)
+        o_tr, _ = forward(model, params, state, feats, train=True,
+                          rng=jax.random.PRNGKey(7), compute_dtype=jnp.float32)
+        zeroed = (np.asarray(o_tr["output"]) == 0).mean()
+        assert zeroed > 0.01  # some masking happened
+
+
+class TestFlagshipForward:
+    def test_full_model_forward(self, rng):
+        model = build_model("configs/cnn_tdnn.xconfig")
+        params, state = init_params(model, jax.random.PRNGKey(0))
+        feats = jnp.asarray(rng.normal(size=(1, 30, 40)).astype(np.float32))
+        ivecs = jnp.asarray(rng.normal(size=(1, 100)).astype(np.float32))
+        outs, _ = forward(model, params, state, feats, ivecs, train=False)
+        assert outs["output"].shape == (1, 30, 3080)
+        assert outs["output-xent"].shape == (1, 30, 3080)
+        out = np.asarray(outs["output"], np.float32)
+        assert np.isfinite(out).all()
+        # xent head is log-softmax: rows sum to 1 in prob space
+        xent = np.asarray(outs["output-xent"], np.float32)
+        np.testing.assert_allclose(np.exp(xent).sum(-1), 1.0, rtol=1e-3)
