@@ -80,6 +80,20 @@ def chain_objf_and_deriv(
     opts: ChainTrainingOpts = ChainTrainingOpts(),
 ) -> Tuple[ChainResult, jnp.ndarray]:
     """Full objective + analytic derivative.  deriv is d objf / d output."""
+    result, deriv, _ = _chain_core(num_graph, den, nnet_output, weights,
+                                   deriv_weights, opts)
+    return result, deriv
+
+
+def _chain_core(
+    num_graph: NumeratorGraphBatch,
+    den: DenominatorComputation,
+    nnet_output: jnp.ndarray,
+    weights: Optional[jnp.ndarray] = None,
+    deriv_weights: Optional[jnp.ndarray] = None,
+    opts: ChainTrainingOpts = ChainTrainingOpts(),
+) -> Tuple[ChainResult, jnp.ndarray, jnp.ndarray]:
+    """Returns (result, deriv, num_post)."""
     B, T, P = nnet_output.shape
     w = jnp.ones(B, dtype=nnet_output.dtype) if weights is None else weights
 
@@ -137,7 +151,7 @@ def chain_objf_and_deriv(
         out_of_range_count=oor_count,
         ok=ok,
     )
-    return result, deriv
+    return result, deriv, num_post
 
 
 # ---------------------------------------------------------------------------
@@ -165,6 +179,34 @@ def make_chain_objf(num_graph: NumeratorGraphBatch, den: DenominatorComputation,
 
     def objf_bwd(deriv, cotangents):
         g_objf, _g_result = cotangents
+        return (g_objf * deriv, None)
+
+    objf_fn.defvjp(objf_fwd, objf_bwd)
+    return objf_fn
+
+
+def make_chain_objf_with_post(num_graph: NumeratorGraphBatch,
+                              den: DenominatorComputation,
+                              opts: ChainTrainingOpts = ChainTrainingOpts()):
+    """Like make_chain_objf, but also returns the numerator posteriors
+    (stop-gradiented) so callers can add cross-entropy regularization on a
+    second head: xent_objf = sum(w * num_post * xent_logprob)
+    (Kaldi nnet-chain-training.cc xent_regularize path)."""
+
+    @jax.custom_vjp
+    def objf_fn(nnet_output, weights):
+        result, _, num_post = _chain_core(num_graph, den, nnet_output,
+                                          weights, opts=opts)
+        return result.total_objf, result, jax.lax.stop_gradient(num_post)
+
+    def objf_fwd(nnet_output, weights):
+        result, deriv, num_post = _chain_core(num_graph, den, nnet_output,
+                                              weights, opts=opts)
+        return ((result.total_objf, result, jax.lax.stop_gradient(num_post)),
+                deriv)
+
+    def objf_bwd(deriv, cotangents):
+        g_objf = cotangents[0]
         return (g_objf * deriv, None)
 
     objf_fn.defvjp(objf_fwd, objf_bwd)

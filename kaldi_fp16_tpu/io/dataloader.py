@@ -1,0 +1,190 @@
+"""DataLoader: multi-file cegs iteration -> validated, bucketed minibatches.
+
+(ref: internal/loader/{loader,dataloader}.go — glob + auto file advance,
+shuffle, invalid-example skipping with reasons, stats; redesigned around
+bucketed static shapes and multi-host sharding.)
+
+Multi-host: `shard_files` splits the ark file list across jax processes so
+each host feeds its own batch shard (the host-local input pipeline for
+jax.make_array_from_process_local_data-style feeding).
+"""
+
+from __future__ import annotations
+
+import glob as globlib
+import random
+import time
+from dataclasses import dataclass, field
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from kaldi_fp16_tpu.io.batch import ChainBatch, bucket_key, make_batch
+from kaldi_fp16_tpu.io.egs import EgsReader, Example
+
+
+@dataclass
+class LoaderStats:
+    examples_read: int = 0
+    examples_skipped: int = 0
+    batches: int = 0
+    files_done: int = 0
+    skip_reasons: Dict[str, int] = field(default_factory=dict)
+    read_seconds: float = 0.0
+
+    def note_skip(self, reason: str) -> None:
+        self.examples_skipped += 1
+        key = reason.split("!")[0][:40]
+        self.skip_reasons[key] = self.skip_reasons.get(key, 0) + 1
+
+
+@dataclass
+class DataLoaderConfig:
+    batch_size: int = 8
+    shuffle_files: bool = False
+    shuffle_buffer: int = 0          # 0 = no example-level shuffle
+    seed: int = 0
+    feat_dim: int = 40
+    ivector_dim: int = 100
+    label_dim: int = 0               # 0 = don't check
+    max_fst_states: int = 0          # pad targets (0 = per-batch max)
+    max_fst_arcs: int = 0
+    drop_remainder: bool = True
+
+
+def shard_files(files: List[str], process_index: int, process_count: int
+                ) -> List[str]:
+    """Round-robin file split across hosts."""
+    return [f for i, f in enumerate(files) if i % process_count == process_index]
+
+
+class EgsIterator:
+    """Stream examples across multiple ark files with auto-advance
+    (ref: loader.go:22-127)."""
+
+    def __init__(self, pattern_or_files, shuffle: bool = False, seed: int = 0):
+        if isinstance(pattern_or_files, str):
+            files = sorted(globlib.glob(pattern_or_files))
+        else:
+            files = list(pattern_or_files)
+        if not files:
+            raise FileNotFoundError(f"no ark files match {pattern_or_files!r}")
+        if shuffle:
+            rng = random.Random(seed)
+            files = files[:]
+            rng.shuffle(files)
+        self.files = files
+        self._file_idx = 0
+        self._reader: Optional[EgsReader] = None
+        self.files_done = 0
+
+    def __iter__(self) -> Iterator[Example]:
+        return self
+
+    def __next__(self) -> Example:
+        while True:
+            if self._reader is None:
+                if self._file_idx >= len(self.files):
+                    raise StopIteration
+                try:
+                    self._reader = EgsReader(self.files[self._file_idx])
+                except (OSError, ValueError):
+                    self._file_idx += 1  # skip unreadable files (ref: loader.go)
+                    continue
+            try:
+                ex = self._reader.read_example()
+            except (EOFError, ValueError):
+                ex = None
+            if ex is not None:
+                return ex
+            self._reader.close()
+            self._reader = None
+            self._file_idx += 1
+            self.files_done += 1
+
+    def reset(self) -> None:
+        if self._reader is not None:
+            self._reader.close()
+        self._reader = None
+        self._file_idx = 0
+        self.files_done = 0
+
+
+class DataLoader:
+    """Validated, bucketed batches over cegs ark files
+    (ref: dataloader.go:63-277)."""
+
+    def __init__(self, pattern_or_files, config: DataLoaderConfig = DataLoaderConfig()):
+        self.config = config
+        self.iterator = EgsIterator(pattern_or_files,
+                                    shuffle=config.shuffle_files,
+                                    seed=config.seed)
+        self.stats = LoaderStats()
+        self._pending: Dict[Tuple[int, int], List[Example]] = {}
+        self._shuffle_rng = random.Random(config.seed + 1)
+        self._buffer: List[Example] = []
+
+    # -- example intake -----------------------------------------------------
+
+    def _validated_examples(self) -> Iterator[Example]:
+        cfg = self.config
+        for ex in self.iterator:
+            self.stats.examples_read += 1
+            ok, reason = ex.validate(feat_dim=cfg.feat_dim,
+                                     ivector_dim=cfg.ivector_dim,
+                                     label_dim=cfg.label_dim)
+            if not ok:
+                self.stats.note_skip(reason)
+                continue
+            yield ex
+
+    def _shuffled(self) -> Iterator[Example]:
+        n = self.config.shuffle_buffer
+        if n <= 0:
+            yield from self._validated_examples()
+            return
+        it = self._validated_examples()
+        buf = self._buffer
+        for ex in it:
+            buf.append(ex)
+            if len(buf) >= n:
+                idx = self._shuffle_rng.randrange(len(buf))
+                buf[idx], buf[-1] = buf[-1], buf[idx]
+                yield buf.pop()
+        self._shuffle_rng.shuffle(buf)
+        while buf:
+            yield buf.pop()
+
+    # -- batching -----------------------------------------------------------
+
+    def __iter__(self) -> Iterator[ChainBatch]:
+        cfg = self.config
+        t0 = time.perf_counter()
+        for ex in self._shuffled():
+            key = bucket_key(ex)
+            bucket = self._pending.setdefault(key, [])
+            bucket.append(ex)
+            if len(bucket) >= cfg.batch_size:
+                self.stats.read_seconds += time.perf_counter() - t0
+                yield self._emit(key)
+                t0 = time.perf_counter()
+        if not cfg.drop_remainder:
+            for key in list(self._pending):
+                if self._pending[key]:
+                    yield self._emit(key)
+        self.stats.read_seconds += time.perf_counter() - t0
+        self.stats.files_done = self.iterator.files_done
+
+    def _emit(self, key) -> ChainBatch:
+        examples = self._pending.pop(key)
+        batch = make_batch(examples,
+                           max_fst_states=self.config.max_fst_states,
+                           max_fst_arcs=self.config.max_fst_arcs)
+        self.stats.batches += 1
+        return batch
+
+    def summary(self) -> str:
+        s = self.stats
+        return (f"examples={s.examples_read} skipped={s.examples_skipped} "
+                f"batches={s.batches} files={s.files_done} "
+                f"read_s={s.read_seconds:.2f} skip_reasons={s.skip_reasons}")

@@ -1,0 +1,163 @@
+"""The pure, jittable training step (ref: internal/nnet/train_step.go).
+
+Pipeline per step, mirroring Kaldi NnetChainTrainer::TrainInternal:
+  features/ivectors -> Network.forward (bf16 MXU compute)
+  -> subsample output frames (stride 3, left-context offset)
+  -> chain objective (custom_vjp: analytic forward-backward derivative)
+  [+ optional xent head: xent_regularize * sum(num_post * log_softmax)]
+  -> jax.grad through the whole thing
+  -> dynamic loss scale bookkeeping
+  -> SGD with momentum, fp32 master weights, per-component + global
+     max-change clipping
+
+Everything is a pure function (params, state, opt, batch) -> new values, so
+it shards transparently under pjit/shard_map (see parallel/).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from kaldi_fp16_tpu.chain.graph import NumeratorGraphBatch
+from kaldi_fp16_tpu.chain.denominator import DenominatorComputation
+from kaldi_fp16_tpu.chain.objective import (
+    ChainResult, ChainTrainingOpts, make_chain_objf_with_post,
+)
+from kaldi_fp16_tpu.models.model import Model
+from kaldi_fp16_tpu.models.network import forward, subsample_output, trainable_mask
+from kaldi_fp16_tpu.training.optimizer import (
+    SGDConfig, init_sgd_state, layer_hyperparams, sgd_update,
+)
+from kaldi_fp16_tpu.training.loss_scale import (
+    LossScaleState, grads_finite, init_loss_scale, unscale_grads,
+    update_loss_scale,
+)
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """(ref: TrainConfig train_step.go:21-28 + ChainTrainingOpts)."""
+    learning_rate: float = 1e-3
+    momentum: float = 0.0
+    max_param_change: float = 2.0
+    frame_subsampling_factor: int = 3
+    left_context: int = 0          # row offset of the first supervised frame
+    xent_regularize: float = 0.0
+    use_loss_scaling: bool = False
+    compute_dtype: str = "bfloat16"
+
+
+class TrainStepOutput(NamedTuple):
+    loss: jnp.ndarray
+    objf_per_frame: jnp.ndarray
+    num_logprob: jnp.ndarray
+    den_logprob: jnp.ndarray
+    xent_objf: jnp.ndarray
+    param_change_norm: jnp.ndarray
+    grad_norm: jnp.ndarray
+    loss_scale: jnp.ndarray
+    skipped: jnp.ndarray
+    ok: jnp.ndarray
+
+
+def make_train_step(model: Model,
+                    den: DenominatorComputation,
+                    num_graph: NumeratorGraphBatch,
+                    chain_opts: ChainTrainingOpts = ChainTrainingOpts(),
+                    config: TrainConfig = TrainConfig(),
+                    num_frames_out: Optional[int] = None,
+                    donate: bool = True,
+                    jit: bool = True):
+    """Build a jitted train_step for a fixed (bucketed) batch geometry.
+
+    num_frames_out: supervision frames per sequence (shared across the
+    bucket); default infers from T and subsampling on first call.
+    """
+    objf_fn = make_chain_objf_with_post(num_graph, den, chain_opts)
+    hyper = layer_hyperparams(model)
+    dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32
+    sgd_cfg = SGDConfig(learning_rate=config.learning_rate,
+                        momentum=config.momentum,
+                        max_param_change=config.max_param_change)
+
+    def step(params, net_state, opt_state, scale_state: LossScaleState,
+             batch: Dict[str, jnp.ndarray], rng, lr=None):
+        feats = batch["features"]            # [B, T_in, D]
+        ivecs = batch.get("ivectors")        # [B, ivec]
+        weights = batch.get("weights")       # [B]
+        B, T_in, _ = feats.shape
+        stride = config.frame_subsampling_factor
+        n_out = num_frames_out or (T_in - config.left_context + stride - 1) // stride
+        if weights is None:
+            weights = jnp.ones(B, jnp.float32)
+
+        def loss_fn(p):
+            outs, new_state = forward(model, p, net_state, feats, ivecs,
+                                      train=True, rng=rng, compute_dtype=dtype)
+            chain_head = model.chain_output().name
+            out = subsample_output(outs[chain_head].astype(jnp.float32),
+                                   stride, config.left_context, n_out)
+            objf, result, num_post = objf_fn(out, weights)
+            loss = -objf
+            xent_objf = jnp.zeros((), jnp.float32)
+            xent_layer = model.xent_output()
+            if config.xent_regularize > 0 and xent_layer is not None:
+                xent = subsample_output(outs[xent_layer.name].astype(jnp.float32),
+                                        stride, config.left_context, n_out)
+                xent_objf = jnp.sum(weights[:, None, None] * num_post * xent)
+                loss = loss - config.xent_regularize * xent_objf
+            if config.use_loss_scaling:
+                loss = loss * scale_state.scale
+            return loss, (result, new_state, xent_objf)
+
+        (loss, (result, new_state, xent_objf)), grads = (
+            jax.value_and_grad(loss_fn, has_aux=True)(params))
+
+        if config.use_loss_scaling:
+            loss = loss / scale_state.scale
+            grads = unscale_grads(grads, scale_state)
+        finite = grads_finite(grads)
+        new_scale_state, skip = update_loss_scale(scale_state, finite)
+        if not config.use_loss_scaling:
+            skip = ~finite  # still guard against NaN batches
+
+        grad_norm = jnp.sqrt(sum(
+            jnp.sum(g.astype(jnp.float32) ** 2)
+            for g in jax.tree_util.tree_leaves(grads)))
+
+        mask = trainable_mask(model, params)
+        new_params, new_opt_state, stats = sgd_update(
+            params, grads, opt_state, sgd_cfg, lr=lr, hyper=hyper,
+            trainable=mask, skip=skip)
+
+        out = TrainStepOutput(
+            loss=loss,
+            objf_per_frame=result.objf_per_frame,
+            num_logprob=result.num_logprob.mean(),
+            den_logprob=result.den_logprob.mean(),
+            xent_objf=xent_objf,
+            param_change_norm=stats["param_change_norm"],
+            grad_norm=grad_norm,
+            loss_scale=new_scale_state.scale,
+            skipped=skip,
+            ok=result.ok.all(),
+        )
+        return new_params, new_state, new_opt_state, new_scale_state, out
+
+    if not jit:
+        return step  # pure function, for re-jitting with explicit shardings
+    donate_argnums = (0, 2) if donate else ()
+    return jax.jit(step, donate_argnums=donate_argnums)
+
+
+def init_train_state(model: Model, key, config: TrainConfig = TrainConfig()):
+    """(params, net_state, opt_state, loss_scale_state)."""
+    from kaldi_fp16_tpu.models.network import init_params
+    params, net_state = init_params(model, key)
+    opt_state = init_sgd_state(params)
+    scale_state = init_loss_scale() if config.use_loss_scaling else init_loss_scale(1.0)
+    return params, net_state, opt_state, scale_state

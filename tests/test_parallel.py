@@ -1,0 +1,152 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh.
+
+Verifies: mesh construction, dp-sharded training matches the single-device
+result, tp-sharded wide heads produce the same numbers, and the dp+tp
+combined step runs (the multichip dryrun path)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from kaldi_fp16_tpu.chain.graph import (
+    DenominatorGraph, build_numerator_batch, make_simple_den_fst,
+)
+from kaldi_fp16_tpu.chain.denominator import DenominatorComputation
+from kaldi_fp16_tpu.chain.objective import ChainTrainingOpts
+from kaldi_fp16_tpu.io.sparse import fst_to_csr
+from kaldi_fp16_tpu.models.model import build_model_from_string
+from kaldi_fp16_tpu.parallel.mesh import MeshConfig, make_mesh
+from kaldi_fp16_tpu.parallel.data_parallel import (
+    make_sharded_train_step, param_shardings, shard_batch,
+)
+from kaldi_fp16_tpu.training.train_step import (
+    TrainConfig, init_train_state, make_train_step,
+)
+from tests.test_chain_numerator import random_fst
+
+NUM_PDFS = 8
+T_IN, T_OUT, STRIDE = 12, 4, 3
+B = 8  # divisible by the data axis
+
+XCONFIG = f"""\
+input name=input dim=16
+linear-component name=linear1 dim=32
+batchnorm-component name=bn1
+tdnnf-layer name=tdnnf1 dim=32 bottleneck-dim=16 time-stride=1 bypass-scale=0.66
+prefinal-layer name=prefinal small-dim=16 big-dim=32
+output-layer name=output dim={NUM_PDFS} include-log-softmax=false
+"""
+
+
+def _setup():
+    rng = np.random.default_rng(21)
+    model = build_model_from_string(XCONFIG)
+    den_graph = DenominatorGraph.from_fst(
+        make_simple_den_fst(num_pdfs=NUM_PDFS, num_states=5, seed=9), NUM_PDFS)
+    den = DenominatorComputation(den_graph, leaky=1e-4)
+    csrs = [fst_to_csr(random_fst(rng, num_pdfs=NUM_PDFS, T=T_OUT,
+                                  num_states=2 * (T_OUT + 1)))
+            for _ in range(B)]
+    num_graph = build_numerator_batch(csrs)
+    batch = {
+        "features": jnp.asarray(rng.normal(size=(B, T_IN, 16)).astype(np.float32)),
+        "weights": jnp.ones(B, jnp.float32),
+    }
+    config = TrainConfig(learning_rate=0.01, momentum=0.5,
+                         frame_subsampling_factor=STRIDE,
+                         compute_dtype="float32")
+    return model, den, num_graph, batch, config
+
+
+def test_devices_available():
+    assert len(jax.devices()) == 8, (
+        "conftest must provide 8 virtual CPU devices")
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+    assert mesh.shape == {"data": 4, "model": 2}
+    mesh_dp = make_mesh()
+    assert mesh_dp.shape["data"] == 8
+    with pytest.raises(ValueError):
+        make_mesh(MeshConfig(data=16, model=1))
+
+
+@pytest.mark.parametrize("mesh_cfg", [MeshConfig(data=4, model=1),
+                                      MeshConfig(data=2, model=2),
+                                      MeshConfig(data=1, model=4)])
+def test_sharded_matches_single_device(mesh_cfg):
+    """dp/tp sharded training must reproduce the single-device numbers."""
+    model, den, num_graph, batch, config = _setup()
+    opts = ChainTrainingOpts()
+
+    # single-device baseline
+    step1 = make_train_step(model, den, num_graph, opts, config,
+                            num_frames_out=T_OUT, donate=False)
+    params, net_state, opt_state, scale_state = init_train_state(
+        model, jax.random.PRNGKey(0), config)
+    rng = jax.random.PRNGKey(5)
+    p1, ns1, os1, ss1, out1 = step1(params, net_state, opt_state, scale_state,
+                                    batch, rng)
+
+    # sharded
+    mesh = make_mesh(mesh_cfg)
+    pure = make_train_step(model, den, num_graph, opts, config,
+                           num_frames_out=T_OUT, donate=False, jit=False)
+    params2, net_state2, opt_state2, scale_state2 = init_train_state(
+        model, jax.random.PRNGKey(0), config)
+    sbatch = shard_batch(batch, mesh)
+    sstep, placed = make_sharded_train_step(
+        pure, mesh, model, params2, net_state2, opt_state2, scale_state2,
+        sbatch)
+    p2, ns2, os2, ss2, out2 = sstep(*placed, sbatch, rng)
+
+    np.testing.assert_allclose(float(out1.loss), float(out2.loss),
+                               rtol=1e-5)
+    for lname in p1:
+        for pname in p1[lname]:
+            np.testing.assert_allclose(
+                np.asarray(p1[lname][pname]), np.asarray(p2[lname][pname]),
+                rtol=2e-5, atol=1e-6,
+                err_msg=f"{lname}/{pname} mismatch under {mesh_cfg}")
+    # bn stats replicated and equal
+    np.testing.assert_allclose(np.asarray(ns1["bn1"]["mean"]),
+                               np.asarray(ns2["bn1"]["mean"]),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_param_sharding_rules():
+    model, den, num_graph, batch, config = _setup()
+    params, *_ = init_train_state(model, jax.random.PRNGKey(0), config)
+    mesh = make_mesh(MeshConfig(data=2, model=2))
+    rules = param_shardings(model, mesh, params)
+    assert rules["output"]["w"].spec == P(None, "model")
+    assert rules["output"]["b"].spec == P("model")
+    assert rules["prefinal"]["big_w"].spec == P(None, "model")
+    assert rules["prefinal"]["small_w"].spec == P("model", None)
+    assert rules["linear1"]["w"].spec == P()
+
+
+def test_multi_step_stability():
+    """Several sharded steps in a row keep improving the objective."""
+    model, den, num_graph, batch, config = _setup()
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+    pure = make_train_step(model, den, num_graph, ChainTrainingOpts(), config,
+                           num_frames_out=T_OUT, donate=False, jit=False)
+    params, net_state, opt_state, scale_state = init_train_state(
+        model, jax.random.PRNGKey(0), config)
+    sbatch = shard_batch(batch, mesh)
+    sstep, placed = make_sharded_train_step(
+        pure, mesh, model, params, net_state, opt_state, scale_state, sbatch)
+    params, net_state, opt_state, scale_state = placed
+    losses = []
+    key = jax.random.PRNGKey(0)
+    for _ in range(6):
+        key, sub = jax.random.split(key)
+        params, net_state, opt_state, scale_state, out = sstep(
+            params, net_state, opt_state, scale_state, sbatch, sub)
+        losses.append(float(out.loss))
+    assert losses[-1] < losses[0], losses

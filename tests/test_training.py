@@ -1,0 +1,252 @@
+"""Training stack tests: SGD math, max-change clipping, loss scaling, and the
+end-to-end chain training loop (loss must decrease over 10 steps — the
+reference traintest assertion, cmd/traintest/main.go:34-162)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from kaldi_fp16_tpu.chain.graph import (
+    DenominatorGraph, build_numerator_batch, make_simple_den_fst,
+)
+from kaldi_fp16_tpu.chain.denominator import DenominatorComputation
+from kaldi_fp16_tpu.chain.objective import ChainTrainingOpts
+from kaldi_fp16_tpu.io.sparse import fst_to_csr
+from kaldi_fp16_tpu.models.model import build_model_from_string
+from kaldi_fp16_tpu.training.optimizer import SGDConfig, init_sgd_state, sgd_update
+from kaldi_fp16_tpu.training.loss_scale import (
+    init_loss_scale, update_loss_scale, grads_finite,
+)
+from kaldi_fp16_tpu.training.train_step import (
+    TrainConfig, init_train_state, make_train_step,
+)
+from tests.test_chain_numerator import random_fst
+
+
+class TestSGD:
+    def _simple(self):
+        params = {"l": {"w": jnp.ones((2, 2)), "b": jnp.zeros(2)}}
+        grads = {"l": {"w": jnp.full((2, 2), 0.1), "b": jnp.full(2, 0.2)}}
+        return params, grads
+
+    def test_plain_sgd(self):
+        params, grads = self._simple()
+        st = init_sgd_state(params)
+        cfg = SGDConfig(learning_rate=0.1, momentum=0.0,
+                        max_param_change=1e9, default_max_change=1e9)
+        new_params, new_st, _ = sgd_update(params, grads, st, cfg)
+        np.testing.assert_allclose(np.asarray(new_params["l"]["w"]),
+                                   1.0 - 0.1 * 0.1, rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(new_params["l"]["b"]),
+                                   -0.1 * 0.2, rtol=1e-6)
+        assert int(new_st["step"]) == 1
+
+    def test_momentum(self):
+        """v = mu*v + g; w -= lr*v  (ref: optimize.go:1-9)."""
+        params, grads = self._simple()
+        st = init_sgd_state(params)
+        cfg = SGDConfig(learning_rate=0.1, momentum=0.9,
+                        max_param_change=1e9, default_max_change=1e9)
+        p1, st1, _ = sgd_update(params, grads, st, cfg)
+        p2, st2, _ = sgd_update(p1, grads, st1, cfg)
+        # after 2 steps: v1 = g, v2 = 0.9 g + g = 1.9 g
+        # w = 1 - lr*g - lr*1.9g = 1 - 0.1*0.1*(1+1.9)
+        np.testing.assert_allclose(np.asarray(p2["l"]["w"]),
+                                   1.0 - 0.01 * 2.9, rtol=1e-5)
+
+    def test_global_max_change_clips(self):
+        params = {"l": {"w": jnp.zeros((10, 10))}}
+        grads = {"l": {"w": jnp.full((10, 10), 100.0)}}
+        st = init_sgd_state(params)
+        cfg = SGDConfig(learning_rate=1.0, momentum=0.0,
+                        max_param_change=0.5, default_max_change=1e9)
+        new_params, _, stats = sgd_update(params, grads, st, cfg)
+        norm = float(jnp.sqrt(jnp.sum(new_params["l"]["w"] ** 2)))
+        assert abs(norm - 0.5) < 1e-4
+        assert float(stats["global_clip_scale"]) < 1.0
+
+    def test_per_component_max_change(self):
+        params = {"a": {"w": jnp.zeros(4)}, "b": {"w": jnp.zeros(4)}}
+        grads = {"a": {"w": jnp.full(4, 100.0)}, "b": {"w": jnp.full(4, 1e-4)}}
+        st = init_sgd_state(params)
+        cfg = SGDConfig(learning_rate=1.0, max_param_change=1e9,
+                        default_max_change=0.25)
+        hyper = {"a": {"lr_factor": 1.0, "max_change": 0.25},
+                 "b": {"lr_factor": 1.0, "max_change": 0.25}}
+        new_params, _, _ = sgd_update(params, grads, st, cfg, hyper=hyper)
+        a_norm = float(jnp.linalg.norm(new_params["a"]["w"]))
+        b_norm = float(jnp.linalg.norm(new_params["b"]["w"]))
+        assert abs(a_norm - 0.25) < 1e-5   # clipped
+        assert b_norm < 1e-3               # not clipped
+
+    def test_lr_factor(self):
+        params = {"a": {"w": jnp.zeros(2)}, "b": {"w": jnp.zeros(2)}}
+        grads = {"a": {"w": jnp.ones(2)}, "b": {"w": jnp.ones(2)}}
+        st = init_sgd_state(params)
+        cfg = SGDConfig(learning_rate=0.1, max_param_change=1e9,
+                        default_max_change=1e9)
+        hyper = {"a": {"lr_factor": 0.5, "max_change": 0.0},
+                 "b": {"lr_factor": 1.0, "max_change": 0.0}}
+        new_params, _, _ = sgd_update(params, grads, st, cfg, hyper=hyper)
+        np.testing.assert_allclose(np.asarray(new_params["a"]["w"]), -0.05,
+                                   rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(new_params["b"]["w"]), -0.1,
+                                   rtol=1e-5)
+
+    def test_skip_freezes_everything(self):
+        params, grads = self._simple()
+        st = init_sgd_state(params)
+        cfg = SGDConfig(learning_rate=0.1)
+        new_params, new_st, _ = sgd_update(params, grads, st, cfg,
+                                           skip=jnp.asarray(True))
+        np.testing.assert_array_equal(np.asarray(new_params["l"]["w"]),
+                                      np.asarray(params["l"]["w"]))
+        np.testing.assert_array_equal(np.asarray(new_st["velocity"]["l"]["w"]),
+                                      0.0)
+        assert int(new_st["step"]) == 0
+
+    def test_trainable_mask(self):
+        params = {"idct": {"m": jnp.ones(3)}, "l": {"w": jnp.ones(3)}}
+        grads = {"idct": {"m": jnp.ones(3)}, "l": {"w": jnp.ones(3)}}
+        st = init_sgd_state(params)
+        cfg = SGDConfig(learning_rate=0.1, max_param_change=1e9,
+                        default_max_change=1e9)
+        mask = {"idct": {"m": False}, "l": {"w": True}}
+        new_params, _, _ = sgd_update(params, grads, st, cfg, trainable=mask)
+        np.testing.assert_array_equal(np.asarray(new_params["idct"]["m"]), 1.0)
+        assert float(new_params["l"]["w"][0]) < 1.0
+
+
+class TestLossScale:
+    def test_growth(self):
+        st = init_loss_scale(initial=2.0, growth_interval=2)
+        st, skip = update_loss_scale(st, jnp.asarray(True))
+        assert not bool(skip) and float(st.scale) == 2.0
+        st, _ = update_loss_scale(st, jnp.asarray(True))
+        assert float(st.scale) == 4.0       # grew after 2 good steps
+        assert int(st.good_steps) == 0
+
+    def test_backoff(self):
+        st = init_loss_scale(initial=1024.0)
+        st, skip = update_loss_scale(st, jnp.asarray(False))
+        assert bool(skip)
+        assert float(st.scale) == 512.0
+
+    def test_min_scale(self):
+        st = init_loss_scale(initial=1.0, min_scale=1.0)
+        st, _ = update_loss_scale(st, jnp.asarray(False))
+        assert float(st.scale) == 1.0
+
+    def test_grads_finite(self):
+        good = {"a": jnp.ones(3)}
+        bad = {"a": jnp.array([1.0, jnp.nan, 2.0])}
+        assert bool(grads_finite(good))
+        assert not bool(grads_finite(bad))
+
+
+NUM_PDFS = 8
+T_IN = 18      # input frames
+STRIDE = 3
+T_OUT = 6      # supervision frames
+B = 2
+
+XCONFIG = f"""\
+input name=input dim=20
+linear-component name=linear1 dim=64
+batchnorm-component name=bn1
+tdnnf-layer name=tdnnf1 dim=64 bottleneck-dim=32 time-stride=1 bypass-scale=0.66
+tdnnf-layer name=tdnnf2 dim=64 bottleneck-dim=32 time-stride=1 bypass-scale=0.66
+prefinal-layer name=prefinal small-dim=32 big-dim=64
+output-layer name=output dim={NUM_PDFS} include-log-softmax=false
+prefinal-layer name=prefinal-xent input=tdnnf2 small-dim=32 big-dim=64
+output-layer name=output-xent dim={NUM_PDFS}
+"""
+
+
+@pytest.fixture(scope="module")
+def training_setup():
+    rng = np.random.default_rng(11)
+    model = build_model_from_string(XCONFIG)
+    den_graph = DenominatorGraph.from_fst(
+        make_simple_den_fst(num_pdfs=NUM_PDFS, num_states=6, seed=5), NUM_PDFS)
+    den = DenominatorComputation(den_graph, leaky=1e-4)
+    csrs = [fst_to_csr(random_fst(rng, num_pdfs=NUM_PDFS, T=T_OUT,
+                                  num_states=2 * (T_OUT + 1)))
+            for _ in range(B)]
+    num_graph = build_numerator_batch(csrs)
+    batch = {
+        "features": jnp.asarray(rng.normal(size=(B, T_IN, 20)).astype(np.float32)),
+        "weights": jnp.ones(B, jnp.float32),
+    }
+    return model, den, num_graph, batch
+
+
+class TestTrainStep:
+    def test_loss_decreases_over_10_steps(self, training_setup):
+        model, den, num_graph, batch = training_setup
+        config = TrainConfig(learning_rate=0.02, momentum=0.5,
+                             frame_subsampling_factor=STRIDE, left_context=0,
+                             compute_dtype="float32")
+        step = make_train_step(model, den, num_graph,
+                               ChainTrainingOpts(), config,
+                               num_frames_out=T_OUT, donate=False)
+        params, net_state, opt_state, scale_state = init_train_state(
+            model, jax.random.PRNGKey(0), config)
+        losses = []
+        key = jax.random.PRNGKey(1)
+        for i in range(10):
+            key, sub = jax.random.split(key)
+            params, net_state, opt_state, scale_state, out = step(
+                params, net_state, opt_state, scale_state, batch, sub)
+            losses.append(float(out.loss))
+            assert bool(out.ok), f"step {i}: chain NaN containment fired"
+            assert not bool(out.skipped)
+        assert losses[-1] < losses[0], losses
+        # loss must drop substantially on an overfittable toy batch
+        assert losses[-1] < 0.7 * losses[0], losses
+
+    def test_weights_change(self, training_setup):
+        model, den, num_graph, batch = training_setup
+        config = TrainConfig(learning_rate=0.01,
+                             frame_subsampling_factor=STRIDE,
+                             compute_dtype="float32")
+        step = make_train_step(model, den, num_graph, ChainTrainingOpts(),
+                               config, num_frames_out=T_OUT, donate=False)
+        params, net_state, opt_state, scale_state = init_train_state(
+            model, jax.random.PRNGKey(0), config)
+        w0 = np.asarray(params["linear1"]["w"]).copy()
+        params, *_ = step(params, net_state, opt_state, scale_state, batch,
+                          jax.random.PRNGKey(2))
+        assert np.abs(np.asarray(params["linear1"]["w"]) - w0).max() > 0
+
+    def test_xent_head_trains(self, training_setup):
+        model, den, num_graph, batch = training_setup
+        config = TrainConfig(learning_rate=0.01, xent_regularize=0.1,
+                             frame_subsampling_factor=STRIDE,
+                             compute_dtype="float32")
+        step = make_train_step(model, den, num_graph, ChainTrainingOpts(),
+                               config, num_frames_out=T_OUT, donate=False)
+        params, net_state, opt_state, scale_state = init_train_state(
+            model, jax.random.PRNGKey(0), config)
+        w0 = np.asarray(params["output-xent"]["w"]).copy()
+        params, _, _, _, out = step(params, net_state, opt_state, scale_state,
+                                    batch, jax.random.PRNGKey(3))
+        assert float(out.xent_objf) != 0.0
+        assert np.abs(np.asarray(params["output-xent"]["w"]) - w0).max() > 0
+
+    def test_bf16_compute_runs(self, training_setup):
+        model, den, num_graph, batch = training_setup
+        config = TrainConfig(learning_rate=0.01,
+                             frame_subsampling_factor=STRIDE,
+                             compute_dtype="bfloat16")
+        step = make_train_step(model, den, num_graph, ChainTrainingOpts(),
+                               config, num_frames_out=T_OUT, donate=False)
+        params, net_state, opt_state, scale_state = init_train_state(
+            model, jax.random.PRNGKey(0), config)
+        _, _, _, _, out = step(params, net_state, opt_state, scale_state,
+                               batch, jax.random.PRNGKey(4))
+        assert np.isfinite(float(out.loss))
+        # master params stay fp32
+        assert params["linear1"]["w"].dtype == jnp.float32
