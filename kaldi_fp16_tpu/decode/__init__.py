@@ -1,0 +1,11 @@
+"""WFST Viterbi beam decoding + lattices + WER.
+
+NET-NEW capability: the reference implements no decoder at all
+(SURVEY.md §6: "WER (no decoder exists in the reference)"); this supplies
+the inference half of the hybrid-ASR pipeline: acoustic posteriors ->
+HCLG beam search -> word sequence -> WER.
+"""
+
+from kaldi_fp16_tpu.decode.viterbi import DecodeOptions, ViterbiDecoder, DecodeResult
+from kaldi_fp16_tpu.decode.graph import DecodingGraph
+from kaldi_fp16_tpu.decode.wer import wer, levenshtein

@@ -33,6 +33,11 @@ class FstArc:
     label: int          # ilabel (== olabel for acceptors); pdf-id + 1 for chain FSTs
     weight: float       # tropical: -log(prob)
     next_state: int
+    olabel: int = -1    # output label for transducers (HCLG); -1 => acceptor
+
+    def __post_init__(self):
+        if self.olabel < 0:
+            self.olabel = self.label
 
 
 @dataclass
@@ -128,10 +133,10 @@ def _read_vector(r: BinaryReader, start: int, num_states: int,
         st = FstState(final=final)
         for _ in range(narcs):
             ilabel = r.read_int32()
-            _olabel = r.read_int32()
+            olabel = r.read_int32()
             weight = r.read_float32()
             next_state = r.read_int32()
-            st.arcs.append(FstArc(ilabel, weight, next_state))
+            st.arcs.append(FstArc(ilabel, weight, next_state, olabel=olabel))
         states.append(st)
     return Fst(start=start, states=states, properties=properties)
 
@@ -177,7 +182,7 @@ def write_fst_vector(w: BinaryWriter, fst: Fst) -> None:
         w.write_int64(len(st.arcs))
         for a in st.arcs:
             w.write_int32(a.label)
-            w.write_int32(a.label)  # olabel == ilabel (acceptor)
+            w.write_int32(a.olabel)
             w.write_float32(a.weight)
             w.write_int32(a.next_state)
 
