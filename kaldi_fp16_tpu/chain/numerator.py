@@ -36,13 +36,6 @@ def _segment_logsumexp(vals: jnp.ndarray, segids: jnp.ndarray, num_segments: int
     return jnp.where(seg_sum > 0, seg_max + jnp.log(seg_sum), LOG_ZERO)
 
 
-def _arc_scores(graph: NumeratorGraphBatch, nnet_t: jnp.ndarray) -> jnp.ndarray:
-    """Per-arc score nnet[t, pdf] + log_weight, masked: [B, A]."""
-    pdf_score = jnp.take_along_axis(nnet_t, graph.arc_pdf, axis=1)
-    score = pdf_score + graph.arc_logw
-    return jnp.where(graph.arc_mask > 0, score, LOG_ZERO)
-
-
 @functools.partial(jax.jit, static_argnames=("num_states",))
 def _num_forward_backward(arc_src, arc_dst, arc_pdf, arc_logw, arc_mask,
                           start, final_logw, nnet_output, num_states: int):
@@ -50,28 +43,26 @@ def _num_forward_backward(arc_src, arc_dst, arc_pdf, arc_logw, arc_mask,
     B, T, P = nnet_output.shape
     S = num_states
 
-    class G:  # lightweight view to reuse _arc_scores
-        pass
-    g = G()
-    g.arc_pdf, g.arc_logw, g.arc_mask = arc_pdf, arc_logw, arc_mask
-
     seg_lse = jax.vmap(_segment_logsumexp, in_axes=(0, 0, None))
 
-    nnet_t_first = nnet_output[:, 0, :]
-    del nnet_t_first
+    # hoisted per-arc scores for all frames: [T, B, A]
+    # score[b, t, a] = nnet[b, t, pdf[b, a]] + logw[b, a], masked
+    pdf_scores = jax.vmap(lambda x_bt, pdf_b: x_bt[:, pdf_b])(
+        nnet_output, arc_pdf)                                  # [B, T, A]
+    scores = pdf_scores + arc_logw[:, None, :]
+    scores = jnp.where(arc_mask[:, None, :] > 0, scores, LOG_ZERO)
+    scores = jnp.swapaxes(scores, 0, 1)                        # [T, B, A]
 
     alpha0 = jnp.full((B, S), LOG_ZERO, dtype=jnp.float32)
     alpha0 = alpha0.at[jnp.arange(B), start].set(0.0)
 
-    def fwd_step(alpha, nnet_t):
-        score = _arc_scores(g, nnet_t)                         # [B, A]
+    def fwd_step(alpha, score_t):
         src_alpha = jnp.take_along_axis(alpha, arc_src, axis=1)
-        vals = jnp.where(src_alpha > LOG_ZERO, src_alpha + score, LOG_ZERO)
+        vals = jnp.where(src_alpha > LOG_ZERO, src_alpha + score_t, LOG_ZERO)
         alpha_next = seg_lse(vals, arc_dst, S)
         return alpha_next, alpha
 
-    alpha_T, alphas = jax.lax.scan(fwd_step, alpha0,
-                                   jnp.swapaxes(nnet_output, 0, 1))
+    alpha_T, alphas = jax.lax.scan(fwd_step, alpha0, scores)
     # alphas: [T, B, S] = alpha[0..T-1]; alpha_T = alpha[T]
 
     total = jax.vmap(lambda a, f: jax.scipy.special.logsumexp(
@@ -81,16 +72,14 @@ def _num_forward_backward(arc_src, arc_dst, arc_pdf, arc_logw, arc_mask,
     betaT = jnp.where(final_logw > LOG_ZERO, final_logw, LOG_ZERO)
 
     def bwd_step(beta_next, inp):
-        nnet_t, alpha_t = inp
-        score = _arc_scores(g, nnet_t)                         # [B, A]
+        score_t, alpha_t = inp
         dst_beta = jnp.take_along_axis(beta_next, arc_dst, axis=1)
-        vals = jnp.where(dst_beta > LOG_ZERO, dst_beta + score, LOG_ZERO)
+        vals = jnp.where(dst_beta > LOG_ZERO, dst_beta + score_t, LOG_ZERO)
         beta_t = seg_lse(vals, arc_src, S)
         # posteriors for frame t
         src_alpha = jnp.take_along_axis(alpha_t, arc_src, axis=1)
-        lp = jnp.where((src_alpha > LOG_ZERO) & (dst_beta > LOG_ZERO)
-                       & (arc_mask > 0),
-                       src_alpha + score + dst_beta - total[:, None],
+        lp = jnp.where((src_alpha > LOG_ZERO) & (dst_beta > LOG_ZERO),
+                       src_alpha + score_t + dst_beta - total[:, None],
                        -jnp.inf)
         lp = jnp.minimum(lp, 0.0)                              # clamp (chain.cu:311)
         arc_post = jnp.where(jnp.isfinite(lp), jnp.exp(lp), 0.0)
@@ -99,9 +88,7 @@ def _num_forward_backward(arc_src, arc_dst, arc_pdf, arc_logw, arc_mask,
         )(arc_post, arc_pdf)                                   # [B, P]
         return beta_t, post_t
 
-    _, posts = jax.lax.scan(bwd_step, betaT,
-                            (jnp.swapaxes(nnet_output, 0, 1), alphas),
-                            reverse=True)
+    _, posts = jax.lax.scan(bwd_step, betaT, (scores, alphas), reverse=True)
     posteriors = jnp.swapaxes(posts, 0, 1)                     # [B, T, P]
     ok = total > LOG_ZERO
     posteriors = jnp.where(ok[:, None, None], posteriors, 0.0)

@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""chainbench — benchmark the chain numerator/denominator kernels at the
+reference's production scale (ref: cmd/chainbench; BASELINE.md: chain loss
+for a batch of 8 sequences = ~91 ms on the RTX 4090).
+
+Runs on whatever backend JAX selects (the real TPU under the driver).
+
+Usage: python tools/chainbench.py [--batch 8] [--frames 50] [--pdfs 3080]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--frames", type=int, default=50)  # post-subsampling
+    ap.add_argument("--pdfs", type=int, default=3080)
+    ap.add_argument("--den-states", type=int, default=7052)
+    ap.add_argument("--den-arcs", type=int, default=113380)
+    ap.add_argument("--num-states", type=int, default=200)
+    ap.add_argument("--num-arcs", type=int, default=256)
+    ap.add_argument("--iters", type=int, default=20)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from kaldi_fp16_tpu.chain.graph import (
+        DenominatorGraph, NumeratorGraphBatch, LOG_ZERO,
+    )
+    from kaldi_fp16_tpu.chain.denominator import DenominatorComputation
+    from kaldi_fp16_tpu.chain.numerator import numerator_forward_backward
+
+    rng = np.random.default_rng(0)
+    B, T, P = args.batch, args.frames, args.pdfs
+    S, A = args.den_states, args.den_arcs
+
+    # synthetic denominator graph at den.fst scale (7052 states, 113380 arcs)
+    dst = np.sort(rng.integers(0, S, size=A).astype(np.int32))
+    graph = DenominatorGraph(
+        src=rng.integers(0, S, size=A).astype(np.int32),
+        dst=dst,
+        pdf=rng.integers(0, P, size=A).astype(np.int32),
+        prob=rng.uniform(0.1, 1.0, size=A).astype(np.float32),
+        initial=(lambda v: v / v.sum())(rng.uniform(0, 1, S).astype(np.float32)),
+        num_states=S, num_pdfs=P, start_state=0)
+    den = DenominatorComputation(graph, leaky=1e-5)
+
+    # synthetic numerator batch at typical scale (~200 states/arcs per utt)
+    Sn, An = args.num_states, args.num_arcs
+    num_graph = NumeratorGraphBatch(
+        arc_src=np.tile(np.arange(An, dtype=np.int32) % (Sn - 1), (B, 1)),
+        arc_dst=np.tile(np.arange(An, dtype=np.int32) % (Sn - 1) + 1, (B, 1)),
+        arc_pdf=rng.integers(0, P, size=(B, An)).astype(np.int32),
+        arc_logw=np.zeros((B, An), np.float32),
+        arc_mask=np.ones((B, An), np.float32),
+        start=np.zeros(B, np.int32),
+        final_logw=np.where(np.arange(Sn)[None, :] == Sn - 1, 0.0,
+                            LOG_ZERO).astype(np.float32).repeat(B, 0),
+        num_states=Sn, num_arcs=An)
+
+    out = jnp.asarray(rng.normal(size=(B, T, P)).astype(np.float32) * 0.1)
+
+    @jax.jit
+    def den_fb(x):
+        return den.forward_backward(x)
+
+    @jax.jit
+    def num_fb(x):
+        return numerator_forward_backward(num_graph, x)
+
+    results = {}
+    for name, fn in [("den_fwd_bwd", den_fb), ("num_fwd_bwd", num_fb)]:
+        r = fn(out)
+        jax.tree_util.tree_map(lambda x: x.block_until_ready(), r)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            r = fn(out)
+        jax.tree_util.tree_map(lambda x: x.block_until_ready(), r)
+        ms = (time.perf_counter() - t0) / args.iters * 1000
+        results[name] = round(ms, 2)
+
+    total = results["den_fwd_bwd"] + results["num_fwd_bwd"]
+    print(json.dumps({
+        "metric": "chain_loss_batch8_ms",
+        "value": round(total, 2),
+        "unit": "ms",
+        "vs_baseline": round(91.0 / total, 3),  # >1 = faster than reference
+        "detail": results,
+        "config": {"B": B, "T": T, "P": P, "den_states": S, "den_arcs": A},
+    }))
+
+
+if __name__ == "__main__":
+    main()
