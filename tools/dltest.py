@@ -1,0 +1,58 @@
+#!/usr/bin/env python
+"""dltest — DataLoader over ark files with global stats
+(ref: cmd/dltest/main.go + cmd/gputest bf16 precision stats).
+
+Usage: python tools/dltest.py 'egs/cegs.*.ark' [--batch 8] [--label-dim 0]
+"""
+
+import argparse
+import time
+
+import _common
+_common.force_cpu()
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("pattern")
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--label-dim", type=int, default=0)
+    ap.add_argument("--feat-dim", type=int, default=40)
+    ap.add_argument("--ivector-dim", type=int, default=100)
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+    from kaldi_fp16_tpu.io.dataloader import DataLoader, DataLoaderConfig
+
+    dl = DataLoader(args.pattern,
+                    DataLoaderConfig(batch_size=args.batch,
+                                     label_dim=args.label_dim,
+                                     feat_dim=args.feat_dim,
+                                     ivector_dim=args.ivector_dim))
+    t0 = time.perf_counter()
+    n_batches = 0
+    total_frames = 0
+    bf16_max_err = 0.0
+    fmin, fmax = np.inf, -np.inf
+    for batch in dl:
+        n_batches += 1
+        total_frames += batch.features.shape[0] * batch.features.shape[1]
+        fmin = min(fmin, float(batch.features.min()))
+        fmax = max(fmax, float(batch.features.max()))
+        # bf16 round-trip precision (the mixed-precision ingestion path;
+        # analog of the reference's fp16 conversion stats, cmd/dltest)
+        bf = jnp.asarray(batch.features).astype(jnp.bfloat16)
+        err = np.abs(np.asarray(bf, np.float32) - batch.features).max()
+        bf16_max_err = max(bf16_max_err, float(err))
+    dt = time.perf_counter() - t0
+    print(dl.summary())
+    print(f"batches={n_batches} frames={total_frames} "
+          f"({total_frames / max(dt, 1e-9):,.0f} frames/s parse+assemble)")
+    print(f"feature range [{fmin:.3f}, {fmax:.3f}], "
+          f"bf16 round-trip max |err| = {bf16_max_err:.3e}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""traintest — end-to-end training smoke + throughput benchmark
+(ref: cmd/traintest/main.go: loss must decrease over N steps).
+
+Trains the flagship (or a given) xconfig on synthetic cegs data and reports
+steps/s, frames/s and audio-seconds/s (frames at the standard 100 fps).
+
+Usage: python tools/traintest.py [--egs-dir DIR] [--steps 20] [--xconfig PATH]
+       (generates synthetic data into a temp dir when --egs-dir is omitted)
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+import _common  # noqa: F401
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--egs-dir")
+    ap.add_argument("--xconfig")
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--pdfs", type=int, default=48)
+    ap.add_argument("--lr", type=float, default=0.01)
+    ap.add_argument("--bench-json", action="store_true",
+                    help="emit one benchmark JSON line at the end")
+    args = ap.parse_args()
+
+    egs_dir = args.egs_dir
+    if egs_dir is None:
+        egs_dir = tempfile.mkdtemp(prefix="egs_")
+        subprocess.run([sys.executable,
+                        os.path.join(os.path.dirname(__file__),
+                                     "make_synthetic_egs.py"),
+                        egs_dir, "--files", "2", "--per-file",
+                        str(args.batch * 4), "--pdfs", str(args.pdfs)],
+                       check=True)
+
+    import jax
+    from kaldi_fp16_tpu.chain.graph import DenominatorGraph
+    from kaldi_fp16_tpu.chain.denominator import DenominatorComputation
+    from kaldi_fp16_tpu.chain.objective import ChainTrainingOpts
+    from kaldi_fp16_tpu.io.dataloader import DataLoader, DataLoaderConfig
+    from kaldi_fp16_tpu.io.fst import read_fst_file
+    from kaldi_fp16_tpu.models.model import build_model, build_model_from_string
+    from kaldi_fp16_tpu.training.train_step import TrainConfig
+    from kaldi_fp16_tpu.training.trainer import Trainer
+
+    if args.xconfig:
+        model = build_model(args.xconfig)
+    else:
+        model = build_model_from_string(f"""\
+input name=ivector dim=100
+input name=input dim=40
+linear-component name=linear1 input=Append(input, ReplaceIndex(ivector, t, 0)) dim=256
+batchnorm-component name=bn1
+tdnnf-layer name=tdnnf1 dim=256 bottleneck-dim=64 time-stride=1 bypass-scale=0.66
+tdnnf-layer name=tdnnf2 dim=256 bottleneck-dim=64 time-stride=3 bypass-scale=0.66
+tdnnf-layer name=tdnnf3 dim=256 bottleneck-dim=64 time-stride=3 bypass-scale=0.66
+prefinal-layer name=prefinal small-dim=64 big-dim=256
+output-layer name=output dim={args.pdfs} include-log-softmax=false
+""")
+    print(model.summary())
+
+    den_fst = read_fst_file(os.path.join(egs_dir, "den.fst"))
+    den_graph = DenominatorGraph.from_fst(den_fst, args.pdfs)
+    den = DenominatorComputation(den_graph, leaky=1e-5)
+
+    config = TrainConfig(learning_rate=args.lr, momentum=0.5,
+                         frame_subsampling_factor=3)
+    trainer = Trainer(model, den, config, ChainTrainingOpts(),
+                      fst_pad_states=64, fst_pad_arcs=128)
+
+    losses = []
+    frames = 0
+    t_start = None
+    steps = 0
+    epoch = 0
+    while steps < args.steps:
+        epoch += 1
+        dl = DataLoader(os.path.join(egs_dir, "cegs.*.ark"),
+                        DataLoaderConfig(batch_size=args.batch,
+                                         label_dim=args.pdfs))
+        for batch in dl:
+            out = trainer.train_batch(batch)
+            losses.append(float(out.loss))
+            steps += 1
+            if steps == 2:
+                t_start = time.perf_counter()   # skip compile steps
+                frames = 0
+            frames += batch.batch_size * batch.num_input_frames
+            print(f"step {steps}: loss={losses[-1]:.4f} "
+                  f"objf/frame={float(out.objf_per_frame):.4f} "
+                  f"ok={bool(out.ok)}")
+            if steps >= args.steps:
+                break
+
+    wall = time.perf_counter() - t_start if t_start else 1.0
+    fps = frames / wall
+    audio_sec_per_s = fps / 100.0
+    improved = losses[-1] < losses[0]
+    print(f"\nloss {losses[0]:.4f} -> {losses[-1]:.4f} "
+          f"({'improved' if improved else 'NOT improved'})")
+    print(f"throughput: {fps:,.0f} frames/s = {audio_sec_per_s:,.1f} audio-sec/s/chip")
+
+    if args.bench_json:
+        print(json.dumps({
+            "metric": "train_audio_sec_per_s_per_chip",
+            "value": round(audio_sec_per_s, 1),
+            "unit": "audio-sec/s",
+            "vs_baseline": None,
+        }))
+    sys.exit(0 if improved else 1)
+
+
+if __name__ == "__main__":
+    main()
