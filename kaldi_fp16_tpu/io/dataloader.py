@@ -60,9 +60,11 @@ def shard_files(files: List[str], process_index: int, process_count: int
 
 class EgsIterator:
     """Stream examples across multiple ark files with auto-advance
-    (ref: loader.go:22-127)."""
+    (ref: loader.go:22-127).  Uses the native C++ parser when built
+    (io/native.py), falling back to the pure-Python reader."""
 
-    def __init__(self, pattern_or_files, shuffle: bool = False, seed: int = 0):
+    def __init__(self, pattern_or_files, shuffle: bool = False, seed: int = 0,
+                 use_native: bool = True):
         if isinstance(pattern_or_files, str):
             files = sorted(globlib.glob(pattern_or_files))
         else:
@@ -74,9 +76,16 @@ class EgsIterator:
             files = files[:]
             rng.shuffle(files)
         self.files = files
+        self.use_native = use_native
         self._file_idx = 0
         self._reader: Optional[EgsReader] = None
         self.files_done = 0
+
+    def _open(self, path: str):
+        if self.use_native:
+            from kaldi_fp16_tpu.io.native import best_reader
+            return best_reader(path)
+        return EgsReader(path)
 
     def __iter__(self) -> Iterator[Example]:
         return self
@@ -87,8 +96,8 @@ class EgsIterator:
                 if self._file_idx >= len(self.files):
                     raise StopIteration
                 try:
-                    self._reader = EgsReader(self.files[self._file_idx])
-                except (OSError, ValueError):
+                    self._reader = self._open(self.files[self._file_idx])
+                except (OSError, ValueError, RuntimeError):
                     self._file_idx += 1  # skip unreadable files (ref: loader.go)
                     continue
             try:

@@ -1,0 +1,205 @@
+"""ctypes binding to the native cegs parser (cpp/libcegs_parser.so).
+
+The native path is the production data-ingestion route (the reference's
+Go parser analog); `NativeEgsReader` mirrors `EgsReader`'s interface and
+produces identical `Example` objects.  `best_reader(path)` picks native
+when the shared library is built and the file is not gzip-compressed,
+falling back to the pure-Python reader otherwise.
+
+Build: `make -C cpp` (no external dependencies).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import List, Optional
+
+import numpy as np
+
+from kaldi_fp16_tpu.io.egs import Example, Index, IoBlock, Supervision
+from kaldi_fp16_tpu.io.fst import Fst, FstArc, FstState
+
+_LIB_PATHS = [
+    os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), "cpp", "build", "libcegs_parser.so"),
+]
+
+_lib = None
+_load_failed = False
+
+
+def _load_lib():
+    global _lib, _load_failed
+    if _lib is not None or _load_failed:
+        return _lib
+    for path in _LIB_PATHS:
+        if os.path.exists(path):
+            try:
+                lib = ctypes.CDLL(path)
+            except OSError:
+                continue
+            _configure(lib)
+            _lib = lib
+            return _lib
+    _load_failed = True
+    return None
+
+
+def _configure(lib):
+    c = ctypes
+    lib.cegs_open.restype = c.c_void_p
+    lib.cegs_open.argtypes = [c.c_char_p]
+    lib.cegs_close.argtypes = [c.c_void_p]
+    lib.cegs_last_error.restype = c.c_char_p
+    lib.cegs_last_error.argtypes = [c.c_void_p]
+    lib.cegs_next.restype = c.c_int
+    lib.cegs_next.argtypes = [c.c_void_p]
+    for name, res in [
+        ("cegs_key", c.c_char_p), ("cegs_num_inputs", c.c_int),
+        ("cegs_sup_weight", c.c_float), ("cegs_sup_num_sequences", c.c_int),
+        ("cegs_sup_frames_per_seq", c.c_int), ("cegs_sup_label_dim", c.c_int),
+        ("cegs_sup_end2end", c.c_int), ("cegs_sup_num_indexes", c.c_int),
+        ("cegs_sup_indexes", c.POINTER(c.c_int32)),
+        ("cegs_sup_num_deriv_weights", c.c_int),
+        ("cegs_sup_deriv_weights", c.POINTER(c.c_float)),
+        ("cegs_fst_num_states", c.c_int), ("cegs_fst_start", c.c_int),
+        ("cegs_fst_num_arcs", c.c_int),
+        ("cegs_fst_arc_src", c.POINTER(c.c_int32)),
+        ("cegs_fst_arc_dst", c.POINTER(c.c_int32)),
+        ("cegs_fst_arc_label", c.POINTER(c.c_int32)),
+        ("cegs_fst_arc_weight", c.POINTER(c.c_float)),
+        ("cegs_fst_num_finals", c.c_int),
+        ("cegs_fst_final_states", c.POINTER(c.c_int32)),
+        ("cegs_fst_final_weights", c.POINTER(c.c_float)),
+    ]:
+        fn = getattr(lib, name)
+        fn.restype = res
+        fn.argtypes = [c.c_void_p]
+    for name, res in [
+        ("cegs_input_name", c.c_char_p), ("cegs_input_rows", c.c_int),
+        ("cegs_input_cols", c.c_int),
+        ("cegs_input_data", c.POINTER(c.c_float)),
+        ("cegs_input_num_indexes", c.c_int),
+        ("cegs_input_indexes", c.POINTER(c.c_int32)),
+    ]:
+        fn = getattr(lib, name)
+        fn.restype = res
+        fn.argtypes = [c.c_void_p, c.c_int]
+
+
+def native_available() -> bool:
+    return _load_lib() is not None
+
+
+def _np_copy(ptr, count, dtype):
+    if count == 0:
+        return np.empty(0, dtype=dtype)
+    return np.ctypeslib.as_array(ptr, shape=(count,)).astype(dtype, copy=True)
+
+
+def _indexes_from(flat: np.ndarray) -> List[Index]:
+    return [Index(int(flat[i]), int(flat[i + 1]), int(flat[i + 2]))
+            for i in range(0, len(flat), 3)]
+
+
+class NativeEgsReader:
+    """Drop-in native replacement for EgsReader (plain .ark only)."""
+
+    def __init__(self, path: str):
+        lib = _load_lib()
+        if lib is None:
+            raise RuntimeError("native cegs parser not built (make -C cpp)")
+        if path.endswith(".gz"):
+            raise ValueError("native parser does not handle .gz; use EgsReader")
+        self._lib = lib
+        self._p = lib.cegs_open(path.encode())
+        if not self._p:
+            raise OSError(f"cannot open {path}")
+
+    def close(self) -> None:
+        if self._p:
+            self._lib.cegs_close(self._p)
+            self._p = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> Example:
+        ex = self.read_example()
+        if ex is None:
+            raise StopIteration
+        return ex
+
+    def read_example(self) -> Optional[Example]:
+        lib, p = self._lib, self._p
+        rc = lib.cegs_next(p)
+        if rc == 0:
+            return None
+        if rc < 0:
+            err = lib.cegs_last_error(p)
+            raise ValueError(f"native parse error: "
+                             f"{err.decode() if err else 'unknown'}")
+
+        inputs = []
+        for i in range(lib.cegs_num_inputs(p)):
+            rows = lib.cegs_input_rows(p, i)
+            cols = lib.cegs_input_cols(p, i)
+            data = _np_copy(lib.cegs_input_data(p, i), rows * cols,
+                            np.float32).reshape(rows, cols)
+            idx = _np_copy(lib.cegs_input_indexes(p, i),
+                           lib.cegs_input_num_indexes(p, i) * 3, np.int32)
+            inputs.append(IoBlock(name=lib.cegs_input_name(p, i).decode(),
+                                  indexes=_indexes_from(idx), data=data))
+
+        # rebuild the supervision FST
+        fst = None
+        ns = lib.cegs_fst_num_states(p)
+        if ns > 0:
+            states = [FstState() for _ in range(ns)]
+            na = lib.cegs_fst_num_arcs(p)
+            src = _np_copy(lib.cegs_fst_arc_src(p), na, np.int32)
+            dst = _np_copy(lib.cegs_fst_arc_dst(p), na, np.int32)
+            lab = _np_copy(lib.cegs_fst_arc_label(p), na, np.int32)
+            wgt = _np_copy(lib.cegs_fst_arc_weight(p), na, np.float32)
+            for a in range(na):
+                states[src[a]].arcs.append(
+                    FstArc(int(lab[a]), float(wgt[a]), int(dst[a])))
+            nf = lib.cegs_fst_num_finals(p)
+            fs = _np_copy(lib.cegs_fst_final_states(p), nf, np.int32)
+            fw = _np_copy(lib.cegs_fst_final_weights(p), nf, np.float32)
+            for s, w in zip(fs, fw):
+                states[s].final = float(w)
+            fst = Fst(start=lib.cegs_fst_start(p), states=states)
+
+        ndw = lib.cegs_sup_num_deriv_weights(p)
+        dw = (_np_copy(lib.cegs_sup_deriv_weights(p), ndw, np.float32)
+              if ndw else None)
+        sup_idx = _np_copy(lib.cegs_sup_indexes(p),
+                           lib.cegs_sup_num_indexes(p) * 3, np.int32)
+        sup = Supervision(
+            name="output",
+            weight=float(lib.cegs_sup_weight(p)),
+            num_sequences=lib.cegs_sup_num_sequences(p),
+            frames_per_seq=lib.cegs_sup_frames_per_seq(p),
+            label_dim=lib.cegs_sup_label_dim(p),
+            end2end=bool(lib.cegs_sup_end2end(p)),
+            fst=fst,
+            indexes=_indexes_from(sup_idx),
+            deriv_weights=dw)
+        return Example(key=lib.cegs_key(p).decode(), inputs=inputs,
+                       supervision=sup)
+
+
+def best_reader(path: str):
+    """Native reader when available and applicable, else the Python one."""
+    if native_available() and not path.endswith(".gz"):
+        return NativeEgsReader(path)
+    from kaldi_fp16_tpu.io.egs import EgsReader
+    return EgsReader(path)

@@ -1,0 +1,112 @@
+"""Native (C++) cegs parser vs the pure-Python parser: outputs must be
+bit-identical on the same files.  Skipped when the shared library isn't
+built (`make -C cpp`)."""
+
+import subprocess
+import time
+
+import numpy as np
+import pytest
+
+from kaldi_fp16_tpu.io.egs import EgsReader, read_examples, write_ark
+from kaldi_fp16_tpu.io.native import NativeEgsReader, best_reader, native_available
+from tests.test_egs import make_example
+
+pytestmark = pytest.mark.skipif(not native_available(),
+                                reason="libcegs_parser.so not built")
+
+
+@pytest.fixture(scope="module")
+def ark(tmp_path_factory):
+    d = tmp_path_factory.mktemp("native")
+    exs = [make_example(key=f"utt-{i:03d}", frames=12 + (i % 3), fps=4 + (i % 3))
+           for i in range(10)]
+    # exercise DW byte format on one example
+    exs[3].supervision.deriv_weights_fmt = "DW"
+    path = str(d / "cegs.1.ark")
+    write_ark(path, exs)
+    return path
+
+
+def test_native_matches_python_exactly(ark):
+    py = read_examples(ark)
+    with NativeEgsReader(ark) as r:
+        nat = list(r)
+    assert len(nat) == len(py) == 10
+    for a, b in zip(nat, py):
+        assert a.key == b.key
+        assert len(a.inputs) == len(b.inputs)
+        for ia, ib in zip(a.inputs, b.inputs):
+            assert ia.name == ib.name
+            np.testing.assert_array_equal(ia.data, ib.data)  # bit-identical
+            assert [(i.n, i.t, i.x) for i in ia.indexes] == \
+                   [(i.n, i.t, i.x) for i in ib.indexes]
+        sa, sb = a.supervision, b.supervision
+        assert sa.weight == sb.weight
+        assert sa.num_sequences == sb.num_sequences
+        assert sa.frames_per_seq == sb.frames_per_seq
+        assert sa.label_dim == sb.label_dim
+        np.testing.assert_array_equal(sa.deriv_weights, sb.deriv_weights)
+        assert sa.fst.num_states == sb.fst.num_states
+        assert sa.fst.start == sb.fst.start
+        fa = [(s, arc.label, arc.weight, arc.next_state)
+              for s, st in enumerate(sa.fst.states) for arc in st.arcs]
+        fb = [(s, arc.label, arc.weight, arc.next_state)
+              for s, st in enumerate(sb.fst.states) for arc in st.arcs]
+        assert fa == fb
+        finals_a = [(s, st.final) for s, st in enumerate(sa.fst.states)
+                    if st.is_final]
+        finals_b = [(s, st.final) for s, st in enumerate(sb.fst.states)
+                    if st.is_final]
+        assert finals_a == finals_b
+
+
+def test_validate_passes(ark):
+    with NativeEgsReader(ark) as r:
+        for ex in r:
+            ok, reason = ex.validate(label_dim=8)
+            assert ok, reason
+
+
+def test_best_reader_selection(ark, tmp_path):
+    r = best_reader(ark)
+    assert isinstance(r, NativeEgsReader)
+    r.close()
+    gz = str(tmp_path / "x.ark.gz")
+    import gzip
+    with open(ark, "rb") as f, gzip.open(gz, "wb") as g:
+        g.write(f.read())
+    r2 = best_reader(gz)
+    assert isinstance(r2, EgsReader)
+    got = list(r2)
+    assert len(got) == 10
+    r2.close()
+
+
+def test_native_faster_than_python(tmp_path):
+    exs = [make_example(key=f"utt-{i:04d}", frames=50, fps=16)
+           for i in range(60)]
+    path = str(tmp_path / "big.ark")
+    write_ark(path, exs)
+
+    t0 = time.perf_counter()
+    n_py = len(read_examples(path))
+    t_py = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    with NativeEgsReader(path) as r:
+        n_nat = sum(1 for _ in r)
+    t_nat = time.perf_counter() - t0
+
+    assert n_py == n_nat == 60
+    assert t_nat < t_py, (t_nat, t_py)
+    print(f"python {t_py * 1000:.1f}ms native {t_nat * 1000:.1f}ms "
+          f"speedup {t_py / t_nat:.1f}x")
+
+
+def test_eof_handling(tmp_path):
+    p = str(tmp_path / "empty.ark")
+    with open(p, "wb") as f:
+        f.write(b"\x00" * 16)
+    with NativeEgsReader(p) as r:
+        assert r.read_example() is None
