@@ -1,0 +1,161 @@
+#!/usr/bin/env python
+"""train — the full training driver (ref: scripts/train_cnn_tdnn.sh:
+epochs 15, lr 1e-3 -> 1e-4 exponential, batch 64, warmup).
+
+Trains an xconfig acoustic model on cegs ark files with the chain objective,
+checkpointing, JSONL metrics, LR scheduling, and optional multi-device data
+parallelism.
+
+Usage:
+  python tools/train.py --egs 'data/cegs.*.ark' --den-fst data/den.fst \\
+      --xconfig configs/cnn_tdnn.xconfig --pdfs 3080 \\
+      --epochs 15 --batch 64 --lr 1e-3 --lr-final 1e-4 \\
+      --ckpt-dir exp/ckpt --metrics exp/metrics.jsonl
+"""
+
+import argparse
+import os
+
+import _common  # noqa: F401
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--egs", required=True)
+    ap.add_argument("--den-fst", required=True)
+    ap.add_argument("--xconfig", required=True)
+    ap.add_argument("--pdfs", type=int, required=True)
+    ap.add_argument("--epochs", type=int, default=15)
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--lr-final", type=float, default=1e-4)
+    ap.add_argument("--warmup-steps", type=int, default=0)
+    ap.add_argument("--momentum", type=float, default=0.0)
+    ap.add_argument("--max-param-change", type=float, default=2.0)
+    ap.add_argument("--l2-regularize", type=float, default=0.0)
+    ap.add_argument("--xent-regularize", type=float, default=0.0)
+    ap.add_argument("--leaky-hmm", type=float, default=1e-5)
+    ap.add_argument("--frame-subsampling", type=int, default=3)
+    ap.add_argument("--shuffle-buffer", type=int, default=1024)
+    ap.add_argument("--ckpt-dir")
+    ap.add_argument("--ckpt-every", type=int, default=500)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--metrics")
+    ap.add_argument("--log-every", type=int, default=10)
+    ap.add_argument("--steps-per-epoch", type=int, default=0,
+                    help="cap steps per epoch (0 = full pass)")
+    ap.add_argument("--fst-pad-states", type=int, default=256)
+    ap.add_argument("--fst-pad-arcs", type=int, default=512)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    import jax
+    from kaldi_fp16_tpu.chain.denominator import DenominatorComputation
+    from kaldi_fp16_tpu.chain.graph import DenominatorGraph
+    from kaldi_fp16_tpu.chain.objective import ChainTrainingOpts
+    from kaldi_fp16_tpu.io.dataloader import DataLoader, DataLoaderConfig
+    from kaldi_fp16_tpu.io.fst import read_fst_file
+    from kaldi_fp16_tpu.models.model import build_model
+    from kaldi_fp16_tpu.training.checkpoint import CheckpointManager, DataPosition
+    from kaldi_fp16_tpu.training.schedulers import warmup_lr
+    from kaldi_fp16_tpu.training.train_step import TrainConfig
+    from kaldi_fp16_tpu.training.trainer import Trainer, exponential_lr
+    from kaldi_fp16_tpu.utils.metrics import MetricsLogger
+    from kaldi_fp16_tpu.utils.profiling import StepTimer
+
+    model = build_model(args.xconfig)
+    print(model.summary())
+
+    den_fst = read_fst_file(args.den_fst)
+    print(f"den.fst: {den_fst.num_states} states, {den_fst.num_arcs} arcs")
+    den_graph = DenominatorGraph.from_fst(den_fst, args.pdfs)
+    den = DenominatorComputation(den_graph, leaky=args.leaky_hmm)
+
+    # estimate total steps for the lr schedule from one counting pass
+    probe = DataLoader(args.egs, DataLoaderConfig(batch_size=args.batch,
+                                                  label_dim=args.pdfs))
+    n_batches = sum(1 for _ in probe)
+    if args.steps_per_epoch:
+        n_batches = min(n_batches, args.steps_per_epoch)
+    total_steps = max(n_batches * args.epochs, 1)
+    print(f"{n_batches} batches/epoch, {total_steps} total steps")
+
+    schedule = exponential_lr(args.lr, args.lr_final, total_steps)
+    if args.warmup_steps:
+        schedule = warmup_lr(schedule, args.warmup_steps)
+
+    config = TrainConfig(learning_rate=args.lr, momentum=args.momentum,
+                         max_param_change=args.max_param_change,
+                         frame_subsampling_factor=args.frame_subsampling,
+                         xent_regularize=args.xent_regularize)
+    chain_opts = ChainTrainingOpts(l2_regularize=args.l2_regularize,
+                                   leaky_hmm_coefficient=args.leaky_hmm,
+                                   xent_regularize=args.xent_regularize)
+    trainer = Trainer(model, den, config, chain_opts, lr_schedule=schedule,
+                      seed=args.seed, fst_pad_states=args.fst_pad_states,
+                      fst_pad_arcs=args.fst_pad_arcs)
+
+    mgr = CheckpointManager(args.ckpt_dir) if args.ckpt_dir else None
+    start_epoch = 0
+    if args.resume and mgr and mgr.latest_step() is not None:
+        (trainer.params, trainer.net_state, trainer.opt_state,
+         trainer.scale_state, step, pos) = mgr.restore(
+            None, trainer.params, trainer.net_state, trainer.opt_state,
+            trainer.scale_state)
+        trainer.global_step = step
+        start_epoch = pos.epoch
+        print(f"resumed from step {step} (epoch {pos.epoch})")
+
+    metrics = MetricsLogger(args.metrics, echo=False) if args.metrics else None
+    timer = StepTimer(skip_first=2)
+
+    for epoch in range(start_epoch, args.epochs):
+        dl = DataLoader(args.egs,
+                        DataLoaderConfig(batch_size=args.batch,
+                                         label_dim=args.pdfs,
+                                         shuffle_files=True,
+                                         shuffle_buffer=args.shuffle_buffer,
+                                         seed=args.seed + epoch,
+                                         max_fst_states=args.fst_pad_states,
+                                         max_fst_arcs=args.fst_pad_arcs))
+        epoch_objf = []
+        for i, batch in enumerate(dl):
+            if args.steps_per_epoch and i >= args.steps_per_epoch:
+                break
+            with timer:
+                out = trainer.train_batch(batch)
+            epoch_objf.append(float(out.objf_per_frame))
+            if metrics:
+                metrics.log(trainer.global_step, epoch=epoch,
+                            loss=float(out.loss),
+                            objf_per_frame=float(out.objf_per_frame),
+                            num=float(out.num_logprob),
+                            den=float(out.den_logprob),
+                            grad_norm=float(out.grad_norm),
+                            lr=schedule(trainer.global_step))
+            if (i + 1) % args.log_every == 0:
+                print(f"epoch {epoch} step {trainer.global_step}: "
+                      f"objf/frame={float(out.objf_per_frame):.4f} "
+                      f"lr={schedule(trainer.global_step):.2e}")
+            if mgr and trainer.global_step % args.ckpt_every == 0:
+                mgr.save(trainer.global_step, trainer.params,
+                         trainer.net_state, trainer.opt_state,
+                         trainer.scale_state,
+                         DataPosition(epoch=epoch, batches_consumed=i + 1))
+        print(f"epoch {epoch}: avg objf/frame = {np.mean(epoch_objf):.4f}  "
+              f"{timer.summary()}")
+
+    if mgr:
+        mgr.save(trainer.global_step, trainer.params, trainer.net_state,
+                 trainer.opt_state, trainer.scale_state,
+                 DataPosition(epoch=args.epochs))
+        mgr.close()
+    if metrics:
+        metrics.close()
+    print(f"done: {trainer.global_step} steps, "
+          f"final objf/frame {trainer.metrics.objf_per_frame:.4f}")
+
+
+if __name__ == "__main__":
+    main()
