@@ -3,9 +3,17 @@
 TPU redesign of the reference's per-frame kernel-launch loop
 (ref: cpp/cuda/chain.cu:368-473 — one launch per frame, atomicLogAdd):
 here the whole T-recursion is ONE fused scan compiled by XLA, and the
-per-frame arc reduction is an exact fixed-order segment-logsumexp
-(XLA determinism replaces the reference's atomic/deterministic kernel split,
-ref: chain_det.cu).
+per-frame arc reduction is exact and deterministic (XLA determinism
+replaces the reference's atomic/deterministic kernel split, ref:
+chain_det.cu).
+
+Hardware mapping: numerator FSTs are tiny (~200 states / ~256 arcs per
+utterance chunk, ref chain_det.cu:8-9), so state gather and scatter are
+expressed as ONE-HOT MATMULS — exact selection/summation that runs on the
+MXU instead of TPU-hostile scatter ops.  The log-sum-exp uses a per-frame
+global shift; states more than ~87 nats below the frame max underflow to
+log-zero, which is far below any path that matters (same effective range
+as the reference's fp32 atomicLogAdd).
 
 Shapes are fully static: B sequences, S padded states, A padded arcs, T
 frames.  All arrays batched [B, ...]; masking handles padding.
@@ -21,19 +29,7 @@ import jax.numpy as jnp
 
 from kaldi_fp16_tpu.chain.graph import LOG_ZERO, NumeratorGraphBatch
 
-
-def _segment_logsumexp(vals: jnp.ndarray, segids: jnp.ndarray, num_segments: int
-                       ) -> jnp.ndarray:
-    """Scatter-logsumexp of vals into num_segments buckets (per batch row).
-
-    vals, segids: [A]; returns [S].  Entries <= LOG_ZERO are treated as
-    log(0).  Exact and deterministic (two-pass max + sum-exp).
-    """
-    seg_max = jax.ops.segment_max(vals, segids, num_segments=num_segments)
-    seg_max = jnp.maximum(seg_max, LOG_ZERO)  # empty segments -> -inf guard
-    shifted = jnp.where(vals > LOG_ZERO, jnp.exp(vals - seg_max[segids]), 0.0)
-    seg_sum = jax.ops.segment_sum(shifted, segids, num_segments=num_segments)
-    return jnp.where(seg_sum > 0, seg_max + jnp.log(seg_sum), LOG_ZERO)
+_PREC = jax.lax.Precision.HIGHEST  # one-hot matmuls must be exact fp32
 
 
 @functools.partial(jax.jit, static_argnames=("num_states",))
@@ -42,25 +38,41 @@ def _num_forward_backward(arc_src, arc_dst, arc_pdf, arc_logw, arc_mask,
     """Returns (total_logprob [B], posteriors [B, T, P])."""
     B, T, P = nnet_output.shape
     S = num_states
+    A = arc_src.shape[1]
 
-    seg_lse = jax.vmap(_segment_logsumexp, in_axes=(0, 0, None))
+    # one-hot gather/scatter matrices (constant across frames): [B, A, S]
+    e_src = jax.nn.one_hot(arc_src, S, dtype=jnp.float32)
+    e_dst = jax.nn.one_hot(arc_dst, S, dtype=jnp.float32)
+    mask = arc_mask > 0
 
     # hoisted per-arc scores for all frames: [T, B, A]
-    # score[b, t, a] = nnet[b, t, pdf[b, a]] + logw[b, a], masked
     pdf_scores = jax.vmap(lambda x_bt, pdf_b: x_bt[:, pdf_b])(
         nnet_output, arc_pdf)                                  # [B, T, A]
     scores = pdf_scores + arc_logw[:, None, :]
     scores = jnp.where(arc_mask[:, None, :] > 0, scores, LOG_ZERO)
     scores = jnp.swapaxes(scores, 0, 1)                        # [T, B, A]
 
+    def gather_states(vec, e):
+        """vec [B, S] -> per-arc values [B, A] via one-hot matmul (exact)."""
+        return jnp.einsum("bas,bs->ba", e, vec, precision=_PREC)
+
+    def scatter_lse(vals, e):
+        """Segment-logsumexp of per-arc log values into states: [B, S].
+
+        Global per-row shift; masked/log-zero arcs contribute exactly 0."""
+        m = jnp.max(jnp.where(mask, vals, LOG_ZERO), axis=1, keepdims=True)
+        m = jnp.maximum(m, -1e28)  # all-dead frame guard
+        p = jnp.where(mask & (vals > LOG_ZERO), jnp.exp(vals - m), 0.0)
+        sums = jnp.einsum("ba,bas->bs", p, e, precision=_PREC)
+        return jnp.where(sums > 0, m + jnp.log(sums), LOG_ZERO)
+
     alpha0 = jnp.full((B, S), LOG_ZERO, dtype=jnp.float32)
     alpha0 = alpha0.at[jnp.arange(B), start].set(0.0)
 
     def fwd_step(alpha, score_t):
-        src_alpha = jnp.take_along_axis(alpha, arc_src, axis=1)
+        src_alpha = gather_states(alpha, e_src)
         vals = jnp.where(src_alpha > LOG_ZERO, src_alpha + score_t, LOG_ZERO)
-        alpha_next = seg_lse(vals, arc_dst, S)
-        return alpha_next, alpha
+        return scatter_lse(vals, e_dst), alpha
 
     alpha_T, alphas = jax.lax.scan(fwd_step, alpha0, scores)
     # alphas: [T, B, S] = alpha[0..T-1]; alpha_T = alpha[T]
@@ -73,11 +85,11 @@ def _num_forward_backward(arc_src, arc_dst, arc_pdf, arc_logw, arc_mask,
 
     def bwd_step(beta_next, inp):
         score_t, alpha_t = inp
-        dst_beta = jnp.take_along_axis(beta_next, arc_dst, axis=1)
+        dst_beta = gather_states(beta_next, e_dst)
         vals = jnp.where(dst_beta > LOG_ZERO, dst_beta + score_t, LOG_ZERO)
-        beta_t = seg_lse(vals, arc_src, S)
+        beta_t = scatter_lse(vals, e_src)
         # posteriors for frame t
-        src_alpha = jnp.take_along_axis(alpha_t, arc_src, axis=1)
+        src_alpha = gather_states(alpha_t, e_src)
         lp = jnp.where((src_alpha > LOG_ZERO) & (dst_beta > LOG_ZERO),
                        src_alpha + score_t + dst_beta - total[:, None],
                        -jnp.inf)
