@@ -89,12 +89,14 @@ def main():
         results[name] = round(ms, 2)
 
     total = results["den_fwd_bwd"] + results["num_fwd_bwd"]
+    per_seq = total / B
+    # reference: ~91 ms for an 8-sequence batch = 11.375 ms/sequence
     print(json.dumps({
-        "metric": "chain_loss_batch8_ms",
-        "value": round(total, 2),
-        "unit": "ms",
-        "vs_baseline": round(91.0 / total, 3),  # >1 = faster than reference
-        "detail": results,
+        "metric": "chain_loss_ms_per_sequence",
+        "value": round(per_seq, 3),
+        "unit": "ms/seq",
+        "vs_baseline": round(11.375 / per_seq, 3),  # >1 = faster than reference
+        "detail": {**results, "batch_total_ms": round(total, 2)},
         "config": {"B": B, "T": T, "P": P, "den_states": S, "den_arcs": A},
     }))
 
