@@ -9,3 +9,4 @@ HCLG beam search -> word sequence -> WER.
 from kaldi_fp16_tpu.decode.viterbi import DecodeOptions, ViterbiDecoder, DecodeResult
 from kaldi_fp16_tpu.decode.graph import DecodingGraph
 from kaldi_fp16_tpu.decode.wer import wer, levenshtein
+from kaldi_fp16_tpu.decode.tpu_viterbi import DenseViterbiDecoder, DenseGraph

@@ -1,0 +1,77 @@
+"""Dense on-device Viterbi vs the host beam decoder (must agree on the best
+path for unpruned search over epsilon-free graphs)."""
+
+import numpy as np
+import pytest
+
+from kaldi_fp16_tpu.io.fst import Fst, FstArc, FstState
+from kaldi_fp16_tpu.decode.graph import DecodingGraph
+from kaldi_fp16_tpu.decode.viterbi import DecodeOptions, ViterbiDecoder
+from kaldi_fp16_tpu.decode.tpu_viterbi import DenseGraph, DenseViterbiDecoder
+from tests.test_decoder import loglikes_for
+
+
+def eps_free_graph():
+    """Two words as in test_decoder, but the loop-back is an emitting arc
+    (epsilon-free for the dense decoder)."""
+    s = [FstState() for _ in range(5)]
+    s[0].arcs.append(FstArc(1, 0.0, 1, olabel=0))
+    s[1].arcs.append(FstArc(2, 0.0, 4, olabel=1))
+    s[0].arcs.append(FstArc(3, 0.0, 2, olabel=0))
+    s[2].arcs.append(FstArc(4, 0.0, 4, olabel=2))
+    # emitting loop-back arcs restart a word from state 4
+    s[4].arcs.append(FstArc(1, 0.1, 1, olabel=0))
+    s[4].arcs.append(FstArc(3, 0.1, 2, olabel=0))
+    s[4].final = 0.0
+    return Fst(start=0, states=s)
+
+
+class TestDenseGraph:
+    def test_build(self):
+        dg = DenseGraph.from_graph(DecodingGraph.from_fst(eps_free_graph()))
+        assert dg.num_states == 5
+        assert dg.trans[0, 1] == 0.0
+        assert dg.trans[0, 3] <= -1e29  # no arc
+        assert dg.pdf[0, 1] == 0        # ilabel 1 -> pdf 0
+        assert dg.olabel[1, 4] == 1
+
+    def test_rejects_epsilon(self):
+        from tests.test_decoder import two_word_graph
+        with pytest.raises(ValueError):
+            DenseGraph.from_graph(DecodingGraph.from_fst(two_word_graph()))
+
+
+class TestDenseViterbi:
+    def test_single_word(self):
+        dec = DenseViterbiDecoder(DecodingGraph.from_fst(eps_free_graph()))
+        res = dec.decode_batch(loglikes_for([1, 2])[None])
+        assert res[0]["words"] == [1]
+        assert res[0]["alignment"] == [1, 2]
+
+    def test_word_sequence(self):
+        dec = DenseViterbiDecoder(DecodingGraph.from_fst(eps_free_graph()))
+        # [1,2] word1, then restart via emitting arc pdf1, then [2] -> word1
+        res = dec.decode_batch(loglikes_for([1, 2, 1, 2])[None])
+        assert res[0]["words"] == [1, 1]
+
+    def test_batch_matches_host_decoder(self):
+        g = DecodingGraph.from_fst(eps_free_graph())
+        dense = DenseViterbiDecoder(g)
+        host = ViterbiDecoder(g, DecodeOptions(beam=1e9, max_active=10 ** 9))
+        lls = np.stack([loglikes_for([1, 2]), loglikes_for([3, 4]),
+                        loglikes_for([1, 2, 3, 4])[:2]])
+        dres = dense.decode_batch(lls)
+        for b in range(3):
+            hres = host.decode(lls[b])
+            assert dres[b]["words"] == hres.words, b
+            np.testing.assert_allclose(dres[b]["total_cost"], hres.total_cost,
+                                       atol=1e-4)
+
+    def test_acoustic_scale(self):
+        g = DecodingGraph.from_fst(eps_free_graph())
+        g.em_weight[g.em_ilabel == 1] = 3.0  # penalize word-1 entry
+        dec_full = DenseViterbiDecoder(g, acoustic_scale=1.0)
+        dec_scaled = DenseViterbiDecoder(g, acoustic_scale=0.1)
+        lls = loglikes_for([1, 2], good=10.0)[None]
+        assert dec_full.decode_batch(lls)[0]["words"] == [1]
+        assert dec_scaled.decode_batch(lls)[0]["words"] == [2]
