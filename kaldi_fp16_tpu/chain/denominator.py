@@ -11,20 +11,40 @@ behaviors are preserved:
   5. all states final: beta'[T] = 1/total_prob uniformly
   6. transition prob = exp(-tropical_weight) (baked into graph.prob)
 
-Performance design (measured on v5e, S=7052/A=113380/P=3080):
-  * The per-arc emission scores x[n, t, pdf[a]] * tp[a] are gathered for ALL
-    frames in one large gather before the scan — large gathers run ~10x the
-    throughput of per-step gathers on TPU.
-  * The whole T-recursion is one lax.scan (zero host syncs; the reference
-    launches ~6 kernels per frame with a host round-trip for alpha_sum).
-  * Two segment-reduction modes, mirroring the reference's atomic/
-    deterministic kernel split (ref: chain_det.cu):
-      'exact': XLA scatter-add segment_sum — bit-stable, the parity path.
-      'fast':  prefix-sum difference over dst-sorted arcs — ~20-30% faster,
-               introduces bounded rounding drift (measure with chainbench).
-  * Batched over N sequences with near-flat cost in N (the reference
-    supports only num_sequences == 1, denominator.go:226-228); feed wide
-    batches for throughput.
+Performance design (measured on TPU v5e, S=7052/A=113380/P=3080).  The
+recursion is a gather/scatter problem: alpha_next[dst] += alpha[src]*tp*x.
+XLA scatter-adds (segment_sum) run ~5x slower per step than gathers and
+dominated the first implementation; per-arc row gathers are index-rate
+bound (~0.21 ms per 113K rows) so every removed gather counts.  Design:
+
+  * State-major [S, N] layout (states in sublanes, batch in lanes) so all
+    per-arc reads are ROW gathers.
+  * The graph is pre-padded ONCE on the host, in THREE arc orders (grouped
+    by dst / src / pdf into 128-wide key blocks of 128-arc chunks, ~1.07x
+    arc inflation).  Each scatter becomes a batched matmul against static
+    one-hot block matrices on the MXU:
+        out[block] = sum_j onehot[block,j]^T @ arc_vals[block,j]
+    (~0.1-0.26 ms/step vs 1.2 ms/step for XLA segment_sum).  Padding
+    slots have all-zero one-hot rows, so no masks are needed anywhere.
+    The forward runs dst-native, the beta recursion src-native — each
+    scan reduces into its own order with zero permutation gathers.
+  * Posteriors move OUT of the sequential scan into one bulk pass over
+    all frames (chunked to bound memory): with [state, time*batch]
+    operand layout each gathered row is T*N wide, so the three per-arc
+    reads run near HBM bandwidth instead of at index rate, and the
+    per-pdf reduction is one big MXU contraction.
+  * Per-arc emission scores x[pdf[a]]*tp[a] are hoisted for all T frames
+    before the scans when they fit (`hoist_bytes`); otherwise gathered
+    per frame from a [T, P, N] table.
+  * Two modes, mirroring the reference's deterministic/atomic kernel split
+    (ref: chain_det.cu):
+      'exact': f32 one-hots, 3-pass (bfloat16x3) matmuls — ~3e-6 relative
+               error vs fp64; the parity path.
+      'fast':  bf16 one-hots, single-pass MXU (arc values rounded to bf16
+               inside the matmul) — ~1e-3 relative drift, measured by
+               tools/chainverify.py phase 4.
+  * Batched over N sequences (the reference supports only
+    num_sequences == 1, denominator.go:226-228); feed wide batches.
 """
 
 from __future__ import annotations
@@ -38,60 +58,109 @@ import numpy as np
 
 from kaldi_fp16_tpu.chain.graph import DenominatorGraph
 
+SB = 128   # state/pdf block width (MXU lane dimension)
+AC = 128   # arcs per chunk (MXU contraction tile)
 
-def _seg_boundaries(sorted_ids: np.ndarray, num_segments: int) -> np.ndarray:
-    """starts[s] = first index with id >= s; [num_segments + 1]."""
-    return np.searchsorted(sorted_ids, np.arange(num_segments + 1)).astype(np.int32)
+
+class _BlockedOrder:
+    """Arcs grouped into 128-wide blocks of a sort key, padded to AC chunks.
+
+    Per padded slot k: the canonical-arc attributes (src/dst/pdf/prob) with
+    prob forced to 0 on padding slots, plus a one-hot row over the slot's
+    key block ([NB, J, AC, SB], all-zero rows for padding slots) used to
+    reduce arc values into per-key sums with one batched matmul.
+
+    `secondary` orders arcs WITHIN each key block (the one-hot rows make
+    within-block order irrelevant for correctness).  Sorting by the gather
+    index used in that order gives the row gathers memory locality —
+    measured 1.6x on the whole fwd-bwd for a locality-free random graph.
+    """
+
+    def __init__(self, keys: np.ndarray, num_keys: int, graph,
+                 secondary: Optional[np.ndarray] = None, min_chunks: int = 1):
+        if secondary is not None:
+            order = np.lexsort((secondary, keys)).astype(np.int64)
+        else:
+            order = np.argsort(keys, kind="stable").astype(np.int64)
+        sk = keys[order]
+        NB = max(1, -(-num_keys // SB))
+        bounds = np.searchsorted(sk, np.arange(0, (NB + 1) * SB, SB))
+        counts = np.diff(bounds)
+        J = max(min_chunks,
+                int(np.max(-(-counts // AC))) if len(counts) else 1)
+        Ap = NB * J * AC
+        perm = np.zeros(Ap, np.int64)
+        valid = np.zeros(Ap, bool)
+        onehot = np.zeros((NB, J * AC, SB), np.float32)
+        for b in range(NB):
+            lo, hi = int(bounds[b]), int(bounds[b + 1])
+            n = hi - lo
+            base = b * J * AC
+            perm[base:base + n] = order[lo:hi]
+            valid[base:base + n] = True
+            onehot[b, np.arange(n), sk[lo:hi] - b * SB] = 1.0
+        self.num_blocks = NB
+        self.chunks = J
+        self.padded = Ap
+        self.onehot = onehot.reshape(NB, J, AC, SB)
+        self.src = jnp.asarray(graph.src[perm].astype(np.int32))
+        self.dst = jnp.asarray(graph.dst[perm].astype(np.int32))
+        self.pdf = jnp.asarray(graph.pdf[perm].astype(np.int32))
+        self.prob = jnp.asarray(
+            np.where(valid, graph.prob[perm], 0.0).astype(np.float32))
 
 
 class DenominatorComputation:
     """Device-resident denominator graph with forward/forward-backward ops
-    (the reference's NativeDenominator analog, batched)."""
+    (the reference's NativeDenominator analog, batched over sequences)."""
 
     def __init__(self, graph: DenominatorGraph, leaky: float = 1e-5,
-                 mode: str = "exact"):
+                 mode: str = "exact", hoist_bytes: int = 1 << 30):
         assert mode in ("exact", "fast")
         self.graph = graph
         self.leaky = leaky
         self.mode = mode
-        S = graph.num_states
+        self.hoist_bytes = hoist_bytes
+        S, P = graph.num_states, graph.num_pdfs
 
-        # dst-sorted arc order (graph is built dst-sorted)
-        self._src = jnp.asarray(graph.src)
-        self._dst = jnp.asarray(graph.dst)
-        self._pdf = jnp.asarray(graph.pdf)
-        self._prob = jnp.asarray(graph.prob)
-        self._init = jnp.asarray(graph.initial)
-        self._dst_bounds = jnp.asarray(_seg_boundaries(graph.dst, S))
+        oh_dtype = jnp.float32 if mode == "exact" else jnp.bfloat16
+        self._precision = (jax.lax.Precision.HIGH if mode == "exact"
+                           else jax.lax.Precision.DEFAULT)
 
-        # src-sorted permutation for the backward propagation
-        perm = np.argsort(graph.src, kind="stable")
-        self._perm_src = jnp.asarray(perm.astype(np.int32))
-        self._src_sorted = jnp.asarray(graph.src[perm])
-        self._dst_by_src = jnp.asarray(graph.dst[perm])
-        self._src_bounds = jnp.asarray(_seg_boundaries(graph.src[perm], S))
+        # secondary within-block sort = the gather index each order uses
+        self._dst_o = _BlockedOrder(graph.dst, S, graph, secondary=graph.src)
+        self._src_o = _BlockedOrder(graph.src, S, graph, secondary=graph.dst)
+        # De-alias: when the src order's padded shape coincides with the dst
+        # order's, XLA merges/schedules the two identically-shaped hoist
+        # gathers + scans pathologically (measured 1.6x slowdown of the
+        # whole fwd-bwd, reproducible across seeds).  One extra all-padding
+        # chunk (~6% more src-order work) keeps the shapes distinct.
+        if self._src_o.chunks == self._dst_o.chunks:
+            self._src_o = _BlockedOrder(graph.src, S, graph,
+                                        secondary=graph.dst,
+                                        min_chunks=self._dst_o.chunks + 1)
+        self._pdf_o = _BlockedOrder(graph.pdf, P, graph, secondary=graph.src)
+        self._oh_dst = jnp.asarray(self._dst_o.onehot, dtype=oh_dtype)
+        self._oh_src = jnp.asarray(self._src_o.onehot, dtype=oh_dtype)
+        self._oh_pdf = jnp.asarray(self._pdf_o.onehot, dtype=oh_dtype)
+        self._Sp = self._dst_o.num_blocks * SB
+        self._Pp = self._pdf_o.num_blocks * SB
 
-        # pdf-sorted permutation for posterior accumulation
-        permp = np.argsort(graph.pdf, kind="stable")
-        self._perm_pdf = jnp.asarray(permp.astype(np.int32))
-        self._pdf_sorted_ids = jnp.asarray(graph.pdf[permp])
-        self._pdf_bounds = jnp.asarray(
-            _seg_boundaries(graph.pdf[permp], graph.num_pdfs))
+        init_pad = np.zeros(self._Sp, np.float32)
+        init_pad[:S] = graph.initial
+        self._init = jnp.asarray(init_pad)
 
-    # -- segment reductions --------------------------------------------------
+    # -- blocked one-hot reduction (the scatter replacement) -----------------
 
-    def _segsum(self, vals: jnp.ndarray, ids: jnp.ndarray, bounds: jnp.ndarray,
-                num_segments: int, sorted_ids: bool) -> jnp.ndarray:
-        """vals [N, A] -> [N, num_segments] summed by ids (per arc)."""
-        if self.mode == "exact":
-            f = jax.vmap(lambda v: jax.ops.segment_sum(
-                v, ids, num_segments=num_segments,
-                indices_are_sorted=sorted_ids))
-            return f(vals)
-        N = vals.shape[0]
-        cs = jnp.concatenate(
-            [jnp.zeros((N, 1), vals.dtype), jnp.cumsum(vals, axis=1)], axis=1)
-        return jnp.take(cs, bounds[1:], axis=1) - jnp.take(cs, bounds[:-1], axis=1)
+    def _reduce(self, vals: jnp.ndarray, onehot: jnp.ndarray) -> jnp.ndarray:
+        """[Ap, ...] arc values -> [NB*SB, ...] per-key block sums (MXU)."""
+        nb, j = onehot.shape[0], onehot.shape[1]
+        rest = vals.shape[1:]
+        v = vals.reshape(nb, j, AC, -1)
+        out = jnp.einsum("bjas,bjan->bsn", onehot, v,
+                         precision=self._precision,
+                         preferred_element_type=jnp.float32)
+        return out.reshape((nb * SB,) + rest)
 
     # -- core ---------------------------------------------------------------
 
@@ -99,81 +168,118 @@ class DenominatorComputation:
     def _forward_backward(self, nnet_output, compute_grad: bool = True):
         """nnet_output [N, T, P] -> (log_prob [N], posteriors [N, T, P])."""
         N, T, P = nnet_output.shape
-        S = self.graph.num_states
+        Sp = self._Sp
         leaky = jnp.float32(self.leaky)
-        init = self._init
+        init = self._init                                     # [Sp]
+        dsto, srco, pdfo = self._dst_o, self._src_o, self._pdf_o
 
-        x = jnp.exp(jnp.clip(nnet_output, -30.0, 30.0))        # [N, T, P]
+        # state-major: [T, P, N]
+        x = jnp.exp(jnp.clip(nnet_output, -30.0, 30.0))
+        x_tpn = jnp.transpose(x, (1, 2, 0))
 
-        # hoisted per-arc emission scores, dst-sorted order: [T, N, A]
-        xtp = jnp.swapaxes(x[:, :, self._pdf], 0, 1) * self._prob[None, None, :]
+        # hoist budget covers the two scan-order score tables
+        hoist = T * (dsto.padded + srco.padded) * N * 4 <= self.hoist_bytes
 
-        # ---- forward ------------------------------------------------------
-        alpha0 = jnp.broadcast_to(init, (N, S))
-        asum0 = alpha0.sum(axis=1)
-        adash0 = alpha0 + asum0[:, None] * leaky * init[None, :]
+        def arc_scores(xs_t, order):
+            """xs_t: hoisted [Ap, N] scores, or raw [P, N] frame."""
+            if hoist:
+                return xs_t
+            return jnp.take(xs_t, order.pdf, axis=0) * order.prob[:, None]
 
-        def fwd_step(carry, xtp_t):
+        def hoisted(order):
+            return (jnp.take(x_tpn, order.pdf, axis=1)
+                    * order.prob[None, :, None])
+
+        xs_dst = hoisted(dsto) if hoist else x_tpn
+
+        # ---- forward (dst-native order) -------------------------------------
+        alpha0 = jnp.broadcast_to(init[:, None], (Sp, N))
+        asum0 = alpha0.sum(axis=0)
+        adash0 = alpha0 + asum0[None, :] * leaky * init[:, None]
+
+        def fwd_step(carry, xs_t):
             adash_prev, asum_prev = carry
-            av = jnp.take(adash_prev, self._src, axis=1) * xtp_t   # [N, A]
-            nxt = self._segsum(av, self._dst, self._dst_bounds, S, True)
+            xtp_t = arc_scores(xs_t, dsto)
+            av = jnp.take(adash_prev, dsto.src, axis=0) * xtp_t   # [Ap, N]
+            nxt = self._reduce(av, self._oh_dst)
             safe = asum_prev > 0
-            nxt = jnp.where(safe[:, None], nxt / asum_prev[:, None], nxt)
+            nxt = jnp.where(safe[None, :], nxt / asum_prev[None, :], nxt)
             logc = jnp.where(safe, jnp.log(asum_prev), 0.0)
-            asum = nxt.sum(axis=1)
-            adash = nxt + asum[:, None] * leaky * init[None, :]
-            # av (= alpha'[src]*tp*x per arc) is exactly the posterior
-            # ingredient for this frame — save it instead of regathering
-            # alpha' in the backward pass.
-            return (adash, asum), (av, asum_prev, logc)
+            asum = nxt.sum(axis=0)
+            adash = nxt + asum[None, :] * leaky * init[:, None]
+            return (adash, asum), (adash_prev, asum_prev, logc)
 
-        (adash_T, _), (av_hist, asum_hist, logcs) = jax.lax.scan(
-            fwd_step, (adash0, asum0), xtp)
+        (adash_T, _), (adash_hist, asum_hist, logcs) = jax.lax.scan(
+            fwd_step, (adash0, asum0), xs_dst)
 
-        total_prob = adash_T.sum(axis=1)
+        total_prob = adash_T.sum(axis=0)
         log_prob = jnp.log(total_prob) + logcs.sum(axis=0)
 
         if not compute_grad:
             return log_prob, None
 
-        # ---- backward -----------------------------------------------------
-        # Per step (exact mode): ONE gather (beta[dst]) + two unsorted
-        # scatter-adds (beta' by src, posteriors by pdf).  gamma[t][pdf] =
-        # alpha'[src]*tp*x*beta[dst]/asum = av_hist[t] * beta[dst] / asum.
-        beta_dash_T = jnp.where(total_prob[:, None] > 0,
-                                1.0 / total_prob[:, None], 0.0)
-        beta_dash_T = jnp.broadcast_to(beta_dash_T, (N, S))
+        # ---- lean backward: beta recursion only (src-native order) ----------
+        # beta'[T] = 1/total_prob on all real states (all states final).
+        real = (jnp.arange(Sp) < self.graph.num_states)[:, None]
+        beta_dash_T = jnp.where(
+            real, jnp.where(total_prob[None, :] > 0,
+                            1.0 / total_prob[None, :], 0.0), 0.0)
+        beta_dash_T = jnp.broadcast_to(beta_dash_T, (Sp, N))
 
         def leakify(bd):
-            tot = leaky * (bd * init[None, :]).sum(axis=1)
-            return bd + tot[:, None]
+            tot = leaky * (bd * init[:, None]).sum(axis=0)
+            return bd + tot[None, :]
 
         betaT = leakify(beta_dash_T)
-        fast = self.mode == "fast"
+        xs_src = hoisted(srco) if hoist else x_tpn
 
         def bwd_step(beta_next, inp):
-            xtp_t, av_t, asum_t = inp
-            inv = jnp.where(asum_t > 0, 1.0 / asum_t, 0.0)
-            beta_arc = jnp.take(beta_next, self._dst, axis=1)      # [N, A]
-            bv = beta_arc * xtp_t
-            gv = av_t * beta_arc * inv[:, None]
-            if fast:
-                bvp = jnp.take(bv, self._perm_src, axis=1)
-                bd = self._segsum(bvp, self._src_sorted, self._src_bounds,
-                                  S, True)
-                gvp = jnp.take(gv, self._perm_pdf, axis=1)
-                post_t = self._segsum(gvp, self._pdf_sorted_ids,
-                                      self._pdf_bounds, P, True)
-            else:
-                bd = self._segsum(bv, self._src, self._src_bounds, S, False)
-                post_t = self._segsum(gv, self._pdf, self._pdf_bounds, P, False)
-            bd = bd * inv[:, None]
-            return leakify(bd), post_t
+            xs_t, asum_t = inp
+            xtp_t = arc_scores(xs_t, srco)
+            inv = jnp.where(asum_t > 0, 1.0 / asum_t, 0.0)        # [N]
+            bv = jnp.take(beta_next, srco.dst, axis=0) * xtp_t    # [Ap, N]
+            bd = self._reduce(bv, self._oh_src) * inv[None, :]
+            # emit the carry INPUT: frame t's posteriors use beta at t+1
+            return leakify(bd), beta_next
 
-        _, posts = jax.lax.scan(bwd_step, betaT,
-                                (xtp, av_hist, asum_hist), reverse=True)
-        posteriors = jnp.swapaxes(posts, 0, 1)                   # [N, T, P]
-        return log_prob, posteriors
+        _, beta_hist = jax.lax.scan(bwd_step, betaT, (xs_src, asum_hist),
+                                    reverse=True)
+
+        # ---- bulk posteriors (pdf-native order, chunked over T) -------------
+        # gamma[t][pdf] = alpha'[t][src] * tp * x[t][pdf] * beta[t+1][dst]
+        #                 / alpha_sum[t], reduced per pdf with one MXU
+        # contraction per chunk.  [state, time*batch] layout makes each
+        # per-arc gather row T_c*N wide (bandwidth-bound, not index-bound).
+        inv_hist = jnp.where(asum_hist > 0, 1.0 / asum_hist, 0.0)  # [T, N]
+        bytes_per_frame = pdfo.padded * N * 4 * 5
+        Tc = int(min(T, max(1, self.hoist_bytes // max(1, bytes_per_frame))))
+        nc = -(-T // Tc)
+        Tpad = nc * Tc
+
+        def padT(a):
+            return jnp.pad(a, [(0, Tpad - T)] + [(0, 0)] * (a.ndim - 1))
+
+        ad_c = padT(adash_hist).reshape(nc, Tc, Sp, N)
+        be_c = padT(beta_hist).reshape(nc, Tc, Sp, N)
+        x_c = padT(x_tpn).reshape(nc, Tc, P, N)
+        inv_c = padT(inv_hist).reshape(nc, Tc, N)
+
+        def chunk_posts(args):
+            ad, be, xf, iv = args                   # [Tc,Sp,N] ... [Tc,N]
+            ad_st = jnp.transpose(ad, (1, 0, 2))    # [Sp, Tc, N]
+            be_st = jnp.transpose(be, (1, 0, 2))
+            x_pt = jnp.transpose(xf, (1, 0, 2))     # [P, Tc, N]
+            av = jnp.take(ad_st, pdfo.src, axis=0)            # [Ap, Tc, N]
+            bt = jnp.take(be_st, pdfo.dst, axis=0)
+            xtp = jnp.take(x_pt, pdfo.pdf, axis=0) * pdfo.prob[:, None, None]
+            gv = av * bt * xtp * iv[None, :, :]
+            post = self._reduce(gv.reshape(pdfo.padded, Tc * N), self._oh_pdf)
+            return post.reshape(self._Pp, Tc, N)[:P]           # [P, Tc, N]
+
+        posts = jax.lax.map(chunk_posts, (ad_c, be_c, x_c, inv_c))
+        # [nc, P, Tc, N] -> [N, T, P]
+        posteriors = jnp.transpose(posts, (3, 0, 2, 1)).reshape(N, Tpad, P)
+        return log_prob, posteriors[:, :T]
 
     def __hash__(self):
         return id(self)

@@ -137,7 +137,9 @@ def main():
         fd = (float(r2.total_objf) - float(r1.total_objf)) / (2 * eps)
         worst = max(worst, abs(fd - deriv[b, t, p]))
     print(f"  max |fd - analytic| = {worst:.2e}")
-    if worst > 5e-3:
+    # the finite difference itself carries ~|objf|*1e-7/eps ~ 1e-3 noise on
+    # top of TPU transcendental drift; 1e-2 bounds both with margin
+    if worst > 1e-2:
         failures += 1
 
     # phase 4: reproducibility + fast-mode drift
