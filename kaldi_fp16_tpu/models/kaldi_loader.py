@@ -279,6 +279,15 @@ def load_params_from_components(model: Model, params: dict, state: dict,
             if bn is not None and bn.stats_mean is not None:
                 state[n] = _bn_state_from(bn, layer.output_dim)
             loaded = lin.linear_params.size + aff.linear_params.size
+        elif t == LayerType.RELU_BATCHNORM:
+            c = need(f"{n}.affine")
+            params[n]["w"] = _t(c.linear_params)
+            if c.bias_params is not None:
+                params[n]["b"] = jnp.asarray(c.bias_params, jnp.float32)
+            bn = components.get(f"{n}.batchnorm")
+            if bn is not None and bn.stats_mean is not None:
+                state[n] = _bn_state_from(bn, layer.output_dim)
+            loaded = c.linear_params.size
         elif t == LayerType.PREFINAL:
             spec: PrefinalSpec = layer.spec
             aff = need(f"{n}.affine")
@@ -384,6 +393,13 @@ def export_params_to_text(model: Model, params: dict, state: dict) -> str:
             lines.append(f"<BiasParams>{_fmt_vector(np.asarray(p['affine_b']))}")
             bn_lines(f"{n}.batchnorm", state[n], layer.output_dim,
                      spec.target_rms)
+        elif t == LayerType.RELU_BATCHNORM:
+            lines.append(f"<ComponentName> {n}.affine "
+                         f"<NaturalGradientAffineComponent> "
+                         f"<LinearParams>{_fmt_matrix(np.asarray(p['w']).T)}")
+            lines.append(f"<BiasParams>{_fmt_vector(np.asarray(p['b']))}")
+            bn_lines(f"{n}.batchnorm", state[n], layer.output_dim,
+                     layer.spec.target_rms)
         elif t == LayerType.PREFINAL:
             spec = layer.spec
             lines.append(f"<ComponentName> {n}.affine "

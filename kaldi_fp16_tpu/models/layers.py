@@ -132,6 +132,18 @@ class AttentionSpec:
 
 
 @dataclass
+class ReluBatchnormSpec:
+    """Kaldi relu-batchnorm-layer: affine -> ReLU -> batchnorm
+    (standard recipe layer; produces name.affine/.relu/.batchnorm
+    components in Kaldi)."""
+    input_dim: int
+    output_dim: int
+    target_rms: float = 1.0
+    l2_reg: float = 0.0
+    max_change: float = 0.75
+
+
+@dataclass
 class PrefinalSpec:
     input_dim: int
     small_dim: int
@@ -311,6 +323,16 @@ def _resolve_one(cfg: LayerConfig, layer_map, layers, idx) -> Layer:
                              time_stride=cfg.get_int("time-stride", 1),
                              l2_reg=cfg.get_float("l2-regularize"))
         return Layer(cfg.name, t, cfg, inp, inp.dim, out_dim, spec)
+
+    if t == LayerType.RELU_BATCHNORM:
+        dim = cfg.get_int("dim")
+        if dim <= 0:
+            raise ValueError(f"relu-batchnorm-layer {cfg.name}: missing dim")
+        spec = ReluBatchnormSpec(inp.dim, dim,
+                                 target_rms=cfg.get_float("target-rms", 1.0),
+                                 l2_reg=cfg.get_float("l2-regularize"),
+                                 max_change=cfg.get_float("max-change", 0.75))
+        return Layer(cfg.name, t, cfg, inp, inp.dim, dim, spec)
 
     if t == LayerType.PREFINAL:
         small = cfg.get_int("small-dim")

@@ -119,6 +119,10 @@ def _init_layer(layer: Layer, key) -> Tuple[dict, dict]:
         return ({"w": _xavier(key, s.input_dim, proj_dim),
                  "b": jnp.zeros(proj_dim, jnp.float32)},
                 _bn_state(s.output_dim))
+    if t == LayerType.RELU_BATCHNORM:
+        return ({"w": _xavier(key, s.input_dim, s.output_dim),
+                 "b": jnp.zeros(s.output_dim, jnp.float32)},
+                _bn_state(s.output_dim))
     if t == LayerType.PREFINAL:
         k1, k2 = jax.random.split(key)
         return ({"big_w": _xavier(k1, s.input_dim, s.big_dim),
@@ -436,6 +440,13 @@ def forward(model: Model, params: Params, state: State,
         elif t == LayerType.ATTENTION_RELU_BATCHNORM:
             out, ns = _fwd_attention(s, params[layer.name], state[layer.name],
                                      x, train, dtype)
+            new_state[layer.name] = ns
+        elif t == LayerType.RELU_BATCHNORM:
+            p = params[layer.name]
+            out = _matmul(x, p["w"], dtype) + p["b"].astype(jnp.float32)
+            out = jax.nn.relu(out).astype(dtype)
+            out, ns = _batchnorm(out, state[layer.name], s.target_rms,
+                                 1e-3, train)
             new_state[layer.name] = ns
         elif t == LayerType.PREFINAL:
             p = params[layer.name]

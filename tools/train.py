@@ -15,6 +15,7 @@ Usage:
 
 import argparse
 import os
+import sys
 
 import _common  # noqa: F401
 import numpy as np
@@ -76,6 +77,9 @@ def main():
     probe = DataLoader(args.egs, DataLoaderConfig(batch_size=args.batch,
                                                   label_dim=args.pdfs))
     n_batches = sum(1 for _ in probe)
+    if n_batches == 0:
+        sys.exit(f"error: no full batches — fewer than --batch {args.batch} "
+                 f"valid examples in {args.egs!r}; lower --batch")
     if args.steps_per_epoch:
         n_batches = min(n_batches, args.steps_per_epoch)
     total_steps = max(n_batches * args.epochs, 1)
