@@ -110,23 +110,24 @@ def sgd_update(params, grads, opt_state, config: SGDConfig,
     global_scale = jnp.minimum(
         1.0, config.max_param_change / jnp.maximum(total_norm, 1e-20))
 
-    do_update = jnp.asarray(1.0, jnp.float32)
-    if skip is not None:
-        do_update = jnp.where(skip, 0.0, 1.0)
-
     new_params = {}
     for lname, lparams in params.items():
         new_params[lname] = {}
         for pname, w in lparams.items():
             d = deltas[lname][pname]
-            new_params[lname][pname] = w - do_update * global_scale * d
-            # on skip, also keep old velocity
+            new_w = w - global_scale * d
+            # On skip (loss-scale overflow) params and velocity must be left
+            # EXACTLY untouched: deltas may be inf/NaN, so a multiplicative
+            # gate (0 * inf = NaN) would poison the weights — select instead.
             if skip is not None:
+                new_w = jnp.where(skip, w, new_w)
                 new_vel[lname][pname] = jnp.where(
                     skip, vel[lname][pname], new_vel[lname][pname])
+            new_params[lname][pname] = new_w
 
+    stepped = jnp.where(skip, 0, 1) if skip is not None else 1
     new_state = {"velocity": new_vel,
-                 "step": opt_state["step"] + jnp.where(do_update > 0, 1, 0)}
+                 "step": opt_state["step"] + stepped}
     stats = {"param_change_norm": total_norm * global_scale,
              "global_clip_scale": global_scale}
     return new_params, new_state, stats

@@ -107,6 +107,20 @@ class TestSGD:
                                       0.0)
         assert int(new_st["step"]) == 0
 
+    def test_skip_with_nonfinite_grads_leaves_params_exact(self):
+        """Regression: 0 * inf = NaN — a multiplicative skip gate poisoned
+        the weights when the overflowed grads were inf (found by sgdtest)."""
+        params, _ = self._simple()
+        grads = jax.tree_util.tree_map(
+            lambda w: jnp.full_like(w, jnp.inf), params)
+        st = init_sgd_state(params)
+        cfg = SGDConfig(learning_rate=0.1)
+        new_params, new_st, _ = sgd_update(params, grads, st, cfg,
+                                           skip=jnp.asarray(True))
+        np.testing.assert_array_equal(np.asarray(new_params["l"]["w"]),
+                                      np.asarray(params["l"]["w"]))
+        assert np.isfinite(np.asarray(new_params["l"]["w"])).all()
+
     def test_trainable_mask(self):
         params = {"idct": {"m": jnp.ones(3)}, "l": {"w": jnp.ones(3)}}
         grads = {"idct": {"m": jnp.ones(3)}, "l": {"w": jnp.ones(3)}}

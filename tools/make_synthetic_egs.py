@@ -57,7 +57,7 @@ def main():
     ap.add_argument("--files", type=int, default=2)
     ap.add_argument("--per-file", type=int, default=16)
     ap.add_argument("--pdfs", type=int, default=48)
-    ap.add_argument("--frames-in", type=int, default=45)
+    ap.add_argument("--frames-in", type=int, default=48)
     ap.add_argument("--frames-out", type=int, default=15)
     ap.add_argument("--feat-dim", type=int, default=40)
     ap.add_argument("--ivector-dim", type=int, default=100)
@@ -72,6 +72,15 @@ def main():
     os.makedirs(args.outdir, exist_ok=True)
     rng = np.random.default_rng(args.seed)
     left = 3
+    # supervision frame i reads input row left + i*stride — the last one
+    # must exist (a too-short frames_in silently misaligns training by a
+    # frame via slice clamping)
+    stride = args.frames_in // args.frames_out if args.frames_out else 3
+    need = left + (args.frames_out - 1) * stride + 1
+    if args.frames_in < need:
+        raise SystemExit(f"--frames-in {args.frames_in} < {need} required "
+                         f"for left={left}, frames_out={args.frames_out}, "
+                         f"stride={stride}")
     total = 0
     for f in range(args.files):
         exs = [make_example(rng, f"utt-{f}-{i:04d}", args, left)
