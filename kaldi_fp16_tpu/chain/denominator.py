@@ -103,6 +103,15 @@ class _BlockedOrder:
         self.chunks = J
         self.padded = Ap
         self.onehot = onehot.reshape(NB, J, AC, SB)
+        # local key per slot for the Pallas on-the-fly one-hot reduce;
+        # padding slots get SB (matches no iota row)
+        local = np.full(Ap, SB, np.int32)
+        for b in range(NB):
+            lo, hi = int(bounds[b]), int(bounds[b + 1])
+            n = hi - lo
+            base = b * J * AC
+            local[base:base + n] = sk[lo:hi] - b * SB
+        self.local = jnp.asarray(local.reshape(NB, J * AC))
         self.src = jnp.asarray(graph.src[perm].astype(np.int32))
         self.dst = jnp.asarray(graph.dst[perm].astype(np.int32))
         self.pdf = jnp.asarray(graph.pdf[perm].astype(np.int32))
@@ -152,8 +161,18 @@ class DenominatorComputation:
 
     # -- blocked one-hot reduction (the scatter replacement) -----------------
 
-    def _reduce(self, vals: jnp.ndarray, onehot: jnp.ndarray) -> jnp.ndarray:
-        """[Ap, ...] arc values -> [NB*SB, ...] per-key block sums (MXU)."""
+    def _reduce(self, vals: jnp.ndarray, onehot: jnp.ndarray,
+                local: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """[Ap, ...] arc values -> [NB*SB, ...] per-key block sums (MXU).
+
+        Lowered as an einsum against the stored one-hot blocks.  A Pallas
+        kernel with on-the-fly one-hots (ops/pallas_reduce.py) was measured
+        against it: standalone it wins at N>=64 (0.16 vs 0.22 ms/step) but
+        composed inside these scans it LOSES at every N on the current
+        toolchain (in-scan pallas_call dispatch + K-tiling overheads), so
+        the einsum stays the production path; `local` is accepted so the
+        two lowerings stay drop-in interchangeable for future re-audits.
+        """
         nb, j = onehot.shape[0], onehot.shape[1]
         rest = vals.shape[1:]
         v = vals.reshape(nb, j, AC, -1)
@@ -201,7 +220,7 @@ class DenominatorComputation:
             adash_prev, asum_prev = carry
             xtp_t = arc_scores(xs_t, dsto)
             av = jnp.take(adash_prev, dsto.src, axis=0) * xtp_t   # [Ap, N]
-            nxt = self._reduce(av, self._oh_dst)
+            nxt = self._reduce(av, self._oh_dst, dsto.local)
             safe = asum_prev > 0
             nxt = jnp.where(safe[None, :], nxt / asum_prev[None, :], nxt)
             logc = jnp.where(safe, jnp.log(asum_prev), 0.0)
@@ -238,7 +257,7 @@ class DenominatorComputation:
             xtp_t = arc_scores(xs_t, srco)
             inv = jnp.where(asum_t > 0, 1.0 / asum_t, 0.0)        # [N]
             bv = jnp.take(beta_next, srco.dst, axis=0) * xtp_t    # [Ap, N]
-            bd = self._reduce(bv, self._oh_src) * inv[None, :]
+            bd = self._reduce(bv, self._oh_src, srco.local) * inv[None, :]
             # emit the carry INPUT: frame t's posteriors use beta at t+1
             return leakify(bd), beta_next
 
@@ -273,7 +292,8 @@ class DenominatorComputation:
             bt = jnp.take(be_st, pdfo.dst, axis=0)
             xtp = jnp.take(x_pt, pdfo.pdf, axis=0) * pdfo.prob[:, None, None]
             gv = av * bt * xtp * iv[None, :, :]
-            post = self._reduce(gv.reshape(pdfo.padded, Tc * N), self._oh_pdf)
+            post = self._reduce(gv.reshape(pdfo.padded, Tc * N),
+                                self._oh_pdf, pdfo.local)
             return post.reshape(self._Pp, Tc, N)[:P]           # [P, Tc, N]
 
         posts = jax.lax.map(chunk_posts, (ad_c, be_c, x_c, inv_c))
