@@ -205,11 +205,42 @@ def _splice(x: jnp.ndarray, offsets, mode: str) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Natural-gradient site plumbing
+# ---------------------------------------------------------------------------
+
+class NGContext:
+    """Carries natural-gradient taps into / matmul inputs out of a forward.
+
+    A "site" is one affine/matmul application, keyed "<layer>/<param>".
+    `taps[site]` (zeros, same shape as the site's pre-activation output) is
+    ADDED at the site, so d loss/d tap = the per-sample output derivative G
+    that Kaldi's NaturalGradientAffineComponent preconditions; `xs[site]`
+    records the matmul input X.  See training/train_step.py.
+    """
+
+    def __init__(self, taps: Optional[dict] = None, collect: bool = False):
+        self.taps = taps
+        self.collect = collect
+        self.xs: Dict[str, jnp.ndarray] = {}
+
+    def site(self, name: str, x: jnp.ndarray, out: jnp.ndarray) -> jnp.ndarray:
+        if self.collect:
+            self.xs[name] = x
+        if self.taps is not None and name in self.taps:
+            out = out + self.taps[name]
+        return out
+
+
+def _site(ng: Optional[NGContext], name: str, x, out):
+    return out if ng is None else ng.site(name, x, out)
+
+
+# ---------------------------------------------------------------------------
 # Layer forwards
 # ---------------------------------------------------------------------------
 
 def _fwd_conv_relu_bn(spec: ConvReluBNSpec, p: dict, bn: dict, x: jnp.ndarray,
-                      train: bool, dtype) -> Tuple[jnp.ndarray, dict]:
+                      train: bool, dtype, ng=None, lname="") -> Tuple[jnp.ndarray, dict]:
     """Patch-gather + one matmul.  x: [B, T, H_in * nf_in] (filter fastest)."""
     B, T, _ = x.shape
     H_in, H_out = spec.height_in, spec.height_out
@@ -239,6 +270,7 @@ def _fwd_conv_relu_bn(spec: ConvReluBNSpec, p: dict, bn: dict, x: jnp.ndarray,
     patch = jnp.concatenate(patches, axis=-1)      # [B, T, H_out, n_off*nf_in]
 
     out = _matmul(patch, p["w"], dtype) + p["b"].astype(jnp.float32)
+    out = _site(ng, f"{lname}/w", patch, out)
     out = jax.nn.relu(out)                         # [B, T, H_out, nf_out]
     out = out.reshape(B, T, H_out * nf_out)        # filter fastest: h*nf + f
     out = out.astype(dtype)
@@ -246,14 +278,16 @@ def _fwd_conv_relu_bn(spec: ConvReluBNSpec, p: dict, bn: dict, x: jnp.ndarray,
 
 
 def _fwd_tdnnf(spec: TDNNFSpec, p: dict, bn: dict, x: jnp.ndarray,
-               train: bool, dtype) -> Tuple[jnp.ndarray, dict]:
+               train: bool, dtype, ng=None, lname="") -> Tuple[jnp.ndarray, dict]:
     """splice[-s,0] -> linear -> splice[0,+s] -> affine -> relu -> bn -> bypass
     (ref: forward.go:589-695; clamped edges)."""
     s = spec.time_stride
     lin_in = _splice(x, (-s, 0), "clamp") if s > 0 else x
-    bottleneck = _matmul(lin_in, p["linear_w"], dtype).astype(dtype)
+    bottleneck = _matmul(lin_in, p["linear_w"], dtype)
+    bottleneck = _site(ng, f"{lname}/linear_w", lin_in, bottleneck).astype(dtype)
     aff_in = _splice(bottleneck, (0, s), "clamp") if s > 0 else bottleneck
     out = _matmul(aff_in, p["affine_w"], dtype) + p["affine_b"].astype(jnp.float32)
+    out = _site(ng, f"{lname}/affine_w", aff_in, out)
     out = jax.nn.relu(out).astype(dtype)
     out, new_bn = _batchnorm(out, bn, spec.target_rms, 1e-3, train)
     if spec.bypass_scale > 0 and spec.input_dim == spec.output_dim:
@@ -262,7 +296,7 @@ def _fwd_tdnnf(spec: TDNNFSpec, p: dict, bn: dict, x: jnp.ndarray,
 
 
 def _fwd_attention(spec: AttentionSpec, p: dict, bn: dict, x: jnp.ndarray,
-                   train: bool, dtype) -> Tuple[jnp.ndarray, dict]:
+                   train: bool, dtype, ng=None, lname="") -> Tuple[jnp.ndarray, dict]:
     """Restricted per-head time attention, fully vectorized
     (ref: forward.go:795-909, which computed this on CPU per element)."""
     B, T, _ = x.shape
@@ -270,6 +304,7 @@ def _fwd_attention(spec: AttentionSpec, p: dict, bn: dict, x: jnp.ndarray,
     stride = spec.time_stride
 
     proj = _matmul(x, p["w"], dtype) + p["b"].astype(jnp.float32)  # [B,T,H*iph]
+    proj = _site(ng, f"{lname}/w", x, proj)
     proj = proj.reshape(B, T, H, spec.input_dim_per_head)
     keys = proj[..., :kd]                          # [B,T,H,kd]
     values = proj[..., kd:kd + vd]                 # [B,T,H,vd]
@@ -374,12 +409,18 @@ def forward(model: Model, params: Params, state: State,
             features: jnp.ndarray,                 # [B, T, feat_dim]
             ivectors: Optional[jnp.ndarray] = None,  # [B, ivec_dim]
             *, train: bool = False, rng=None,
-            compute_dtype=jnp.bfloat16) -> Tuple[Dict[str, jnp.ndarray], State]:
-    """Run the network.  Returns ({output_name: [B, T, dim]}, new_state).
+            compute_dtype=jnp.bfloat16,
+            ng_taps: Optional[dict] = None,
+            collect_ng: bool = False):
+    """Run the network.  Returns ({output_name: [B, T, dim]}, new_state)
+    — plus the dict of per-site matmul inputs when collect_ng=True (the
+    natural-gradient statistics path, see NGContext).
 
     Output frames are NOT subsampled here; use `subsample_output` to pick
     the chain-supervision frames (ref: chain_loss.go:245-254).
     """
+    ng = (NGContext(ng_taps, collect_ng)
+          if (ng_taps is not None or collect_ng) else None)
     B, T, _ = features.shape
     dtype = compute_dtype
     acts: Dict[str, jnp.ndarray] = {}
@@ -417,6 +458,7 @@ def forward(model: Model, params: Params, state: State,
             out = _matmul(x, params[layer.name]["idct"], dtype)
         elif t == LayerType.LINEAR:
             out = _matmul(x, params[layer.name]["w"], dtype)
+            out = _site(ng, f"{layer.name}/w", x, out)
         elif t == LayerType.BATCHNORM:
             out, ns = _batchnorm(x, state[layer.name], s.target_rms,
                                  s.epsilon, train)
@@ -431,19 +473,21 @@ def forward(model: Model, params: Params, state: State,
             out = _fwd_combine_feature_maps(s, x)
         elif t == LayerType.CONV_RELU_BATCHNORM:
             out, ns = _fwd_conv_relu_bn(s, params[layer.name],
-                                        state[layer.name], x, train, dtype)
+                                        state[layer.name], x, train, dtype,
+                                        ng=ng, lname=layer.name)
             new_state[layer.name] = ns
         elif t == LayerType.TDNNF:
             out, ns = _fwd_tdnnf(s, params[layer.name], state[layer.name],
-                                 x, train, dtype)
+                                 x, train, dtype, ng=ng, lname=layer.name)
             new_state[layer.name] = ns
         elif t == LayerType.ATTENTION_RELU_BATCHNORM:
             out, ns = _fwd_attention(s, params[layer.name], state[layer.name],
-                                     x, train, dtype)
+                                     x, train, dtype, ng=ng, lname=layer.name)
             new_state[layer.name] = ns
         elif t == LayerType.RELU_BATCHNORM:
             p = params[layer.name]
             out = _matmul(x, p["w"], dtype) + p["b"].astype(jnp.float32)
+            out = _site(ng, f"{layer.name}/w", x, out)
             out = jax.nn.relu(out).astype(dtype)
             out, ns = _batchnorm(out, state[layer.name], s.target_rms,
                                  1e-3, train)
@@ -452,14 +496,17 @@ def forward(model: Model, params: Params, state: State,
             p = params[layer.name]
             st = state[layer.name]
             big = _matmul(x, p["big_w"], dtype) + p["big_b"].astype(jnp.float32)
+            big = _site(ng, f"{layer.name}/big_w", x, big)
             big = jax.nn.relu(big).astype(dtype)
             big, ns1 = _batchnorm(big, st["bn1"], s.target_rms, 1e-3, train)
-            small = _matmul(big, p["small_w"], dtype).astype(dtype)
+            small = _matmul(big, p["small_w"], dtype)
+            small = _site(ng, f"{layer.name}/small_w", big, small).astype(dtype)
             out, ns2 = _batchnorm(small, st["bn2"], s.target_rms, 1e-3, train)
             new_state[layer.name] = {"bn1": ns1, "bn2": ns2}
         elif t == LayerType.OUTPUT:
             p = params[layer.name]
             out = _matmul(x, p["w"], dtype) + p["b"].astype(jnp.float32)
+            out = _site(ng, f"{layer.name}/w", x, out)
             if s.include_log_softmax:
                 out = jax.nn.log_softmax(out, axis=-1)
             outputs[layer.name] = out  # outputs stay fp32
@@ -469,7 +516,70 @@ def forward(model: Model, params: Params, state: State,
         acts[layer.name] = out.astype(dtype) if t != LayerType.OUTPUT else out
         prev_name = layer.name
 
+    if collect_ng:
+        return outputs, new_state, ng.xs
     return outputs, new_state
+
+
+def ng_sites(model: Model):
+    """Registry of natural-gradient sites for a model: one per matmul
+    application, with the param names and dims needed to precondition the
+    accumulated gradient (see training/train_step.py)."""
+    sites = []
+    for layer in model.layers:
+        t, sp, n = layer.type, layer.spec, layer.name
+        if t == LayerType.LINEAR:
+            sites.append(dict(name=f"{n}/w", layer=n, w="w", b=None,
+                              in_dim=sp.input_dim, out_dim=sp.output_dim,
+                              tap=("BT", sp.output_dim)))
+        elif t == LayerType.RELU_BATCHNORM:
+            sites.append(dict(name=f"{n}/w", layer=n, w="w", b="b",
+                              in_dim=sp.input_dim, out_dim=sp.output_dim,
+                              tap=("BT", sp.output_dim)))
+        elif t == LayerType.CONV_RELU_BATCHNORM:
+            k = len(sp.offsets) * sp.num_filters_in
+            sites.append(dict(name=f"{n}/w", layer=n, w="w", b="b",
+                              in_dim=k, out_dim=sp.num_filters_out,
+                              tap=("BTH", sp.height_out, sp.num_filters_out)))
+        elif t == LayerType.TDNNF:
+            m = 2 if sp.time_stride > 0 else 1
+            sites.append(dict(name=f"{n}/linear_w", layer=n, w="linear_w",
+                              b=None, in_dim=sp.input_dim * m,
+                              out_dim=sp.bottleneck_dim,
+                              tap=("BT", sp.bottleneck_dim)))
+            sites.append(dict(name=f"{n}/affine_w", layer=n, w="affine_w",
+                              b="affine_b", in_dim=sp.bottleneck_dim * m,
+                              out_dim=sp.output_dim,
+                              tap=("BT", sp.output_dim)))
+        elif t == LayerType.ATTENTION_RELU_BATCHNORM:
+            proj = sp.num_heads * sp.input_dim_per_head
+            sites.append(dict(name=f"{n}/w", layer=n, w="w", b="b",
+                              in_dim=sp.input_dim, out_dim=proj,
+                              tap=("BT", proj)))
+        elif t == LayerType.PREFINAL:
+            sites.append(dict(name=f"{n}/big_w", layer=n, w="big_w",
+                              b="big_b", in_dim=sp.input_dim,
+                              out_dim=sp.big_dim, tap=("BT", sp.big_dim)))
+            sites.append(dict(name=f"{n}/small_w", layer=n, w="small_w",
+                              b=None, in_dim=sp.big_dim, out_dim=sp.small_dim,
+                              tap=("BT", sp.small_dim)))
+        elif t == LayerType.OUTPUT:
+            sites.append(dict(name=f"{n}/w", layer=n, w="w", b="b",
+                              in_dim=sp.input_dim, out_dim=sp.output_dim,
+                              tap=("BT", sp.output_dim)))
+    return sites
+
+
+def make_ng_taps(sites, B: int, T: int) -> Dict[str, jnp.ndarray]:
+    """Zero tap arrays for one batch geometry."""
+    taps = {}
+    for s in sites:
+        if s["tap"][0] == "BT":
+            taps[s["name"]] = jnp.zeros((B, T, s["tap"][1]), jnp.float32)
+        else:  # BTH: conv, [B, T, H_out, nf_out]
+            taps[s["name"]] = jnp.zeros((B, T, s["tap"][1], s["tap"][2]),
+                                        jnp.float32)
+    return taps
 
 
 def subsample_output(x: jnp.ndarray, stride: int, offset: int,

@@ -1,0 +1,191 @@
+"""Online natural-gradient preconditioning (Kaldi NG-SGD family).
+
+Kaldi's NaturalGradientAffineComponent preconditions each affine update on
+both sides with online low-rank estimates of the Fisher factors: the input
+covariance E[x xᵀ] (x extended with a 1.0 column for the bias) and the
+output-derivative covariance E[g gᵀ] (Povey, Zhang & Khudanpur,
+"Parallel training of DNNs with natural gradient and parameter averaging",
+2014; kaldi nnet3/natural-gradient-online.{h,cc}).
+
+This is the same estimator family implemented natively in JAX — a rank-R
+eigen-approximation plus isotropic residual,
+
+    F_t  ≈  Vᵀ diag(d) V + rho (I - VᵀV),      V [R, D] orthonormal,
+
+updated online from each minibatch's sample matrix X [N, D] by an exact
+eigensolve of the updated Fisher restricted to the 2R-dimensional subspace
+span(rows V ∪ rows V·C) with C = XᵀX/N (everything reduced to R-sized
+moment matrices; no [D, D] matrix is ever formed), trace-preserving rho.
+It is NOT a line-for-line port of Kaldi's update recurrence, but keeps its
+structure: rank + smoothing alpha + num_samples_history semantics, periodic
+updates, and the Frobenius-norm-preserving gamma rescale of the output.
+
+Because the preconditioners act linearly on the sample space,
+    X̄ = X P_in⁻¹,   Ḡ = G P_out⁻¹
+the NG weight update factors through the ALREADY-ACCUMULATED gradient:
+    delta = X̄ᵀ Ḡ = P_in⁻¹ (Xᵀ G) P_out⁻¹ = P_in⁻¹ dW P_out⁻¹,
+so only covariance STATISTICS (not per-sample preconditioning) are needed
+at update time — see `precondition_grad`.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class NGConfig(NamedTuple):
+    rank: int = 20                    # Kaldi: 20 in / 80 out by default
+    alpha: float = 4.0                # isotropic smoothing
+    num_samples_history: int = 2000   # stats half-life in samples
+    update_period: int = 4            # update factors every K steps
+    epsilon: float = 1e-10
+    delta: float = 5e-4               # rho floor relative to max eig
+
+
+class NGState(NamedTuple):
+    v: jnp.ndarray        # [R, D] orthonormal rows
+    d: jnp.ndarray        # [R] eigenvalue excess over rho (>= 0)
+    rho: jnp.ndarray      # scalar isotropic residual
+    t: jnp.ndarray        # int32 update counter
+
+
+def init_ng_state(dim: int, cfg: NGConfig = NGConfig()) -> NGState:
+    r = min(cfg.rank, max(1, dim // 2))
+    # deterministic orthonormal init (Kaldi InitOrthonormalSpecial analog):
+    # rows of a DFT-like basis are orthonormal and dense
+    i = jnp.arange(r)[:, None].astype(jnp.float32)
+    j = jnp.arange(dim)[None, :].astype(jnp.float32)
+    v = jnp.cos(jnp.pi * (2 * j + 1) * (i + 1) / (2 * dim))
+    v = v * jnp.sqrt(2.0 / dim)
+    # re-orthonormalize exactly
+    v = _orthonormalize(v)
+    return NGState(v=v, d=jnp.zeros(r, jnp.float32),
+                   rho=jnp.asarray(cfg.epsilon, jnp.float32),
+                   t=jnp.zeros((), jnp.int32))
+
+
+def _orthonormalize(z: jnp.ndarray) -> jnp.ndarray:
+    """Symmetric (Loewdin) orthonormalization of the rows of z.  Directions
+    below the fp32 noise floor of the Gram matrix are zeroed rather than
+    amplified (rsqrt of garbage eigenvalues was a measured failure mode)."""
+    g = z @ z.T
+    w, u = jnp.linalg.eigh(g)
+    keep = w > 1e-6 * jnp.maximum(jnp.max(w), 1e-30)
+    inv_sqrt = jnp.where(keep, jax.lax.rsqrt(jnp.maximum(w, 1e-30)), 0.0)
+    return (u * inv_sqrt[None, :]) @ u.T @ z
+
+
+def _fisher_update(state: NGState, x: jnp.ndarray, cfg: NGConfig) -> NGState:
+    """One online update from sample matrix x [N, D].
+
+    All small-matrix algebra is fp32; the enrichment directions are
+    orthogonalized against V and row-normalized BEFORE the Gram solve —
+    with raw rows the Gram condition number is ~||C||^2 and fp32
+    orthonormalization emits garbage basis vectors that blow up the
+    eigenvalues (measured: top eig 5.5e5 vs true 329)."""
+    v, d, rho = state.v, state.d, state.rho
+    r, dim = v.shape
+    n = x.shape[0]
+    eta = jnp.clip(jnp.asarray(n, jnp.float32)
+                   / jnp.asarray(cfg.num_samples_history, jnp.float32),
+                   1e-3, 0.9)
+
+    # enrichment directions: V C orthogonalized against V, row-normalized
+    xv = x @ v.T                                   # [N, R]
+    y1 = (xv.T @ x) / n                            # V C      [R, D]
+    p = y1 - (y1 @ v.T) @ v
+    pn = jnp.sqrt(jnp.sum(p * p, axis=1, keepdims=True))
+    p = jnp.where(pn > 1e-20, p / jnp.maximum(pn, 1e-30), 0.0)
+    q = _orthonormalize(p)                         # [R, D], may have 0 rows
+    # re-orthogonalize vs v once more (fp32 drift)
+    q = q - (q @ v.T) @ v
+    b = jnp.concatenate([v, q], axis=0)            # [2R, D]
+
+    xb = x @ b.T                                   # [N, 2R]
+    bcb = (xb.T @ xb) / n                          # B C Bᵀ
+    bvt = b @ v.T                                  # [2R, R]
+    bbt = b @ b.T
+
+    # F' = (1-eta) (Vᵀ d V + rho (I - VᵀV)) + eta C,  projected onto B
+    m = ((1.0 - eta) * (bvt @ jnp.diag(d) @ bvt.T
+                        + rho * (bbt - bvt @ bvt.T))
+         + eta * bcb)
+    m = 0.5 * (m + m.T)
+    c, uu = jnp.linalg.eigh(m)                     # ascending
+    c = jnp.flip(c, 0)
+    uu = jnp.flip(uu, 1)
+    c_top = c[:r]
+    v_new = uu[:, :r].T @ b                        # [R, D]
+    v_new = _orthonormalize(v_new)
+
+    # trace-preserving isotropic residual
+    tr_c = jnp.sum(x * x) / n
+    tr_f = (1.0 - eta) * (jnp.sum(d) + rho * (dim - r)) + eta * tr_c
+    rho_new = (tr_f - jnp.sum(c_top)) / jnp.maximum(1, dim - r)
+    # rho floor: epsilon absolute, delta relative to the top eigenvalue
+    # (keeps P well-conditioned, Kaldi's delta semantics)
+    rho_new = jnp.maximum(rho_new,
+                          jnp.maximum(cfg.epsilon,
+                                      cfg.delta * jnp.max(c_top)))
+    d_new = jnp.maximum(c_top - rho_new, 0.0)
+    return NGState(v=v_new, d=d_new, rho=rho_new, t=state.t + 1)
+
+
+def ng_update(state: NGState, x: jnp.ndarray,
+              cfg: NGConfig = NGConfig()) -> NGState:
+    """Update the Fisher estimate from samples x [N, D] (respects
+    cfg.update_period — stats are folded in every K-th call)."""
+    do = (state.t % cfg.update_period) == 0
+    new = _fisher_update(state, x, cfg)
+    keep = NGState(v=state.v, d=state.d, rho=state.rho, t=state.t + 1)
+    return jax.tree_util.tree_map(
+        lambda a, b: jnp.where(do, a, b), new, keep)
+
+
+def _apply_inverse(state: NGState, g: jnp.ndarray, cfg: NGConfig,
+                   axis: int) -> jnp.ndarray:
+    """g · P⁻¹ along `axis`, with P = F + (alpha/D) tr(F) I (smoothed).
+
+    P⁻¹ = 1/rho~ (I - Vᵀ diag(d / (d + rho~)) V),  rho~ = rho + smoothing.
+    """
+    v, d, rho = state.v, state.d, state.rho
+    dim = v.shape[1]
+    tr_f = jnp.sum(d) + rho * (dim - v.shape[0])
+    rho_s = rho + cfg.alpha / dim * tr_f
+    g = jnp.moveaxis(g, axis, -1)
+    gv = g @ v.T                                  # [..., R]
+    corr = (gv * (d / (d + rho_s))[None, :]) @ v
+    out = (g - corr) / rho_s
+    return jnp.moveaxis(out, -1, axis)
+
+
+def precondition_grad(state_in: NGState, state_out: NGState,
+                      dw: jnp.ndarray, cfg: NGConfig = NGConfig()
+                      ) -> jnp.ndarray:
+    """NG-precondition an accumulated affine gradient dw [D_in, D_out]:
+
+        dw̄ = gamma · P_in⁻¹ dw P_out⁻¹
+
+    with gamma chosen so ||dw̄||_F = ||dw||_F (Kaldi's scale-invariant
+    rescale — NG changes the DIRECTION, the LR controls the size)."""
+    g = _apply_inverse(state_in, dw, cfg, axis=0)
+    g = _apply_inverse(state_out, g, cfg, axis=1)
+    num = jnp.sqrt(jnp.sum(dw.astype(jnp.float32) ** 2))
+    den = jnp.sqrt(jnp.sum(g.astype(jnp.float32) ** 2))
+    gamma = jnp.where(den > 0, num / den, 1.0)
+    return g * gamma
+
+
+def precondition_samples(state: NGState, x: jnp.ndarray,
+                         cfg: NGConfig = NGConfig()) -> jnp.ndarray:
+    """X̄ = gamma · X P⁻¹ for per-sample preconditioning (rows = samples);
+    gamma preserves the Frobenius norm (Kaldi PreconditionDirections)."""
+    xb = _apply_inverse(state, x, cfg, axis=-1)
+    num = jnp.sqrt(jnp.sum(x.astype(jnp.float32) ** 2))
+    den = jnp.sqrt(jnp.sum(xb.astype(jnp.float32) ** 2))
+    gamma = jnp.where(den > 0, num / den, 1.0)
+    return xb * gamma

@@ -28,7 +28,12 @@ from kaldi_fp16_tpu.chain.objective import (
     ChainResult, ChainTrainingOpts, make_chain_objf_with_post,
 )
 from kaldi_fp16_tpu.models.model import Model
-from kaldi_fp16_tpu.models.network import forward, subsample_output, trainable_mask
+from kaldi_fp16_tpu.models.network import (
+    forward, make_ng_taps, ng_sites, subsample_output, trainable_mask,
+)
+from kaldi_fp16_tpu.training.natural_gradient import (
+    NGConfig, init_ng_state, ng_update, precondition_grad,
+)
 from kaldi_fp16_tpu.training.optimizer import (
     SGDConfig, init_sgd_state, layer_hyperparams, sgd_update,
 )
@@ -49,6 +54,12 @@ class TrainConfig:
     xent_regularize: float = 0.0
     use_loss_scaling: bool = False
     compute_dtype: str = "bfloat16"
+    # Kaldi NG-SGD: precondition every affine gradient with online low-rank
+    # Fisher estimates of the matmul inputs / output derivatives
+    # (training/natural_gradient.py); ranks follow Kaldi defaults.
+    natural_gradient: bool = False
+    ng_rank_in: int = 20
+    ng_rank_out: int = 80
 
 
 class TrainStepOutput(NamedTuple):
@@ -62,6 +73,51 @@ class TrainStepOutput(NamedTuple):
     loss_scale: jnp.ndarray
     skipped: jnp.ndarray
     ok: jnp.ndarray
+
+
+
+def apply_natural_gradient(sites, ng_states, xs, tap_grads, grads, skip,
+                           cfg_in: NGConfig, cfg_out: NGConfig):
+    """Kaldi NG-SGD: update the online Fisher factors from this batch's
+    matmul inputs X and output-derivatives G, then precondition the
+    accumulated gradient on both sides:
+        dW_ext <- gamma * P_in^-1 [dW; db] P_out^-1
+    (the factorization through dW = X^T G makes per-sample preconditioning
+    unnecessary — natural_gradient.py docstring).  On skip (non-finite
+    batch) the Fisher states are left untouched.
+
+    Returns (preconditioned grads, new ng states)."""
+    grads = {k: dict(v) for k, v in grads.items()}
+    new_ng = {}
+    for site in sites:
+        nm = site["name"]
+        x_site = xs[nm].astype(jnp.float32)
+        g_site = tap_grads[nm].astype(jnp.float32)
+        x2 = x_site.reshape(-1, x_site.shape[-1])
+        g2 = g_site.reshape(-1, g_site.shape[-1])
+        if site["b"] is not None:
+            x2 = jnp.concatenate(
+                [x2, jnp.ones((x2.shape[0], 1), jnp.float32)], 1)
+        st_in = ng_update(ng_states[nm]["in"], x2, cfg_in)
+        st_out = ng_update(ng_states[nm]["out"], g2, cfg_out)
+        st_in = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(skip, b, a), st_in, ng_states[nm]["in"])
+        st_out = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(skip, b, a), st_out, ng_states[nm]["out"])
+        new_ng[nm] = {"in": st_in, "out": st_out}
+        dw = grads[site["layer"]][site["w"]].astype(jnp.float32)
+        if site["b"] is not None:
+            db = grads[site["layer"]][site["b"]].astype(jnp.float32)
+            dwe = jnp.concatenate([dw, db[None, :]], axis=0)
+        else:
+            dwe = dw
+        dwe = precondition_grad(st_in, st_out, dwe, cfg_in)
+        if site["b"] is not None:
+            grads[site["layer"]][site["w"]] = dwe[:-1]
+            grads[site["layer"]][site["b"]] = dwe[-1]
+        else:
+            grads[site["layer"]][site["w"]] = dwe
+    return grads, new_ng
 
 
 def make_train_step(model: Model,
@@ -79,6 +135,9 @@ def make_train_step(model: Model,
     """
     objf_fn = make_chain_objf_with_post(num_graph, den, chain_opts)
     hyper = layer_hyperparams(model)
+    sites = ng_sites(model) if config.natural_gradient else []
+    ng_cfg_in = NGConfig(rank=config.ng_rank_in)
+    ng_cfg_out = NGConfig(rank=config.ng_rank_out)
     dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32
     sgd_cfg = SGDConfig(learning_rate=config.learning_rate,
                         momentum=config.momentum,
@@ -95,9 +154,16 @@ def make_train_step(model: Model,
         if weights is None:
             weights = jnp.ones(B, jnp.float32)
 
-        def loss_fn(p):
-            outs, new_state = forward(model, p, net_state, feats, ivecs,
-                                      train=True, rng=rng, compute_dtype=dtype)
+        def loss_fn(p, taps):
+            if taps is not None:
+                outs, new_state, xs = forward(
+                    model, p, net_state, feats, ivecs, train=True, rng=rng,
+                    compute_dtype=dtype, ng_taps=taps, collect_ng=True)
+            else:
+                outs, new_state = forward(model, p, net_state, feats, ivecs,
+                                          train=True, rng=rng,
+                                          compute_dtype=dtype)
+                xs = {}
             chain_head = model.chain_output().name
             out = subsample_output(outs[chain_head].astype(jnp.float32),
                                    stride, config.left_context, n_out)
@@ -112,27 +178,46 @@ def make_train_step(model: Model,
                 loss = loss - config.xent_regularize * xent_objf
             if config.use_loss_scaling:
                 loss = loss * scale_state.scale
-            return loss, (result, new_state, xent_objf)
+            return loss, (result, new_state, xent_objf, xs)
 
-        (loss, (result, new_state, xent_objf)), grads = (
-            jax.value_and_grad(loss_fn, has_aux=True)(params))
+        if config.natural_gradient:
+            taps = make_ng_taps(sites, B, T_in)
+            ((loss, (result, new_state, xent_objf, xs)),
+             (grads, tap_grads)) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True)(params, taps)
+        else:
+            (loss, (result, new_state, xent_objf, xs)), grads = (
+                jax.value_and_grad(loss_fn, has_aux=True)(params, None))
+            tap_grads = {}
 
         if config.use_loss_scaling:
             loss = loss / scale_state.scale
             grads = unscale_grads(grads, scale_state)
+            if config.natural_gradient:
+                tap_grads = unscale_grads(tap_grads, scale_state)
+
+        # finiteness is judged on the RAW grads; a non-finite batch must
+        # neither update the NG Fisher stats nor the weights
         finite = grads_finite(grads)
         new_scale_state, skip = update_loss_scale(scale_state, finite)
         if not config.use_loss_scaling:
             skip = ~finite  # still guard against NaN batches
 
+        new_ng = opt_state.get("ng", {})
+        if config.natural_gradient:
+            grads, new_ng = apply_natural_gradient(
+                sites, opt_state["ng"], xs, tap_grads, grads, skip,
+                ng_cfg_in, ng_cfg_out)
         grad_norm = jnp.sqrt(sum(
             jnp.sum(g.astype(jnp.float32) ** 2)
             for g in jax.tree_util.tree_leaves(grads)))
 
         mask = trainable_mask(model, params)
         new_params, new_opt_state, stats = sgd_update(
-            params, grads, opt_state, sgd_cfg, lr=lr, hyper=hyper,
-            trainable=mask, skip=skip)
+            params, grads, {k: v for k, v in opt_state.items() if k != "ng"},
+            sgd_cfg, lr=lr, hyper=hyper, trainable=mask, skip=skip)
+        if config.natural_gradient:
+            new_opt_state["ng"] = new_ng
 
         out = TrainStepOutput(
             loss=loss,
@@ -159,5 +244,14 @@ def init_train_state(model: Model, key, config: TrainConfig = TrainConfig()):
     from kaldi_fp16_tpu.models.network import init_params
     params, net_state = init_params(model, key)
     opt_state = init_sgd_state(params)
+    if config.natural_gradient:
+        opt_state["ng"] = {}
+        for site in ng_sites(model):
+            d_in = site["in_dim"] + (1 if site["b"] is not None else 0)
+            opt_state["ng"][site["name"]] = {
+                "in": init_ng_state(d_in, NGConfig(rank=config.ng_rank_in)),
+                "out": init_ng_state(site["out_dim"],
+                                     NGConfig(rank=config.ng_rank_out)),
+            }
     scale_state = init_loss_scale() if config.use_loss_scaling else init_loss_scale(1.0)
     return params, net_state, opt_state, scale_state

@@ -148,12 +148,18 @@ def _make_graph_arg_train_step(model, den, chain_opts, config,
     one compilation serves every batch of the same bucket geometry."""
     from kaldi_fp16_tpu.chain.graph import NumeratorGraphBatch
     from kaldi_fp16_tpu.chain.objective import make_chain_objf_with_post
-    from kaldi_fp16_tpu.models.network import forward, subsample_output, trainable_mask
+    from kaldi_fp16_tpu.models.network import (
+        forward, make_ng_taps, ng_sites, subsample_output, trainable_mask)
     from kaldi_fp16_tpu.training.optimizer import (
         SGDConfig, layer_hyperparams, sgd_update)
     from kaldi_fp16_tpu.training.loss_scale import (
         grads_finite, unscale_grads, update_loss_scale)
+    from kaldi_fp16_tpu.training.natural_gradient import NGConfig
+    from kaldi_fp16_tpu.training.train_step import apply_natural_gradient
 
+    sites = ng_sites(model) if config.natural_gradient else []
+    ng_cfg_in = NGConfig(rank=config.ng_rank_in)
+    ng_cfg_out = NGConfig(rank=config.ng_rank_out)
     hyper = layer_hyperparams(model)
     dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32
     sgd_cfg = SGDConfig(learning_rate=config.learning_rate,
@@ -179,9 +185,16 @@ def _make_graph_arg_train_step(model, den, chain_opts, config,
             num_arcs=arc_src.shape[1])
         objf_fn = make_chain_objf_with_post(num_graph, den, chain_opts)
 
-        def loss_fn(p):
-            outs, new_state = forward(model, p, net_state, feats, ivecs,
-                                      train=True, rng=rng, compute_dtype=dtype)
+        def loss_fn(p, taps):
+            if taps is not None:
+                outs, new_state, xs = forward(
+                    model, p, net_state, feats, ivecs, train=True, rng=rng,
+                    compute_dtype=dtype, ng_taps=taps, collect_ng=True)
+            else:
+                outs, new_state = forward(model, p, net_state, feats, ivecs,
+                                          train=True, rng=rng,
+                                          compute_dtype=dtype)
+                xs = {}
             chain_head = model.chain_output().name
             full = outs[chain_head].astype(jnp.float32)
             out = jax.lax.dynamic_slice_in_dim(
@@ -202,18 +215,33 @@ def _make_graph_arg_train_step(model, den, chain_opts, config,
                 loss = loss - config.xent_regularize * xent_objf
             if config.use_loss_scaling:
                 loss = loss * scale_state.scale
-            return loss, (result, new_state, xent_objf)
+            return loss, (result, new_state, xent_objf, xs)
 
-        (loss, (result, new_state, xent_objf)), grads = (
-            jax.value_and_grad(loss_fn, has_aux=True)(params))
+        if config.natural_gradient:
+            taps = make_ng_taps(sites, B, feats.shape[1])
+            ((loss, (result, new_state, xent_objf, xs)),
+             (grads, tap_grads)) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True)(params, taps)
+        else:
+            (loss, (result, new_state, xent_objf, xs)), grads = (
+                jax.value_and_grad(loss_fn, has_aux=True)(params, None))
+            tap_grads = {}
 
         if config.use_loss_scaling:
             loss = loss / scale_state.scale
             grads = unscale_grads(grads, scale_state)
+            if config.natural_gradient:
+                tap_grads = unscale_grads(tap_grads, scale_state)
         finite = grads_finite(grads)
         new_scale_state, skip = update_loss_scale(scale_state, finite)
         if not config.use_loss_scaling:
             skip = ~finite
+
+        new_ng = opt_state.get("ng", {})
+        if config.natural_gradient:
+            grads, new_ng = apply_natural_gradient(
+                sites, opt_state["ng"], xs, tap_grads, grads, skip,
+                ng_cfg_in, ng_cfg_out)
 
         grad_norm = jnp.sqrt(sum(
             jnp.sum(g.astype(jnp.float32) ** 2)
@@ -221,8 +249,10 @@ def _make_graph_arg_train_step(model, den, chain_opts, config,
 
         mask = trainable_mask(model, params)
         new_params, new_opt_state, stats = sgd_update(
-            params, grads, opt_state, sgd_cfg, lr=lr, hyper=hyper,
-            trainable=mask, skip=skip)
+            params, grads, {k: v for k, v in opt_state.items() if k != "ng"},
+            sgd_cfg, lr=lr, hyper=hyper, trainable=mask, skip=skip)
+        if config.natural_gradient:
+            new_opt_state["ng"] = new_ng
 
         out = TrainStepOutput(
             loss=loss, objf_per_frame=result.objf_per_frame,

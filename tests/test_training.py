@@ -264,3 +264,51 @@ class TestTrainStep:
         assert np.isfinite(float(out.loss))
         # master params stay fp32
         assert params["linear1"]["w"].dtype == jnp.float32
+
+
+class TestNaturalGradient:
+    """NG-SGD end-to-end: preconditioned training must still descend,
+    Fisher states must update, and skipping must freeze them."""
+
+    def test_ng_training_descends(self, training_setup):
+        model, den, num_graph, batch = training_setup
+        config = TrainConfig(learning_rate=0.02, momentum=0.5,
+                             frame_subsampling_factor=STRIDE,
+                             compute_dtype="float32",
+                             natural_gradient=True, ng_rank_in=4,
+                             ng_rank_out=4)
+        step = make_train_step(model, den, num_graph, ChainTrainingOpts(),
+                               config, num_frames_out=T_OUT, donate=False)
+        params, net_state, opt_state, scale_state = init_train_state(
+            model, jax.random.PRNGKey(0), config)
+        assert "ng" in opt_state and len(opt_state["ng"]) >= 7
+        losses = []
+        key = jax.random.PRNGKey(1)
+        for i in range(10):
+            key, sub = jax.random.split(key)
+            params, net_state, opt_state, scale_state, out = step(
+                params, net_state, opt_state, scale_state, batch, sub)
+            losses.append(float(out.loss))
+            assert bool(out.ok)
+            assert not bool(out.skipped)
+            assert np.isfinite(losses[-1])
+        assert losses[-1] < 0.7 * losses[0], losses
+        # Fisher stats actually learned something: some site has d > 0
+        ds = [float(np.asarray(v["in"].d).max())
+              for v in jax.tree_util.tree_leaves(
+                  {k: v for k, v in opt_state["ng"].items()},
+                  is_leaf=lambda x: isinstance(x, dict) and "in" in x)]
+        assert max(ds) > 0, ds
+        # counters advanced
+        any_site = next(iter(opt_state["ng"].values()))
+        assert int(any_site["in"].t) == 10
+
+    def test_ng_sites_cover_all_affine_params(self, training_setup):
+        from kaldi_fp16_tpu.models.network import ng_sites
+        model, _, _, _ = training_setup
+        sites = ng_sites(model)
+        names = {s["name"] for s in sites}
+        assert "linear1/w" in names
+        assert "tdnnf1/linear_w" in names and "tdnnf1/affine_w" in names
+        assert "prefinal/big_w" in names and "prefinal/small_w" in names
+        assert "output/w" in names and "output-xent/w" in names

@@ -36,6 +36,9 @@ def main():
     ap.add_argument("--max-param-change", type=float, default=2.0)
     ap.add_argument("--l2-regularize", type=float, default=0.0)
     ap.add_argument("--xent-regularize", type=float, default=0.0)
+    ap.add_argument("--natural-gradient", action="store_true",
+                    help="Kaldi NG-SGD: precondition affine grads with "
+                         "online low-rank Fisher estimates")
     ap.add_argument("--leaky-hmm", type=float, default=1e-5)
     ap.add_argument("--frame-subsampling", type=int, default=3)
     ap.add_argument("--shuffle-buffer", type=int, default=1024)
@@ -92,7 +95,8 @@ def main():
     config = TrainConfig(learning_rate=args.lr, momentum=args.momentum,
                          max_param_change=args.max_param_change,
                          frame_subsampling_factor=args.frame_subsampling,
-                         xent_regularize=args.xent_regularize)
+                         xent_regularize=args.xent_regularize,
+                         natural_gradient=args.natural_gradient)
     chain_opts = ChainTrainingOpts(l2_regularize=args.l2_regularize,
                                    leaky_hmm_coefficient=args.leaky_hmm,
                                    xent_regularize=args.xent_regularize)
