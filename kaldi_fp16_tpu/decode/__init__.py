@@ -10,3 +10,7 @@ from kaldi_fp16_tpu.decode.viterbi import DecodeOptions, ViterbiDecoder, DecodeR
 from kaldi_fp16_tpu.decode.graph import DecodingGraph
 from kaldi_fp16_tpu.decode.wer import wer, levenshtein
 from kaldi_fp16_tpu.decode.tpu_viterbi import DenseViterbiDecoder, DenseGraph
+from kaldi_fp16_tpu.decode.lattice import (
+    Lattice, LatticeArc, LatticeDecodeOptions, LatticeDecoder, NGramLM,
+    rescore_with_lm,
+)

@@ -1,0 +1,395 @@
+"""Lattice generation, pruning, and rescoring.
+
+Kaldi-style lattices (lattice-faster-decoder semantics, reimplemented from
+scratch): a time-synchronous DAG over (frame, graph-state) nodes whose arcs
+keep GRAPH cost and ACOUSTIC cost separate, so the lattice can be rescored
+with different acoustic scales / LM weights, or composed with a new
+language model, WITHOUT re-running the acoustic model.
+
+Pipeline:
+  LatticeDecoder.decode(loglikes)       -> raw Lattice (all arcs surviving
+                                           the decoding beam)
+  lattice.prune(lattice_beam)           -> posterior-style pruning: keep
+                                           arcs on paths within `beam` of
+                                           the best (forward+arc+backward)
+  lattice.best_path(acoustic_scale,
+                    lm_scale)           -> re-Viterbi under new scales
+  rescore_with_lm(lattice, lm, ...)     -> replace/augment word scores with
+                                           an n-gram LM (on-the-fly
+                                           composition over olabels)
+  lattice.oracle_wer(ref)               -> lowest-WER path in the lattice
+
+No counterpart exists in the reference repo (it never implemented
+decoding); the design follows Kaldi's CompactLattice scale semantics.
+"""
+
+from __future__ import annotations
+
+import heapq
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from kaldi_fp16_tpu.decode.graph import DecodingGraph
+
+
+@dataclass
+class LatticeArc:
+    src: int             # lattice node id
+    dst: int
+    ilabel: int          # transition/pdf ilabel (0 = epsilon)
+    olabel: int          # word (0 = epsilon)
+    graph_cost: float
+    acoustic_cost: float
+
+    def cost(self, acoustic_scale: float = 1.0, lm_scale: float = 1.0
+             ) -> float:
+        return lm_scale * self.graph_cost + acoustic_scale * self.acoustic_cost
+
+
+@dataclass
+class Lattice:
+    """Nodes are topologically ordered (by frame).  Node 0 is the start;
+    `final_cost[n]` is +inf for non-final nodes."""
+    num_nodes: int
+    arcs: List[LatticeArc]
+    final_cost: np.ndarray          # [num_nodes]
+    node_frame: np.ndarray          # [num_nodes] frame index of each node
+
+    # -- shortest path under given scales ------------------------------------
+
+    def _arc_topo_order(self) -> List[int]:
+        """Arc indices in a topological order of the node DAG (same-frame
+        epsilon chains make frame order alone insufficient)."""
+        out: Dict[int, List[int]] = {}
+        indeg = np.zeros(self.num_nodes, np.int64)
+        for i, a in enumerate(self.arcs):
+            out.setdefault(a.src, []).append(i)
+            indeg[a.dst] += 1
+        order: List[int] = []
+        stack = [n for n in range(self.num_nodes) if indeg[n] == 0]
+        while stack:
+            n = stack.pop()
+            for i in out.get(n, ()):
+                order.append(i)
+                d = self.arcs[i].dst
+                indeg[d] -= 1
+                if indeg[d] == 0:
+                    stack.append(d)
+        if len(order) != len(self.arcs):       # cycle fallback (shouldn't)
+            order = sorted(range(len(self.arcs)),
+                           key=lambda i: self.node_frame[self.arcs[i].src])
+        return order
+
+    def _forward_costs(self, acoustic_scale: float, lm_scale: float
+                       ) -> Tuple[np.ndarray, List[Optional[LatticeArc]]]:
+        alpha = np.full(self.num_nodes, np.inf)
+        alpha[0] = 0.0
+        back: List[Optional[LatticeArc]] = [None] * self.num_nodes
+        for i in self._arc_topo_order():
+            a = self.arcs[i]
+            c = alpha[a.src] + a.cost(acoustic_scale, lm_scale)
+            if c < alpha[a.dst]:
+                alpha[a.dst] = c
+                back[a.dst] = a
+        return alpha, back
+
+    def _backward_costs(self, acoustic_scale: float, lm_scale: float
+                        ) -> np.ndarray:
+        beta = np.array(self.final_cost, dtype=np.float64)
+        for i in reversed(self._arc_topo_order()):
+            a = self.arcs[i]
+            c = a.cost(acoustic_scale, lm_scale) + beta[a.dst]
+            if c < beta[a.src]:
+                beta[a.src] = c
+        return beta
+
+    def best_path(self, acoustic_scale: float = 1.0, lm_scale: float = 1.0
+                  ) -> Tuple[List[int], float]:
+        """Viterbi over the lattice under the given scales.
+        Returns (words, total_cost)."""
+        alpha, back = self._forward_costs(acoustic_scale, lm_scale)
+        total = alpha + self.final_cost
+        end = int(np.argmin(total))
+        words: List[int] = []
+        node = end
+        while back[node] is not None:
+            a = back[node]
+            if a.olabel > 0:
+                words.append(a.olabel)
+            node = a.src
+        words.reverse()
+        return words, float(total[end])
+
+    def prune(self, lattice_beam: float, acoustic_scale: float = 1.0,
+              lm_scale: float = 1.0) -> "Lattice":
+        """Keep arcs on paths within lattice_beam of the best path
+        (forward + arc + backward pruning, Kaldi PruneLattice)."""
+        alpha, _ = self._forward_costs(acoustic_scale, lm_scale)
+        beta = self._backward_costs(acoustic_scale, lm_scale)
+        best = float(np.min(alpha + self.final_cost))
+        keep = [a for a in self.arcs
+                if (alpha[a.src] + a.cost(acoustic_scale, lm_scale)
+                    + beta[a.dst]) <= best + lattice_beam + 1e-6]
+        return _renumber(self, keep)
+
+    # -- n-best / oracle ------------------------------------------------------
+
+    def n_best(self, n: int, acoustic_scale: float = 1.0,
+               lm_scale: float = 1.0) -> List[Tuple[List[int], float]]:
+        """N shortest word sequences (unique), by A*-ish path enumeration."""
+        beta = self._backward_costs(acoustic_scale, lm_scale)
+        out_arcs: Dict[int, List[LatticeArc]] = {}
+        for a in self.arcs:
+            out_arcs.setdefault(a.src, []).append(a)
+        results: List[Tuple[List[int], float]] = []
+        seen = set()
+        heap = [(float(beta[0]), 0.0, 0, ())]
+        iters = 0
+        while heap and len(results) < n and iters < 100000:
+            iters += 1
+            est, cost, node, words = heapq.heappop(heap)
+            fc = self.final_cost[node]
+            if np.isfinite(fc) and node not in out_arcs:
+                key = tuple(words)
+                if key not in seen:
+                    seen.add(key)
+                    results.append((list(words), cost + float(fc)))
+                continue
+            if np.isfinite(fc):
+                key = tuple(words)
+                if key not in seen:
+                    seen.add(key)
+                    results.append((list(words), cost + float(fc)))
+            for a in out_arcs.get(node, ()):
+                c = cost + a.cost(acoustic_scale, lm_scale)
+                w = words + (a.olabel,) if a.olabel > 0 else words
+                heapq.heappush(heap, (c + float(beta[a.dst]), c, a.dst, w))
+        return results
+
+    def oracle_wer(self, ref: Sequence[int], acoustic_scale: float = 1.0,
+                   lm_scale: float = 1.0, n: int = 64) -> Tuple[float, List[int]]:
+        """Lowest WER over the n-best paths (lattice oracle estimate)."""
+        from kaldi_fp16_tpu.decode.wer import levenshtein
+        best = (np.inf, [])
+        for words, _ in self.n_best(n, acoustic_scale, lm_scale):
+            edits = levenshtein(list(ref), words)[3]
+            rate = edits / max(1, len(ref))
+            if rate < best[0]:
+                best = (rate, words)
+        return best
+
+    def word_sequences(self) -> set:
+        """All distinct word sequences (for small test lattices)."""
+        return {tuple(w) for w, _ in self.n_best(1000)}
+
+
+def _renumber(lat: Lattice, arcs: List[LatticeArc]) -> Lattice:
+    used = {0}
+    for a in arcs:
+        used.add(a.src)
+        used.add(a.dst)
+    order = sorted(used)
+    remap = {old: i for i, old in enumerate(order)}
+    new_arcs = [LatticeArc(remap[a.src], remap[a.dst], a.ilabel, a.olabel,
+                           a.graph_cost, a.acoustic_cost) for a in arcs]
+    return Lattice(num_nodes=len(order), arcs=new_arcs,
+                   final_cost=lat.final_cost[order],
+                   node_frame=lat.node_frame[order])
+
+
+# ---------------------------------------------------------------------------
+# Lattice-generating decoder
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class LatticeDecodeOptions:
+    beam: float = 16.0
+    lattice_beam: float = 8.0
+    max_active: int = 7000
+    acoustic_scale: float = 1.0
+
+
+class LatticeDecoder:
+    """Token-passing beam search that records ALL surviving arcs into a
+    lattice (per-state best token for pruning decisions, all incoming arcs
+    within the beam kept as lattice arcs — lattice-faster-decoder shape)."""
+
+    def __init__(self, graph: DecodingGraph,
+                 opts: LatticeDecodeOptions = LatticeDecodeOptions()):
+        self.graph = graph
+        self.opts = opts
+
+    def decode(self, loglikes: np.ndarray) -> Lattice:
+        g = self.graph
+        opts = self.opts
+        T = loglikes.shape[0]
+
+        # lattice node = (frame, graph_state); node ids assigned on demand
+        node_of: Dict[Tuple[int, int], int] = {}
+        node_frames: List[int] = []
+
+        def node(frame: int, state: int) -> int:
+            key = (frame, state)
+            nid = node_of.get(key)
+            if nid is None:
+                nid = len(node_of)
+                node_of[key] = nid
+                node_frames.append(frame)
+            return nid
+
+        arcs: List[LatticeArc] = []
+        start_node = node(0, g.start)
+        costs: Dict[int, float] = {g.start: 0.0}
+
+        def eps_expand(frame: int, costs: Dict[int, float]):
+            heap = [(c, s) for s, c in costs.items()]
+            heapq.heapify(heap)
+            while heap:
+                c, s = heapq.heappop(heap)
+                if c > costs.get(s, np.inf) + 1e-12:
+                    continue
+                for a in range(g.eps_row_ptr[s], g.eps_row_ptr[s + 1]):
+                    d = int(g.eps_dst[a])
+                    w = float(g.eps_weight[a])
+                    nc = c + w
+                    if nc < costs.get(d, np.inf) - 1e-12:
+                        costs[d] = nc
+                        heapq.heappush(heap, (nc, d))
+                        arcs.append(LatticeArc(node(frame, s), node(frame, d),
+                                               0, int(g.eps_olabel[a]), w, 0.0))
+
+        eps_expand(0, costs)
+
+        for t in range(T):
+            frame = loglikes[t]
+            best = min(costs.values())
+            cutoff = best + opts.beam
+            if len(costs) > opts.max_active:
+                cut2 = sorted(costs.values())[opts.max_active - 1]
+                cutoff = min(cutoff, cut2)
+            nxt: Dict[int, float] = {}
+            for s, c in costs.items():
+                if c > cutoff:
+                    continue
+                for a in range(g.em_row_ptr[s], g.em_row_ptr[s + 1]):
+                    il = int(g.em_ilabel[a])
+                    ac = -opts.acoustic_scale * float(frame[g.pdf_of(il)])
+                    gc = float(g.em_weight[a])
+                    d = int(g.em_dst[a])
+                    nc = c + gc + ac
+                    if nc < nxt.get(d, np.inf):
+                        nxt[d] = nc
+                    arcs.append(LatticeArc(node(t, s), node(t + 1, d),
+                                           il, int(g.em_olabel[a]), gc, ac))
+            eps_expand(t + 1, nxt)
+            # prune token set (the lattice keeps already-recorded arcs;
+            # final pruning happens in Lattice.prune)
+            if nxt:
+                b = min(nxt.values())
+                nxt = {s: c for s, c in nxt.items() if c <= b + opts.beam}
+            costs = nxt
+            if not costs:
+                break
+
+        n_nodes = len(node_of)
+        final = np.full(n_nodes, np.inf)
+        for (frame, state), nid in node_of.items():
+            if frame == T:
+                fc = g.final_cost[state]
+                if np.isfinite(fc):
+                    final[nid] = float(fc)
+        lat = Lattice(num_nodes=n_nodes, arcs=arcs, final_cost=final,
+                      node_frame=np.asarray(node_frames))
+        # drop arcs that cannot reach a final node, and apply lattice beam
+        return lat.prune(opts.lattice_beam, opts.acoustic_scale, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# LM rescoring
+# ---------------------------------------------------------------------------
+
+class NGramLM:
+    """Tiny backoff n-gram LM over word ids (costs are -log probs).
+
+    `ngrams` maps tuples (w1, ..., wk) -> cost of wk given the k-1 prefix;
+    `backoffs` maps context tuples -> backoff cost.  Missing mass falls
+    through to shorter contexts (standard Katz-style lookup).  Suitable for
+    lattice rescoring tests and small vocabularies; an ARPA file can be
+    loaded into the same dicts."""
+
+    def __init__(self, ngrams: Dict[tuple, float],
+                 backoffs: Optional[Dict[tuple, float]] = None,
+                 order: int = 2, oov_cost: float = 20.0):
+        self.ngrams = dict(ngrams)
+        self.backoffs = dict(backoffs or {})
+        self.order = order
+        self.oov_cost = oov_cost
+
+    def cost(self, context: tuple, word: int) -> float:
+        context = tuple(context[-(self.order - 1):]) if self.order > 1 else ()
+        bo_total = 0.0
+        while True:
+            key = context + (word,)
+            if key in self.ngrams:
+                return bo_total + self.ngrams[key]
+            if not context:
+                return bo_total + self.oov_cost
+            bo_total += self.backoffs.get(context, 0.0)
+            context = context[1:]
+
+
+def rescore_with_lm(lat: Lattice, lm: NGramLM, lm_weight: float = 1.0,
+                    old_lm_weight: float = 0.0) -> Lattice:
+    """Compose the lattice with an n-gram LM over output labels.
+
+    Expands lattice nodes into (node, lm_context) pairs; each word arc's
+    graph cost becomes  old_lm_weight * graph_cost + lm_weight * lm_cost
+    (old_lm_weight=0 replaces the graph LM scores entirely, =1 adds).
+    Acoustic costs are untouched — that is the point of keeping them
+    separate (Kaldi lmrescore)."""
+    out_arcs: Dict[int, List[LatticeArc]] = {}
+    for a in lat.arcs:
+        out_arcs.setdefault(a.src, []).append(a)
+
+    # BFS over (node, context)
+    new_nodes: Dict[Tuple[int, tuple], int] = {}
+    new_frames: List[int] = []
+    new_final: List[float] = []
+
+    def get(node: int, ctx: tuple) -> int:
+        key = (node, ctx)
+        nid = new_nodes.get(key)
+        if nid is None:
+            nid = len(new_nodes)
+            new_nodes[key] = nid
+            new_frames.append(int(lat.node_frame[node]))
+            new_final.append(float(lat.final_cost[node]))
+        return nid
+
+    new_arc_list: List[LatticeArc] = []
+    stack = [(0, ())]
+    seen = {(0, ())}
+    get(0, ())
+    while stack:
+        node, ctx = stack.pop()
+        src_id = new_nodes[(node, ctx)]
+        for a in out_arcs.get(node, ()):
+            if a.olabel > 0:
+                lm_cost = lm.cost(ctx, a.olabel)
+                gc = old_lm_weight * a.graph_cost + lm_weight * lm_cost
+                nctx = (ctx + (a.olabel,))[-(lm.order - 1):] if lm.order > 1 else ()
+            else:
+                gc = old_lm_weight * a.graph_cost
+                nctx = ctx
+            dst_id = get(a.dst, nctx)
+            new_arc_list.append(LatticeArc(src_id, dst_id, a.ilabel,
+                                           a.olabel, gc, a.acoustic_cost))
+            if (a.dst, nctx) not in seen:
+                seen.add((a.dst, nctx))
+                stack.append((a.dst, nctx))
+
+    return Lattice(num_nodes=len(new_nodes), arcs=new_arc_list,
+                   final_cost=np.asarray(new_final),
+                   node_frame=np.asarray(new_frames))

@@ -1,0 +1,130 @@
+"""Lattice generation, pruning, scale rescoring, LM rescoring, n-best,
+oracle WER (NEW vs the reference — it implements no decoder at all)."""
+
+import numpy as np
+import pytest
+
+from kaldi_fp16_tpu.io.fst import Fst, FstArc, FstState
+from kaldi_fp16_tpu.decode.graph import DecodingGraph
+from kaldi_fp16_tpu.decode.viterbi import DecodeOptions, ViterbiDecoder
+from kaldi_fp16_tpu.decode.lattice import (
+    LatticeDecodeOptions, LatticeDecoder, NGramLM, rescore_with_lm,
+)
+from tests.test_decoder import loglikes_for, two_word_graph
+
+
+@pytest.fixture
+def graph():
+    return DecodingGraph.from_fst(two_word_graph())
+
+
+def ambiguous_loglikes(T=2, num_pdfs=6, tilt=0.5):
+    """Acoustics that slightly prefer word 1 (pdfs 1,2) over word 2."""
+    ll = np.zeros((T, num_pdfs))
+    ll[0, 0] = 1.0 + tilt; ll[1, 1] = 1.0 + tilt     # word 1
+    ll[0, 2] = 1.0;        ll[1, 3] = 1.0            # word 2
+    return ll
+
+
+class TestLatticeDecoder:
+    def test_best_path_matches_viterbi(self, graph):
+        ll = loglikes_for([1, 2, 3, 4])
+        lat = LatticeDecoder(graph).decode(ll)
+        words, cost = lat.best_path()
+        ref = ViterbiDecoder(graph).decode(ll)
+        assert words == ref.words == [1, 2]
+        assert abs(cost - ref.total_cost) < 1e-4
+
+    def test_lattice_contains_competitors(self, graph):
+        lat = LatticeDecoder(graph).decode(ambiguous_loglikes())
+        seqs = lat.word_sequences()
+        assert (1,) in seqs and (2,) in seqs   # both words survive
+
+    def test_prune_tightens(self, graph):
+        lat = LatticeDecoder(graph).decode(ambiguous_loglikes())
+        tight = lat.prune(1e-6)
+        assert tight.word_sequences() == {(1,)}
+        assert len(tight.arcs) < len(lat.arcs)
+
+    def test_acoustic_scale_rescoring_flips_winner(self, graph):
+        """Word 1 wins on acoustics; shrinking the acoustic scale makes the
+        graph costs dominate — built so word 2 has cheaper graph cost."""
+        s = [FstState() for _ in range(5)]
+        s[0].arcs.append(FstArc(1, 2.0, 1, olabel=0))   # word 1: costly graph
+        s[1].arcs.append(FstArc(2, 0.0, 4, olabel=1))
+        s[0].arcs.append(FstArc(3, 0.0, 2, olabel=0))   # word 2: free graph
+        s[2].arcs.append(FstArc(4, 0.0, 4, olabel=2))
+        s[4].final = 0.0
+        g = DecodingGraph.from_fst(Fst(start=0, states=s))
+        ll = ambiguous_loglikes(tilt=1.5)
+        lat = LatticeDecoder(g, LatticeDecodeOptions(beam=50.0,
+                                                     lattice_beam=50.0)
+                             ).decode(ll)
+        w_full, _ = lat.best_path(acoustic_scale=1.0)
+        w_small, _ = lat.best_path(acoustic_scale=0.1)
+        assert w_full == [1]       # acoustics dominate
+        assert w_small == [2]      # graph costs dominate after rescale
+
+    def test_n_best_ordering(self, graph):
+        lat = LatticeDecoder(graph).decode(ambiguous_loglikes())
+        nb = lat.n_best(4)
+        assert nb[0][0] == [1]
+        costs = [c for _, c in nb]
+        assert costs == sorted(costs)
+
+    def test_oracle_wer_beats_one_best(self, graph):
+        """Acoustics prefer word 1, reference says word 2: 1-best WER is
+        100% but the lattice contains the truth."""
+        lat = LatticeDecoder(graph).decode(ambiguous_loglikes())
+        one_best, _ = lat.best_path()
+        assert one_best == [1]
+        rate, words = lat.oracle_wer([2])
+        assert rate == 0.0 and words == [2]
+
+
+class TestLMRescoring:
+    def test_lm_flips_winner(self, graph):
+        """Acoustics prefer word 1; an LM that strongly favors word 2
+        must flip the decision after composition."""
+        lat = LatticeDecoder(graph).decode(ambiguous_loglikes())
+        assert lat.best_path()[0] == [1]
+        lm = NGramLM({(1,): 10.0, (2,): 0.1}, order=1)
+        res = rescore_with_lm(lat, lm, lm_weight=1.0, old_lm_weight=0.0)
+        assert res.best_path()[0] == [2]
+
+    def test_bigram_context(self, graph):
+        """Two-word utterance; a bigram LM that penalizes (1 -> 1) and
+        rewards (1 -> 2) picks the sequence [1, 2]."""
+        ll = np.zeros((4, 6))
+        # frames favor word1 then slightly favor word1 again
+        ll[0, 0] = 2.0; ll[1, 1] = 2.0
+        ll[2, 0] = 1.1; ll[3, 1] = 1.1
+        ll[2, 2] = 1.0; ll[3, 3] = 1.0
+        lat = LatticeDecoder(graph, LatticeDecodeOptions(beam=50.0,
+                                                         lattice_beam=50.0)
+                             ).decode(ll)
+        assert lat.best_path()[0] == [1, 1]
+        lm = NGramLM({(1,): 0.5, (2,): 0.5,
+                      (1, 1): 8.0, (1, 2): 0.1, (2, 1): 1.0, (2, 2): 1.0},
+                     order=2)
+        res = rescore_with_lm(lat, lm, lm_weight=1.0, old_lm_weight=0.0)
+        assert res.best_path()[0] == [1, 2]
+
+    def test_acoustics_untouched_by_lm(self, graph):
+        lat = LatticeDecoder(graph).decode(ambiguous_loglikes())
+        lm = NGramLM({(1,): 1.0, (2,): 1.0}, order=1)
+        res = rescore_with_lm(lat, lm)
+        ac_before = sorted(round(a.acoustic_cost, 5) for a in lat.arcs
+                           if a.ilabel > 0)
+        ac_after = sorted(round(a.acoustic_cost, 5) for a in res.arcs
+                          if a.ilabel > 0)
+        # same multiset up to duplication from context expansion
+        assert set(ac_before) <= set(ac_after) or set(ac_after) <= set(ac_before)
+
+    def test_backoff_lookup(self):
+        lm = NGramLM({(5,): 2.0, (4, 5): 0.5}, backoffs={(9,): 1.5},
+                     order=2)
+        assert lm.cost((4,), 5) == 0.5          # bigram hit
+        assert lm.cost((7,), 5) == 2.0          # backoff (no cost entry)
+        assert lm.cost((9,), 5) == 3.5          # backoff cost + unigram
+        assert lm.cost((), 12345) == 20.0       # OOV

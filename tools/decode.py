@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""decode — end-to-end decoding: egs -> acoustic model -> posteriors ->
+WFST lattice decode -> (optional LM rescoring) -> words + WER.
+
+The reference never implemented decoding (README.md:10 lists WFST decoding
+as "kept" philosophy only); this is net-new per BASELINE.json config 5.
+
+Usage:
+  python tools/decode.py --egs 'data/cegs.*.ark' --xconfig cfg --pdfs P \\
+      --graph HCLG.fst [--model nnet3.txt] [--acoustic-scale 1.0] \\
+      [--beam 16] [--lattice-beam 8] [--ref ref.txt] [--nbest 0]
+
+With no --egs/--graph it runs a synthetic demo (random 2-word graph).
+`--ref` is a text file "utt-key word-id word-id ..." for WER scoring.
+"""
+
+import argparse
+import sys
+
+import _common  # noqa: F401
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--egs")
+    ap.add_argument("--graph")
+    ap.add_argument("--xconfig")
+    ap.add_argument("--model", help="nnet3 text model to load")
+    ap.add_argument("--pdfs", type=int, default=48)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--acoustic-scale", type=float, default=1.0)
+    ap.add_argument("--beam", type=float, default=16.0)
+    ap.add_argument("--lattice-beam", type=float, default=8.0)
+    ap.add_argument("--ref", help="reference transcripts for WER")
+    ap.add_argument("--nbest", type=int, default=0)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from kaldi_fp16_tpu.decode.graph import DecodingGraph
+    from kaldi_fp16_tpu.decode.lattice import LatticeDecodeOptions, LatticeDecoder
+    from kaldi_fp16_tpu.decode.wer import wer
+
+    if not (args.egs and args.graph and args.xconfig):
+        print("demo mode: synthetic graph + posteriors "
+              "(pass --egs/--graph/--xconfig for real decoding)")
+        from tests.test_decoder import two_word_graph, loglikes_for
+        graph = DecodingGraph.from_fst(two_word_graph())
+        posts = {"demo-utt": loglikes_for([1, 2, 3, 4])}
+        refs = {"demo-utt": [1, 2]}
+    else:
+        from kaldi_fp16_tpu.io.dataloader import DataLoader, DataLoaderConfig
+        from kaldi_fp16_tpu.models.model import build_model
+        from kaldi_fp16_tpu.models.network import (
+            forward, init_params, subsample_output,
+        )
+        graph = DecodingGraph.from_file(args.graph)
+        model = build_model(args.xconfig)
+        params, state = init_params(model, jax.random.PRNGKey(0))
+        if args.model:
+            from kaldi_fp16_tpu.models.kaldi_loader import load_weights_from_text
+            params, state, _ = load_weights_from_text(
+                model, params, state, open(args.model).read())
+
+        @jax.jit
+        def acoustic(feats, ivecs):
+            outs, _ = forward(model, params, state, feats, ivecs, train=False)
+            return outs[model.chain_output().name]
+
+        posts = {}
+        dl = DataLoader(args.egs, DataLoaderConfig(batch_size=args.batch,
+                                                   label_dim=args.pdfs))
+        for batch in dl:
+            out = acoustic(jnp.asarray(batch.features),
+                           None if batch.ivectors is None
+                           else jnp.asarray(batch.ivectors))
+            out = subsample_output(out, 3, batch.left_context,
+                                   batch.frames_per_seq)
+            for i, key in enumerate(batch.keys):
+                posts[key] = np.asarray(out[i], np.float64)
+        refs = {}
+        if args.ref:
+            for line in open(args.ref):
+                parts = line.split()
+                if parts:
+                    refs[parts[0]] = [int(w) for w in parts[1:]]
+
+    dec = LatticeDecoder(graph, LatticeDecodeOptions(
+        beam=args.beam, lattice_beam=args.lattice_beam,
+        acoustic_scale=args.acoustic_scale))
+    hyps, ref_list, hyp_list = {}, [], []
+    for key, ll in posts.items():
+        lat = dec.decode(ll)
+        words, cost = lat.best_path()
+        hyps[key] = words
+        extra = ""
+        if args.nbest:
+            nb = lat.n_best(args.nbest)
+            extra = "  nbest=" + "; ".join(
+                f"{w}@{c:.2f}" for w, c in nb)
+        print(f"{key}: {' '.join(map(str, words))}  (cost {cost:.3f},"
+              f" {len(lat.arcs)} lattice arcs){extra}")
+        if key in refs:
+            ref_list.append(refs[key])
+            hyp_list.append(words)
+    if ref_list:
+        report = wer(ref_list, hyp_list)
+        print("WER: " + " ".join(f"{k}={v}" for k, v in report.items()))
+
+
+if __name__ == "__main__":
+    main()
