@@ -1,27 +1,40 @@
-"""Benchmark: flagship CNN-TDNN chain TRAINING throughput on the real chip.
+#!/usr/bin/env python
+"""trainbench — full chain TRAINING throughput on the flagship CNN-TDNN at
+production scale: den.fst 7052 states / 113K arcs / 3080 pdfs, 150-frame
+chunks, batched sequences.  Reports audio-seconds/s/chip (the BASELINE.json
+north-star metric; 100 feature frames = 1 audio second).
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Implied reference rate: the 4090 reference measured forward at 117K
+frames/s and chain loss at ~91 ms per 8-sequence batch (BASELINE.md);
+with backward ~2x forward and the per-sequence chain cost that bounds a
+full train step at ~10-11 K frames/s ~= 100-110 audio-sec/s.
 
-The metric is BASELINE.json's north star: audio-seconds/s/chip of full
-chain training (forward + LF-MMI numerator/denominator forward-backward +
-backward + SGD) at production scale — den.fst 7052 states / 113,380 arcs /
-3080 pdfs, 150-frame chunks, 64-sequence batch, flagship CNN-TDNN
-(cnn1-6 + tdnnf7-21 + dual heads).
-
-Baseline: the reference's own numbers imply ~105 audio-sec/s on its
-RTX 4090 (forward 117K frames/s + ~91 ms chain loss per 8-sequence batch +
-~2x-forward backward; BASELINE.md rows 1-2).  vs_baseline > 1 = faster.
-`detail` carries the forward-only throughput for continuity with earlier
-rounds (117K frames/s reference).
+Usage: python tools/trainbench.py [--batch 32] [--frames 150] [--iters 10]
+       [--natural-gradient]
 """
 
+import argparse
 import json
 import time
 
+import _common  # noqa: F401
 import numpy as np
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--frames", type=int, default=150)   # input frames
+    ap.add_argument("--pdfs", type=int, default=3080)
+    ap.add_argument("--den-states", type=int, default=7052)
+    ap.add_argument("--den-arcs", type=int, default=113380)
+    ap.add_argument("--num-arcs", type=int, default=256)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--xconfig", default="configs/cnn_tdnn.xconfig")
+    ap.add_argument("--natural-gradient", action="store_true")
+    ap.add_argument("--mode", default="exact", choices=["exact", "fast"])
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
     from kaldi_fp16_tpu.chain.denominator import DenominatorComputation
@@ -30,38 +43,18 @@ def main():
     )
     from kaldi_fp16_tpu.chain.objective import ChainTrainingOpts
     from kaldi_fp16_tpu.models.model import build_model
-    from kaldi_fp16_tpu.models.network import forward, init_params
     from kaldi_fp16_tpu.training.train_step import (
         TrainConfig, init_train_state, make_train_step,
     )
 
     rng = np.random.default_rng(0)
-    B, T_in, P = 64, 150, 3080
-    S, A, An = 7052, 113380, 256
-    left = stride = 3
+    B, T_in, P = args.batch, args.frames, args.pdfs
+    S, A = args.den_states, args.den_arcs
+    left = 3
+    stride = 3
     T_out = (T_in - left + stride - 1) // stride
 
-    model = build_model("configs/cnn_tdnn.xconfig")
-
-    # ---- forward-only throughput (continuity metric) -----------------------
-    params, state = init_params(model, jax.random.PRNGKey(0))
-
-    @jax.jit
-    def fwd(params, state, features, ivectors):
-        outs, _ = forward(model, params, state, features, ivectors,
-                          train=False, compute_dtype=jnp.bfloat16)
-        return outs["output"]
-
-    feats8 = jnp.asarray(rng.normal(size=(8, T_in, 40)).astype(np.float32))
-    ivecs8 = jnp.asarray(rng.normal(size=(8, 100)).astype(np.float32))
-    fwd(params, state, feats8, ivecs8).block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(30):
-        out = fwd(params, state, feats8, ivecs8)
-    out.block_until_ready()
-    fwd_frames_per_s = 8 * T_in * 30 / (time.perf_counter() - t0)
-
-    # ---- full train step at production scale -------------------------------
+    model = build_model(args.xconfig)
     dst = np.sort(rng.integers(0, S, size=A).astype(np.int32))
     graph = DenominatorGraph(
         src=rng.integers(0, S, size=A).astype(np.int32), dst=dst,
@@ -69,9 +62,9 @@ def main():
         prob=rng.uniform(0.1, 1.0, size=A).astype(np.float32),
         initial=(lambda v: v / v.sum())(rng.uniform(0, 1, S).astype(np.float32)),
         num_states=S, num_pdfs=P, start_state=0)
-    den = DenominatorComputation(graph, leaky=1e-5)
+    den = DenominatorComputation(graph, leaky=1e-5, mode=args.mode)
 
-    Sn = An // 2 + 2
+    An, Sn = args.num_arcs, args.num_arcs // 2 + 2
     num_graph = NumeratorGraphBatch(
         arc_src=np.tile(np.arange(An, dtype=np.int32) % (Sn - 1), (B, 1)),
         arc_dst=np.tile(np.arange(An, dtype=np.int32) % (Sn - 1) + 1, (B, 1)),
@@ -84,11 +77,13 @@ def main():
         num_states=Sn, num_arcs=An)
 
     config = TrainConfig(learning_rate=1e-3, momentum=0.9,
-                         frame_subsampling_factor=stride, left_context=left)
+                         frame_subsampling_factor=stride, left_context=left,
+                         natural_gradient=args.natural_gradient)
     step = make_train_step(model, den, num_graph, ChainTrainingOpts(), config,
                            num_frames_out=T_out, donate=True)
     params, net_state, opt_state, scale_state = init_train_state(
         model, jax.random.PRNGKey(0), config)
+
     batch = {
         "features": jnp.asarray(rng.normal(size=(B, T_in, 40))
                                 .astype(np.float32)),
@@ -96,33 +91,34 @@ def main():
         "weights": jnp.ones(B, jnp.float32),
     }
     key = jax.random.PRNGKey(1)
+
+    # warm up / compile
     key, sub = jax.random.split(key)
     params, net_state, opt_state, scale_state, out = step(
         params, net_state, opt_state, scale_state, batch, sub)
     jax.block_until_ready(out.loss)
 
-    iters = 10
     t0 = time.perf_counter()
-    for _ in range(iters):
+    for _ in range(args.iters):
         key, sub = jax.random.split(key)
         params, net_state, opt_state, scale_state, out = step(
             params, net_state, opt_state, scale_state, batch, sub)
     jax.block_until_ready(out.loss)
-    dt = (time.perf_counter() - t0) / iters
+    dt = (time.perf_counter() - t0) / args.iters
 
-    audio_per_s = B * T_in / 100.0 / dt
-    baseline = 105.0
+    frames = B * T_in
+    audio_s = frames / 100.0
+    baseline = 105.0  # implied reference audio-sec/s (see docstring)
     print(json.dumps({
         "metric": "train_audio_sec_per_s_per_chip",
-        "value": round(audio_per_s, 1),
+        "value": round(audio_s / dt, 1),
         "unit": "audio-sec/s/chip",
-        "vs_baseline": round(audio_per_s / baseline, 3),
-        "detail": {
-            "step_ms": round(dt * 1e3, 2),
-            "batch": B, "frames_in": T_in, "frames_out": T_out,
-            "forward_frames_per_s": round(fwd_frames_per_s, 1),
-            "forward_vs_baseline": round(fwd_frames_per_s / 117_000.0, 2),
-        },
+        "vs_baseline": round(audio_s / dt / baseline, 3),
+        "detail": {"step_ms": round(dt * 1e3, 2), "batch": B,
+                   "frames_in": T_in, "frames_out": T_out,
+                   "natural_gradient": args.natural_gradient,
+                   "den_mode": args.mode,
+                   "loss": float(out.loss)},
     }))
 
 
