@@ -29,7 +29,9 @@ import jax.numpy as jnp
 
 from kaldi_fp16_tpu.chain.graph import LOG_ZERO, NumeratorGraphBatch
 
-_PREC = jax.lax.Precision.HIGHEST  # one-hot matmuls must be exact fp32
+# one-hot matmuls: bfloat16x3 passes keep fp32 values to ~1e-7 relative
+# (one-hots are exact in bf16); 2x cheaper than HIGHEST's 6 passes
+_PREC = jax.lax.Precision.HIGH
 
 
 @functools.partial(jax.jit, static_argnames=("num_states",))
@@ -83,24 +85,27 @@ def _num_forward_backward(arc_src, arc_dst, arc_pdf, arc_logw, arc_mask,
 
     betaT = jnp.where(final_logw > LOG_ZERO, final_logw, LOG_ZERO)
 
-    def bwd_step(beta_next, inp):
-        score_t, alpha_t = inp
+    def bwd_step(beta_next, score_t):
         dst_beta = gather_states(beta_next, e_dst)
         vals = jnp.where(dst_beta > LOG_ZERO, dst_beta + score_t, LOG_ZERO)
         beta_t = scatter_lse(vals, e_src)
-        # posteriors for frame t
-        src_alpha = gather_states(alpha_t, e_src)
-        lp = jnp.where((src_alpha > LOG_ZERO) & (dst_beta > LOG_ZERO),
-                       src_alpha + score_t + dst_beta - total[:, None],
-                       -jnp.inf)
-        lp = jnp.minimum(lp, 0.0)                              # clamp (chain.cu:311)
-        arc_post = jnp.where(jnp.isfinite(lp), jnp.exp(lp), 0.0)
-        post_t = jax.vmap(
-            lambda v, p: jax.ops.segment_sum(v, p, num_segments=P)
-        )(arc_post, arc_pdf)                                   # [B, P]
-        return beta_t, post_t
+        # emit the carry INPUT: frame t's posteriors use beta at t+1
+        return beta_t, beta_next
 
-    _, posts = jax.lax.scan(bwd_step, betaT, (scores, alphas), reverse=True)
+    _, beta_hist = jax.lax.scan(bwd_step, betaT, scores, reverse=True)
+
+    # bulk posteriors over all frames (no per-step scatter in the scan):
+    # arc_post[t, b, a] then ONE exact one-hot contraction into pdfs
+    src_alpha = jnp.einsum("bas,tbs->tba", e_src, alphas, precision=_PREC)
+    dst_beta = jnp.einsum("bas,tbs->tba", e_dst, beta_hist, precision=_PREC)
+    lp = jnp.where((src_alpha > LOG_ZERO) & (dst_beta > LOG_ZERO),
+                   src_alpha + scores + dst_beta - total[None, :, None],
+                   -jnp.inf)
+    lp = jnp.minimum(lp, 0.0)                                  # clamp (chain.cu:311)
+    arc_post = jnp.where(jnp.isfinite(lp), jnp.exp(lp), 0.0)   # [T, B, A]
+    e_pdf = jax.nn.one_hot(jnp.where(mask, arc_pdf, P), P,
+                           dtype=jnp.float32)                  # [B, A, P]
+    posts = jnp.einsum("tba,bap->tbp", arc_post, e_pdf, precision=_PREC)
     posteriors = jnp.swapaxes(posts, 0, 1)                     # [B, T, P]
     ok = total > LOG_ZERO
     posteriors = jnp.where(ok[:, None, None], posteriors, 0.0)
