@@ -197,3 +197,49 @@ class DataLoader:
         return (f"examples={s.examples_read} skipped={s.examples_skipped} "
                 f"batches={s.batches} files={s.files_done} "
                 f"read_s={s.read_seconds:.2f} skip_reasons={s.skip_reasons}")
+
+
+class PrefetchLoader:
+    """Background-thread prefetch around a DataLoader (or any batch
+    iterable): host-side parse/assembly overlaps device compute, the
+    TPU-side realization of the reference's planned goroutine pipeline +
+    pinned-buffer ring (ref: docs/kaldi_fp16_complete_report.md §3.5-3.6;
+    only the pinned-buffer half landed there, bridge.go:229-366).
+
+    The native cegs parser (io/native.py) releases the GIL inside its C
+    calls, so a single producer thread achieves true parse/step overlap.
+    `depth` bounds the queue (a ring of ready batches).  Exceptions in the
+    producer are re-raised at the consumer.
+    """
+
+    _DONE = object()
+
+    def __init__(self, loader, depth: int = 2):
+        import queue as _queue
+        import threading
+        self.loader = loader
+        self._queue = _queue.Queue(maxsize=max(1, depth))
+        self._thread = threading.Thread(target=self._produce, daemon=True)
+        self._error = None
+        self._thread.start()
+
+    def _produce(self):
+        try:
+            for batch in self.loader:
+                self._queue.put(batch)
+        except BaseException as e:  # noqa: BLE001 — re-raised at consumer
+            self._error = e
+        finally:
+            self._queue.put(self._DONE)
+
+    def __iter__(self):
+        while True:
+            item = self._queue.get()
+            if item is self._DONE:
+                if self._error is not None:
+                    raise self._error
+                return
+            yield item
+
+    def summary(self) -> str:
+        return getattr(self.loader, "summary", lambda: "")()

@@ -163,3 +163,31 @@ def test_shard_files():
     assert s1 == ["f1", "f5", "f9"]
     all_shards = sum((shard_files(files, i, 4) for i in range(4)), [])
     assert sorted(all_shards) == files
+
+
+class TestPrefetchLoader:
+    def test_same_batches_as_direct(self, tmp_path):
+        from kaldi_fp16_tpu.io.dataloader import (
+            DataLoader, DataLoaderConfig, PrefetchLoader,
+        )
+        files = _write_arks(tmp_path, n_files=1, per_file=9)
+        cfg = DataLoaderConfig(batch_size=3)
+        direct = list(DataLoader(files, cfg))
+        pre = list(PrefetchLoader(DataLoader(files, cfg), depth=2))
+        assert len(pre) == len(direct) == 3
+        for a, b in zip(direct, pre):
+            assert a.keys == b.keys
+            np.testing.assert_array_equal(a.features, b.features)
+
+    def test_producer_error_reraised(self):
+        from kaldi_fp16_tpu.io.dataloader import PrefetchLoader
+
+        def bad():
+            yield 1
+            raise ValueError("boom")
+
+        it = iter(PrefetchLoader(bad(), depth=1))
+        assert next(it) == 1
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="boom"):
+            list(it)

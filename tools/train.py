@@ -42,6 +42,8 @@ def main():
     ap.add_argument("--leaky-hmm", type=float, default=1e-5)
     ap.add_argument("--frame-subsampling", type=int, default=3)
     ap.add_argument("--shuffle-buffer", type=int, default=1024)
+    ap.add_argument("--prefetch", type=int, default=2,
+                    help="background prefetch depth (0 = synchronous)")
     ap.add_argument("--ckpt-dir")
     ap.add_argument("--ckpt-every", type=int, default=500)
     ap.add_argument("--resume", action="store_true")
@@ -58,7 +60,9 @@ def main():
     from kaldi_fp16_tpu.chain.denominator import DenominatorComputation
     from kaldi_fp16_tpu.chain.graph import DenominatorGraph
     from kaldi_fp16_tpu.chain.objective import ChainTrainingOpts
-    from kaldi_fp16_tpu.io.dataloader import DataLoader, DataLoaderConfig
+    from kaldi_fp16_tpu.io.dataloader import (
+        DataLoader, DataLoaderConfig, PrefetchLoader,
+    )
     from kaldi_fp16_tpu.io.fst import read_fst_file
     from kaldi_fp16_tpu.models.model import build_model
     from kaldi_fp16_tpu.training.checkpoint import CheckpointManager, DataPosition
@@ -127,8 +131,9 @@ def main():
                                          seed=args.seed + epoch,
                                          max_fst_states=args.fst_pad_states,
                                          max_fst_arcs=args.fst_pad_arcs))
+        batches = PrefetchLoader(dl, args.prefetch) if args.prefetch else dl
         epoch_objf = []
-        for i, batch in enumerate(dl):
+        for i, batch in enumerate(batches):
             if args.steps_per_epoch and i >= args.steps_per_epoch:
                 break
             with timer:
