@@ -191,23 +191,29 @@ def make_chain_objf_with_post(num_graph: NumeratorGraphBatch,
     """Like make_chain_objf, but also returns the numerator posteriors
     (stop-gradiented) so callers can add cross-entropy regularization on a
     second head: xent_objf = sum(w * num_post * xent_logprob)
-    (Kaldi nnet-chain-training.cc xent_regularize path)."""
+    (Kaldi nnet-chain-training.cc xent_regularize path).
+
+    The returned objf_fn takes (nnet_output, weights, deriv_weights) where
+    deriv_weights [B, T] (or None) mask the chain DERIVATIVE per frame
+    (Kaldi supervision deriv-weights: e.g. zeroing chunk-overlap frames);
+    the objective value itself is unweighted, matching Kaldi."""
 
     @jax.custom_vjp
-    def objf_fn(nnet_output, weights):
+    def objf_fn(nnet_output, weights, deriv_weights):
         result, _, num_post = _chain_core(num_graph, den, nnet_output,
-                                          weights, opts=opts)
+                                          weights, deriv_weights, opts=opts)
         return result.total_objf, result, jax.lax.stop_gradient(num_post)
 
-    def objf_fwd(nnet_output, weights):
+    def objf_fwd(nnet_output, weights, deriv_weights):
         result, deriv, num_post = _chain_core(num_graph, den, nnet_output,
-                                              weights, opts=opts)
+                                              weights, deriv_weights,
+                                              opts=opts)
         return ((result.total_objf, result, jax.lax.stop_gradient(num_post)),
                 deriv)
 
     def objf_bwd(deriv, cotangents):
         g_objf = cotangents[0]
-        return (g_objf * deriv, None)
+        return (g_objf * deriv, None, None)
 
     objf_fn.defvjp(objf_fwd, objf_bwd)
     return objf_fn

@@ -10,7 +10,9 @@ output-derivative covariance E[g gᵀ] (Povey, Zhang & Khudanpur,
 This is the same estimator family implemented natively in JAX — a rank-R
 eigen-approximation plus isotropic residual,
 
-    F_t  ≈  Vᵀ diag(d) V + rho (I - VᵀV),      V [R, D] orthonormal,
+    F_t  ≈  Vᵀ diag(d) V + rho I,      V [R, D] orthonormal, d = excess
+                                       over rho (eigenvalue along v_i is
+                                       d_i + rho),
 
 updated online from each minibatch's sample matrix X [N, D] by an exact
 eigensolve of the updated Fisher restricted to the 2R-dimensional subspace
@@ -110,9 +112,12 @@ def _fisher_update(state: NGState, x: jnp.ndarray, cfg: NGConfig) -> NGState:
     bvt = b @ v.T                                  # [2R, R]
     bbt = b @ b.T
 
-    # F' = (1-eta) (Vᵀ d V + rho (I - VᵀV)) + eta C,  projected onto B
-    m = ((1.0 - eta) * (bvt @ jnp.diag(d) @ bvt.T
-                        + rho * (bbt - bvt @ bvt.T))
+    # F' = (1-eta) (Vᵀ d V + rho I) + eta C,  projected onto B.
+    # NOTE d is the EXCESS over rho (matching _apply_inverse, where the
+    # eigenvalue along v_i is d_i + rho), so rho multiplies bbt, not the
+    # V-complement — the complement-only form silently shaved rho off the
+    # learned spectrum at every periodic update.
+    m = ((1.0 - eta) * (bvt @ jnp.diag(d) @ bvt.T + rho * bbt)
          + eta * bcb)
     m = 0.5 * (m + m.T)
     c, uu = jnp.linalg.eigh(m)                     # ascending
@@ -122,9 +127,10 @@ def _fisher_update(state: NGState, x: jnp.ndarray, cfg: NGConfig) -> NGState:
     v_new = uu[:, :r].T @ b                        # [R, D]
     v_new = _orthonormalize(v_new)
 
-    # trace-preserving isotropic residual
+    # trace-preserving isotropic residual; tr F = sum(d) + rho*dim under
+    # the excess convention
     tr_c = jnp.sum(x * x) / n
-    tr_f = (1.0 - eta) * (jnp.sum(d) + rho * (dim - r)) + eta * tr_c
+    tr_f = (1.0 - eta) * (jnp.sum(d) + rho * dim) + eta * tr_c
     rho_new = (tr_f - jnp.sum(c_top)) / jnp.maximum(1, dim - r)
     # rho floor: epsilon absolute, delta relative to the top eigenvalue
     # (keeps P well-conditioned, Kaldi's delta semantics)
@@ -138,12 +144,14 @@ def _fisher_update(state: NGState, x: jnp.ndarray, cfg: NGConfig) -> NGState:
 def ng_update(state: NGState, x: jnp.ndarray,
               cfg: NGConfig = NGConfig()) -> NGState:
     """Update the Fisher estimate from samples x [N, D] (respects
-    cfg.update_period — stats are folded in every K-th call)."""
+    cfg.update_period — stats are folded in every K-th call; lax.cond so
+    skipped steps don't pay the eigensolve)."""
     do = (state.t % cfg.update_period) == 0
-    new = _fisher_update(state, x, cfg)
-    keep = NGState(v=state.v, d=state.d, rho=state.rho, t=state.t + 1)
-    return jax.tree_util.tree_map(
-        lambda a, b: jnp.where(do, a, b), new, keep)
+    return jax.lax.cond(
+        do,
+        lambda s: _fisher_update(s, x, cfg),
+        lambda s: NGState(v=s.v, d=s.d, rho=s.rho, t=s.t + 1),
+        state)
 
 
 def _apply_inverse(state: NGState, g: jnp.ndarray, cfg: NGConfig,
@@ -154,7 +162,7 @@ def _apply_inverse(state: NGState, g: jnp.ndarray, cfg: NGConfig,
     """
     v, d, rho = state.v, state.d, state.rho
     dim = v.shape[1]
-    tr_f = jnp.sum(d) + rho * (dim - v.shape[0])
+    tr_f = jnp.sum(d) + rho * dim
     rho_s = rho + cfg.alpha / dim * tr_f
     g = jnp.moveaxis(g, axis, -1)
     gv = g @ v.T                                  # [..., R]

@@ -38,18 +38,27 @@ class SGDConfig:
 
 
 def layer_hyperparams(model: Model) -> Dict[str, Dict[str, float]]:
-    """Per-layer (lr_factor, max_change) from the xconfig specs."""
+    """Per-layer (lr_factor, max_change, l2) from the xconfig specs.
+
+    max_change is None when the xconfig doesn't set it (falls back to the
+    SGDConfig default); an EXPLICIT max-change=0 means "no per-component
+    limit" (Kaldi nnet3 skips the clip when max_change == 0).
+    l2 is the xconfig l2-regularize factor, applied as learning-rate-scaled
+    weight decay (Kaldi ApplyL2Regularization)."""
     out = {}
     for layer in model.layers:
         lr_factor = 1.0
-        max_change = 0.0
+        max_change: Optional[float] = None
         s = layer.spec
         if isinstance(s, (ConvReluBNSpec, OutputSpec)):
             lr_factor = s.learning_rate_factor
             max_change = s.max_change
         lr_factor = layer.config.get_float("learning-rate-factor", lr_factor)
-        max_change = layer.config.get_float("max-change", max_change)
-        out[layer.name] = {"lr_factor": lr_factor, "max_change": max_change}
+        if "max-change" in layer.config.params:
+            max_change = layer.config.get_float("max-change")
+        l2 = getattr(s, "l2_reg", 0.0) or 0.0
+        out[layer.name] = {"lr_factor": lr_factor, "max_change": max_change,
+                           "l2": l2}
     return out
 
 
@@ -78,13 +87,19 @@ def sgd_update(params, grads, opt_state, config: SGDConfig,
     new_vel = {}
     deltas = {}
     sq_norms = []
+    l2_decay = {}
     for lname, lparams in params.items():
         new_vel[lname] = {}
         deltas[lname] = {}
         h = hyper.get(lname, {})
         lr_factor = h.get("lr_factor", 1.0)
-        max_change = h.get("max_change", 0.0) or config.default_max_change
+        # None = unset in xconfig -> SGDConfig default; explicit 0 = Kaldi's
+        # "no per-component limit"
+        max_change = h.get("max_change")
+        if max_change is None:
+            max_change = config.default_max_change
         layer_lr = lr * lr_factor
+        l2 = h.get("l2", 0.0)
         # per-component (per-layer) delta and clip
         layer_sq = []
         for pname, w in lparams.items():
@@ -99,12 +114,18 @@ def sgd_update(params, grads, opt_state, config: SGDConfig,
             d = layer_lr * v
             deltas[lname][pname] = d
             layer_sq.append(jnp.sum(d.astype(jnp.float32) ** 2))
-        if layer_sq:
+            if l2 > 0:
+                # Kaldi ApplyL2Regularization: lr-scaled weight decay,
+                # OUTSIDE the max-change-clipped delta
+                l2_decay[(lname, pname)] = layer_lr * l2 * w
+        if layer_sq and max_change > 0:
             comp_norm = jnp.sqrt(sum(layer_sq))
             comp_scale = jnp.minimum(1.0, max_change / jnp.maximum(comp_norm, 1e-20))
             for pname in deltas[lname]:
                 deltas[lname][pname] = deltas[lname][pname] * comp_scale
             sq_norms.append((comp_norm * comp_scale) ** 2)
+        elif layer_sq:
+            sq_norms.append(sum(layer_sq))
 
     total_norm = jnp.sqrt(sum(sq_norms)) if sq_norms else jnp.zeros(())
     global_scale = jnp.minimum(
@@ -115,7 +136,7 @@ def sgd_update(params, grads, opt_state, config: SGDConfig,
         new_params[lname] = {}
         for pname, w in lparams.items():
             d = deltas[lname][pname]
-            new_w = w - global_scale * d
+            new_w = w - global_scale * d - l2_decay.get((lname, pname), 0.0)
             # On skip (loss-scale overflow) params and velocity must be left
             # EXACTLY untouched: deltas may be inf/NaN, so a multiplicative
             # gate (0 * inf = NaN) would poison the weights — select instead.

@@ -122,18 +122,36 @@ def apply_natural_gradient(sites, ng_states, xs, tap_grads, grads, skip,
 
 def make_train_step(model: Model,
                     den: DenominatorComputation,
-                    num_graph: NumeratorGraphBatch,
+                    num_graph: Optional[NumeratorGraphBatch],
                     chain_opts: ChainTrainingOpts = ChainTrainingOpts(),
                     config: TrainConfig = TrainConfig(),
                     num_frames_out: Optional[int] = None,
                     donate: bool = True,
-                    jit: bool = True):
+                    jit: bool = True,
+                    graph_in_args: bool = False):
     """Build a jitted train_step for a fixed (bucketed) batch geometry.
 
     num_frames_out: supervision frames per sequence (shared across the
     bucket); default infers from T and subsampling on first call.
+
+    graph_in_args=False (default): the numerator graph is baked into the
+    step via closure; step(params, net_state, opt_state, scale_state,
+    batch, rng, lr=None).
+
+    graph_in_args=True (the Trainer path): the numerator-graph ARRAYS are
+    traced arguments so one compilation serves every batch of a bucket
+    geometry, and the subsample offset is a traced left_context:
+    step(params, net_state, opt_state, scale_state, batch,
+         arc_src, arc_dst, arc_pdf, arc_logw, arc_mask, start, final_logw,
+         rng, lr, left_context).
+
+    Per-frame supervision deriv_weights ([B, n_out] in batch
+    ["deriv_weights"], optional) mask the chain derivative AND the xent
+    head (Kaldi semantics).
     """
-    objf_fn = make_chain_objf_with_post(num_graph, den, chain_opts)
+    if not graph_in_args:
+        assert num_graph is not None
+        static_objf_fn = make_chain_objf_with_post(num_graph, den, chain_opts)
     hyper = layer_hyperparams(model)
     sites = ng_sites(model) if config.natural_gradient else []
     ng_cfg_in = NGConfig(rank=config.ng_rank_in)
@@ -143,16 +161,27 @@ def make_train_step(model: Model,
                         momentum=config.momentum,
                         max_param_change=config.max_param_change)
 
-    def step(params, net_state, opt_state, scale_state: LossScaleState,
-             batch: Dict[str, jnp.ndarray], rng, lr=None):
+    def step_body(params, net_state, opt_state, scale_state: LossScaleState,
+                  batch: Dict[str, jnp.ndarray], rng, lr, objf_fn,
+                  left_context):
         feats = batch["features"]            # [B, T_in, D]
         ivecs = batch.get("ivectors")        # [B, ivec]
         weights = batch.get("weights")       # [B]
+        dws = batch.get("deriv_weights")     # [B, n_out] or None
         B, T_in, _ = feats.shape
         stride = config.frame_subsampling_factor
         n_out = num_frames_out or (T_in - config.left_context + stride - 1) // stride
         if weights is None:
             weights = jnp.ones(B, jnp.float32)
+        dws_arg = (jnp.ones((B, n_out), jnp.float32) if dws is None
+                   else dws.astype(jnp.float32))
+
+        def pick_frames(full):
+            """Supervision frames: rows left_context, +stride, ... — via
+            dynamic slice so left_context may be a traced value."""
+            sl = jax.lax.dynamic_slice_in_dim(
+                full, left_context, (n_out - 1) * stride + 1, axis=1)
+            return sl[:, ::stride]
 
         def loss_fn(p, taps):
             if taps is not None:
@@ -165,15 +194,14 @@ def make_train_step(model: Model,
                                           compute_dtype=dtype)
                 xs = {}
             chain_head = model.chain_output().name
-            out = subsample_output(outs[chain_head].astype(jnp.float32),
-                                   stride, config.left_context, n_out)
-            objf, result, num_post = objf_fn(out, weights)
+            out = pick_frames(outs[chain_head].astype(jnp.float32))
+            objf, result, num_post = objf_fn(out, weights, dws_arg)
             loss = -objf
             xent_objf = jnp.zeros((), jnp.float32)
             xent_layer = model.xent_output()
             if config.xent_regularize > 0 and xent_layer is not None:
-                xent = subsample_output(outs[xent_layer.name].astype(jnp.float32),
-                                        stride, config.left_context, n_out)
+                xent = pick_frames(outs[xent_layer.name].astype(jnp.float32))
+                xent = xent * dws_arg[:, :, None]
                 xent_objf = jnp.sum(weights[:, None, None] * num_post * xent)
                 loss = loss - config.xent_regularize * xent_objf
             if config.use_loss_scaling:
@@ -199,9 +227,12 @@ def make_train_step(model: Model,
         # finiteness is judged on the RAW grads; a non-finite batch must
         # neither update the NG Fisher stats nor the weights
         finite = grads_finite(grads)
-        new_scale_state, skip = update_loss_scale(scale_state, finite)
-        if not config.use_loss_scaling:
-            skip = ~finite  # still guard against NaN batches
+        if config.use_loss_scaling:
+            new_scale_state, skip = update_loss_scale(scale_state, finite)
+        else:
+            # no silent scale drift when scaling is off (the schedule would
+            # otherwise double the nominal 1.0 scale every growth interval)
+            new_scale_state, skip = scale_state, ~finite
 
         new_ng = opt_state.get("ng", {})
         if config.natural_gradient:
@@ -232,6 +263,27 @@ def make_train_step(model: Model,
             ok=result.ok.all(),
         )
         return new_params, new_state, new_opt_state, new_scale_state, out
+
+    if graph_in_args:
+        from kaldi_fp16_tpu.chain.graph import NumeratorGraphBatch as _NGB
+
+        def step(params, net_state, opt_state, scale_state, batch,
+                 arc_src, arc_dst, arc_pdf, arc_logw, arc_mask, start,
+                 final_logw, rng, lr, left_context):
+            g = _NGB(arc_src=arc_src, arc_dst=arc_dst, arc_pdf=arc_pdf,
+                     arc_logw=arc_logw, arc_mask=arc_mask, start=start,
+                     final_logw=final_logw,
+                     num_states=final_logw.shape[1],
+                     num_arcs=arc_src.shape[1])
+            objf_fn = make_chain_objf_with_post(g, den, chain_opts)
+            return step_body(params, net_state, opt_state, scale_state,
+                             batch, rng, lr, objf_fn, left_context)
+    else:
+        def step(params, net_state, opt_state, scale_state, batch, rng,
+                 lr=None):
+            return step_body(params, net_state, opt_state, scale_state,
+                             batch, rng, lr, static_objf_fn,
+                             config.left_context)
 
     if not jit:
         return step  # pure function, for re-jitting with explicit shardings

@@ -122,8 +122,11 @@ class Trainer:
         m = self.metrics
         m.steps += 1
         m.examples += batch.batch_size
-        m.total_objf += -float(out.loss)
-        m.total_weight += float(np.sum(batch.weights)) * batch.frames_per_seq
+        # chain objective ONLY (out.loss also folds in the xent regularizer,
+        # which would overstate chain progress in epoch logs)
+        w_frames = float(np.sum(batch.weights)) * batch.frames_per_seq
+        m.total_objf += float(out.objf_per_frame) * w_frames
+        m.total_weight += w_frames
         m.total_xent += float(out.xent_objf)
         m.skipped_steps += int(bool(out.skipped))
         m.step_seconds += dt
@@ -144,124 +147,11 @@ class Trainer:
 
 def _make_graph_arg_train_step(model, den, chain_opts, config,
                                num_frames_out: int):
-    """A train step taking the numerator-graph arrays as traced arguments so
-    one compilation serves every batch of the same bucket geometry."""
-    from kaldi_fp16_tpu.chain.graph import NumeratorGraphBatch
-    from kaldi_fp16_tpu.chain.objective import make_chain_objf_with_post
-    from kaldi_fp16_tpu.models.network import (
-        forward, make_ng_taps, ng_sites, subsample_output, trainable_mask)
-    from kaldi_fp16_tpu.training.optimizer import (
-        SGDConfig, layer_hyperparams, sgd_update)
-    from kaldi_fp16_tpu.training.loss_scale import (
-        grads_finite, unscale_grads, update_loss_scale)
-    from kaldi_fp16_tpu.training.natural_gradient import NGConfig
-    from kaldi_fp16_tpu.training.train_step import apply_natural_gradient
-
-    sites = ng_sites(model) if config.natural_gradient else []
-    ng_cfg_in = NGConfig(rank=config.ng_rank_in)
-    ng_cfg_out = NGConfig(rank=config.ng_rank_out)
-    hyper = layer_hyperparams(model)
-    dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32
-    sgd_cfg = SGDConfig(learning_rate=config.learning_rate,
-                        momentum=config.momentum,
-                        max_param_change=config.max_param_change)
-    stride = config.frame_subsampling_factor
-
-    def step(params, net_state, opt_state, scale_state, arrays,
-             arc_src, arc_dst, arc_pdf, arc_logw, arc_mask, start, final_logw,
-             rng, lr, left_context):
-        feats = arrays["features"]
-        ivecs = arrays.get("ivectors")
-        weights = arrays.get("weights")
-        dws = arrays.get("deriv_weights")
-        B = feats.shape[0]
-        if weights is None:
-            weights = jnp.ones(B, jnp.float32)
-
-        num_graph = NumeratorGraphBatch(
-            arc_src=arc_src, arc_dst=arc_dst, arc_pdf=arc_pdf,
-            arc_logw=arc_logw, arc_mask=arc_mask, start=start,
-            final_logw=final_logw, num_states=final_logw.shape[1],
-            num_arcs=arc_src.shape[1])
-        objf_fn = make_chain_objf_with_post(num_graph, den, chain_opts)
-
-        def loss_fn(p, taps):
-            if taps is not None:
-                outs, new_state, xs = forward(
-                    model, p, net_state, feats, ivecs, train=True, rng=rng,
-                    compute_dtype=dtype, ng_taps=taps, collect_ng=True)
-            else:
-                outs, new_state = forward(model, p, net_state, feats, ivecs,
-                                          train=True, rng=rng,
-                                          compute_dtype=dtype)
-                xs = {}
-            chain_head = model.chain_output().name
-            full = outs[chain_head].astype(jnp.float32)
-            out = jax.lax.dynamic_slice_in_dim(
-                full, left_context,
-                (num_frames_out - 1) * stride + 1, axis=1)[:, ::stride]
-            objf, result, num_post = objf_fn(out, weights)
-            loss = -objf
-            xent_objf = jnp.zeros((), jnp.float32)
-            xent_layer = model.xent_output()
-            if config.xent_regularize > 0 and xent_layer is not None:
-                xfull = outs[xent_layer.name].astype(jnp.float32)
-                xent = jax.lax.dynamic_slice_in_dim(
-                    xfull, left_context,
-                    (num_frames_out - 1) * stride + 1, axis=1)[:, ::stride]
-                if dws is not None:
-                    xent = xent * dws[:, :, None]
-                xent_objf = jnp.sum(weights[:, None, None] * num_post * xent)
-                loss = loss - config.xent_regularize * xent_objf
-            if config.use_loss_scaling:
-                loss = loss * scale_state.scale
-            return loss, (result, new_state, xent_objf, xs)
-
-        if config.natural_gradient:
-            taps = make_ng_taps(sites, B, feats.shape[1])
-            ((loss, (result, new_state, xent_objf, xs)),
-             (grads, tap_grads)) = jax.value_and_grad(
-                loss_fn, argnums=(0, 1), has_aux=True)(params, taps)
-        else:
-            (loss, (result, new_state, xent_objf, xs)), grads = (
-                jax.value_and_grad(loss_fn, has_aux=True)(params, None))
-            tap_grads = {}
-
-        if config.use_loss_scaling:
-            loss = loss / scale_state.scale
-            grads = unscale_grads(grads, scale_state)
-            if config.natural_gradient:
-                tap_grads = unscale_grads(tap_grads, scale_state)
-        finite = grads_finite(grads)
-        new_scale_state, skip = update_loss_scale(scale_state, finite)
-        if not config.use_loss_scaling:
-            skip = ~finite
-
-        new_ng = opt_state.get("ng", {})
-        if config.natural_gradient:
-            grads, new_ng = apply_natural_gradient(
-                sites, opt_state["ng"], xs, tap_grads, grads, skip,
-                ng_cfg_in, ng_cfg_out)
-
-        grad_norm = jnp.sqrt(sum(
-            jnp.sum(g.astype(jnp.float32) ** 2)
-            for g in jax.tree_util.tree_leaves(grads)))
-
-        mask = trainable_mask(model, params)
-        new_params, new_opt_state, stats = sgd_update(
-            params, grads, {k: v for k, v in opt_state.items() if k != "ng"},
-            sgd_cfg, lr=lr, hyper=hyper, trainable=mask, skip=skip)
-        if config.natural_gradient:
-            new_opt_state["ng"] = new_ng
-
-        out = TrainStepOutput(
-            loss=loss, objf_per_frame=result.objf_per_frame,
-            num_logprob=result.num_logprob.mean(),
-            den_logprob=result.den_logprob.mean(),
-            xent_objf=xent_objf,
-            param_change_norm=stats["param_change_norm"],
-            grad_norm=grad_norm, loss_scale=new_scale_state.scale,
-            skipped=skip, ok=result.ok.all())
-        return new_params, new_state, new_opt_state, new_scale_state, out
-
-    return jax.jit(step)
+    """Thin wrapper: the unified train step (train_step.make_train_step)
+    with the numerator-graph arrays as traced arguments so one compilation
+    serves every batch of the same bucket geometry.  Donates params and
+    optimizer state like the static-graph path."""
+    step = make_train_step(model, den, None, chain_opts, config,
+                           num_frames_out=num_frames_out, jit=False,
+                           graph_in_args=True)
+    return jax.jit(step, donate_argnums=(0, 2))

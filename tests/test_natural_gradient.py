@@ -19,7 +19,8 @@ D = 40
 def _cov(state: NGState) -> np.ndarray:
     v, d, rho = np.asarray(state.v), np.asarray(state.d), float(state.rho)
     dim = v.shape[1]
-    return v.T @ np.diag(d) @ v + rho * (np.eye(dim) - v.T @ v)
+    # d is the excess over rho: eigenvalue along v_i is d_i + rho
+    return v.T @ np.diag(d) @ v + rho * np.eye(dim)
 
 
 class TestEstimator:

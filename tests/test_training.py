@@ -312,3 +312,93 @@ class TestNaturalGradient:
         assert "tdnnf1/linear_w" in names and "tdnnf1/affine_w" in names
         assert "prefinal/big_w" in names and "prefinal/small_w" in names
         assert "output/w" in names and "output-xent/w" in names
+
+
+class TestKaldiHyperparams:
+    """xconfig l2-regularize = lr-scaled weight decay; explicit
+    max-change=0 disables the per-component clip (review findings)."""
+
+    def test_l2_weight_decay_applied(self):
+        params = {"l": {"w": jnp.full((2, 2), 2.0)}}
+        grads = {"l": {"w": jnp.zeros((2, 2))}}
+        st = init_sgd_state(params)
+        cfg = SGDConfig(learning_rate=0.1, max_param_change=1e9,
+                        default_max_change=1e9)
+        hyper = {"l": {"lr_factor": 1.0, "max_change": None, "l2": 0.5}}
+        new_params, _, _ = sgd_update(params, grads, st, cfg, hyper=hyper)
+        # w -= lr * l2 * w = 2.0 - 0.1*0.5*2.0 = 1.9
+        np.testing.assert_allclose(np.asarray(new_params["l"]["w"]), 1.9,
+                                   rtol=1e-6)
+
+    def test_explicit_max_change_zero_disables_clip(self):
+        params = {"l": {"w": jnp.zeros(4)}}
+        grads = {"l": {"w": jnp.full(4, 100.0)}}
+        st = init_sgd_state(params)
+        cfg = SGDConfig(learning_rate=1.0, max_param_change=1e9,
+                        default_max_change=0.25)
+        hyper = {"l": {"lr_factor": 1.0, "max_change": 0.0}}
+        new_params, _, _ = sgd_update(params, grads, st, cfg, hyper=hyper)
+        norm = float(jnp.linalg.norm(new_params["l"]["w"]))
+        assert norm > 100.0  # unclipped
+
+    def test_layer_hyperparams_l2_and_unset_max_change(self):
+        from kaldi_fp16_tpu.training.optimizer import layer_hyperparams
+        model = build_model_from_string("""\
+input name=input dim=8
+linear-component name=l1 dim=8 l2-regularize=0.01
+relu-batchnorm-layer name=l2 dim=8 max-change=0
+output-layer name=output dim=4 include-log-softmax=false
+""")
+        h = layer_hyperparams(model)
+        assert h["l1"]["l2"] == pytest.approx(0.01)
+        assert h["l1"]["max_change"] is None      # unset -> default
+        assert h["l2"]["max_change"] == 0.0       # explicit 0 = disabled
+
+
+class TestDerivWeights:
+    def test_zero_deriv_weights_freeze_chain_gradient(self, training_setup):
+        """Kaldi supervision deriv-weights mask the chain derivative; a
+        batch with all-zero weights must produce a (near-)zero update
+        through the full train step (review finding: they were silently
+        dropped on the training path)."""
+        model, den, num_graph, batch = training_setup
+        config = TrainConfig(learning_rate=0.05, momentum=0.0,
+                             frame_subsampling_factor=STRIDE,
+                             compute_dtype="float32")
+        step = make_train_step(model, den, num_graph, ChainTrainingOpts(),
+                               config, num_frames_out=T_OUT, donate=False)
+        params, net_state, opt_state, scale_state = init_train_state(
+            model, jax.random.PRNGKey(0), config)
+        b0 = dict(batch)
+        b0["deriv_weights"] = jnp.zeros((B, T_OUT), jnp.float32)
+        p0 = jax.tree_util.tree_map(lambda x: x, params)
+        new_params, *_ , out = step(params, net_state, opt_state,
+                                    scale_state, b0, jax.random.PRNGKey(2))
+        # objf is still computed (unweighted), but the update is ~zero
+        assert np.isfinite(float(out.objf_per_frame))
+        max_delta = max(float(jnp.abs(a - b).max()) for a, b in zip(
+            jax.tree_util.tree_leaves(new_params),
+            jax.tree_util.tree_leaves(p0)))
+        assert max_delta < 1e-7, max_delta
+
+    def test_partial_deriv_weights_change_gradient(self, training_setup):
+        model, den, num_graph, batch = training_setup
+        config = TrainConfig(learning_rate=0.05, momentum=0.0,
+                             frame_subsampling_factor=STRIDE,
+                             compute_dtype="float32")
+        step = make_train_step(model, den, num_graph, ChainTrainingOpts(),
+                               config, num_frames_out=T_OUT, donate=False)
+        params, net_state, opt_state, scale_state = init_train_state(
+            model, jax.random.PRNGKey(0), config)
+        outs = {}
+        for name, dw in (("ones", jnp.ones((B, T_OUT), jnp.float32)),
+                         ("half", jnp.concatenate(
+                             [jnp.ones((B, T_OUT // 2), jnp.float32),
+                              jnp.zeros((B, T_OUT - T_OUT // 2), jnp.float32)],
+                             axis=1))):
+            b = dict(batch)
+            b["deriv_weights"] = dw
+            _, _, _, _, out = step(params, net_state, opt_state, scale_state,
+                                   b, jax.random.PRNGKey(2))
+            outs[name] = float(out.grad_norm)
+        assert outs["half"] < outs["ones"], outs
