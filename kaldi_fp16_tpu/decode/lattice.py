@@ -129,6 +129,8 @@ class Lattice:
         alpha, _ = self._forward_costs(acoustic_scale, lm_scale)
         beta = self._backward_costs(acoustic_scale, lm_scale)
         best = float(np.min(alpha + self.final_cost))
+        if not np.isfinite(best):
+            return self  # no reachable final state: nothing to prune against
         keep = [a for a in self.arcs
                 if (alpha[a.src] + a.cost(acoustic_scale, lm_scale)
                     + beta[a.dst]) <= best + lattice_beam + 1e-6]
@@ -145,23 +147,24 @@ class Lattice:
             out_arcs.setdefault(a.src, []).append(a)
         results: List[Tuple[List[int], float]] = []
         seen = set()
+        DONE = -1  # terminal marker: hypothesis complete at `cost`
         heap = [(float(beta[0]), 0.0, 0, ())]
         iters = 0
         while heap and len(results) < n and iters < 100000:
             iters += 1
             est, cost, node, words = heapq.heappop(heap)
-            fc = self.final_cost[node]
-            if np.isfinite(fc) and node not in out_arcs:
+            if node == DONE:
                 key = tuple(words)
                 if key not in seen:
                     seen.add(key)
-                    results.append((list(words), cost + float(fc)))
+                    results.append((list(words), cost))
                 continue
+            fc = self.final_cost[node]
             if np.isfinite(fc):
-                key = tuple(words)
-                if key not in seen:
-                    seen.add(key)
-                    results.append((list(words), cost + float(fc)))
+                # finishing here competes on the heap with continuations
+                # (emitting immediately would misorder vs cheaper paths)
+                fcost = cost + float(fc)
+                heapq.heappush(heap, (fcost, fcost, DONE, words))
             for a in out_arcs.get(node, ()):
                 c = cost + a.cost(acoustic_scale, lm_scale)
                 w = words + (a.olabel,) if a.olabel > 0 else words
@@ -275,10 +278,13 @@ class LatticeDecoder:
                     continue
                 for a in range(g.em_row_ptr[s], g.em_row_ptr[s + 1]):
                     il = int(g.em_ilabel[a])
-                    ac = -opts.acoustic_scale * float(frame[g.pdf_of(il)])
+                    # lattice arcs keep the UNscaled acoustic cost so
+                    # rescoring scales are not compounded with the decode
+                    # scale; the token-passing beam uses the decode scale
+                    ac = -float(frame[g.pdf_of(il)])
                     gc = float(g.em_weight[a])
                     d = int(g.em_dst[a])
-                    nc = c + gc + ac
+                    nc = c + gc + opts.acoustic_scale * ac
                     if nc < nxt.get(d, np.inf):
                         nxt[d] = nc
                     arcs.append(LatticeArc(node(t, s), node(t + 1, d),

@@ -32,6 +32,7 @@ class DenseGraph:
     """Dense max-plus form of a decoding graph."""
     trans: np.ndarray      # [S, S] float32: -graph_cost, NEG_INF if no arc
     pdf: np.ndarray        # [S, S] int32: acoustic row for the arc (or 0)
+    ilabel: np.ndarray     # [S, S] int32: input label of the best arc
     olabel: np.ndarray     # [S, S] int32: output label of the best arc
     final: np.ndarray      # [S] float32: -final_cost, NEG_INF if not final
     start: int
@@ -49,6 +50,7 @@ class DenseGraph:
             raise ValueError("dense decoder requires an epsilon-free graph")
         trans = np.full((S, S), NEG_INF, dtype=np.float32)
         pdf = np.zeros((S, S), dtype=np.int32)
+        ilabel = np.zeros((S, S), dtype=np.int32)
         olabel = np.zeros((S, S), dtype=np.int32)
         for s in range(S):
             for a in range(g.em_row_ptr[s], g.em_row_ptr[s + 1]):
@@ -57,11 +59,12 @@ class DenseGraph:
                 if w > trans[s, d]:
                     trans[s, d] = w
                     pdf[s, d] = g.pdf_of(int(g.em_ilabel[a]))
+                    ilabel[s, d] = int(g.em_ilabel[a])
                     olabel[s, d] = int(g.em_olabel[a])
         final = np.where(np.isfinite(g.final_cost), -g.final_cost,
                          NEG_INF).astype(np.float32)
-        return cls(trans=trans, pdf=pdf, olabel=olabel, final=final,
-                   start=g.start)
+        return cls(trans=trans, pdf=pdf, ilabel=ilabel, olabel=olabel,
+                   final=final, start=g.start)
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -120,7 +123,9 @@ class DenseViterbiDecoder:
             for t in range(T):
                 s, d = states[t], states[t + 1]
                 ol = int(self.dense.olabel[s, d])
-                align.append(int(self.dense.pdf[s, d]) + 1)
+                # the arc's true input label (pdf+1 only when no
+                # ilabel_to_pdf map exists — transition-id graphs differ)
+                align.append(int(self.dense.ilabel[s, d]))
                 if ol > 0:
                     words.append(ol)
             results.append({"words": words, "alignment": align,

@@ -90,9 +90,14 @@ def make_batch(examples: List[Example],
 
     fps = examples[0].supervision.frames_per_seq
     dws = None
-    if all(ex.supervision.deriv_weights is not None for ex in examples):
+    if any(ex.supervision.deriv_weights is not None for ex in examples):
+        # examples without explicit weights default to all-ones; dropping
+        # the whole batch's weights would un-mask frames Kaldi zeroed
         dws = np.stack([
-            _fit_length(ex.supervision.deriv_weights, fps) for ex in examples
+            _fit_length(ex.supervision.deriv_weights, fps)
+            if ex.supervision.deriv_weights is not None
+            else np.ones(fps, np.float32)
+            for ex in examples
         ]).astype(np.float32)
 
     csrs = [fst_to_csr(ex.supervision.fst) for ex in examples]

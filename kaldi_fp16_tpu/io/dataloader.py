@@ -71,6 +71,7 @@ class EgsIterator:
             files = list(pattern_or_files)
         if not files:
             raise FileNotFoundError(f"no ark files match {pattern_or_files!r}")
+        self.read_errors = 0
         if shuffle:
             rng = random.Random(seed)
             files = files[:]
@@ -102,7 +103,13 @@ class EgsIterator:
                     continue
             try:
                 ex = self._reader.read_example()
-            except (EOFError, ValueError):
+            except (EOFError, ValueError) as e:
+                # a malformed example aborts the REST of this file — make
+                # that loud instead of silently losing the tail
+                self.read_errors += 1
+                import sys
+                print(f"warning: abandoning {self.files[self._file_idx]!r} "
+                      f"mid-file after parse error: {e}", file=sys.stderr)
                 ex = None
             if ex is not None:
                 return ex

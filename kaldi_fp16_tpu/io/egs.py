@@ -425,7 +425,12 @@ _MATRIX_WRITERS = {
 
 def write_example(w: BinaryWriter, ex: Example) -> None:
     """Emit one 'key \\0B<Nnet3ChainEg>...' record."""
-    w.write_ark_record_header(ex.key or "eg")
+    key = ex.key or "eg-0"
+    if len(key) < 3:
+        # the reader's record-header scan requires keys of >= 3 chars
+        # (egs.py read path); shorter keys would write unreadable arks
+        raise ValueError(f"ark key too short (< 3 chars): {key!r}")
+    w.write_ark_record_header(key)
     w.write_token("<Nnet3ChainEg>")
     w.write_token("<NumInputs>")
     # token already wrote the space; WriteBasicType adds size byte + payload

@@ -170,8 +170,16 @@ def _batchnorm(x: jnp.ndarray, bn_state: dict, target_rms: float,
         var = jnp.maximum(xf.var(axis=(0, 1)), 0.0)
         n = jnp.asarray(x.shape[0] * x.shape[1], jnp.float32)
         count = bn_state["count"] + n
-        new_mean = bn_state["mean"] + (mean - bn_state["mean"]) * (n / count)
-        new_var = bn_state["var"] + (var - bn_state["var"]) * (n / count)
+        delta = mean - bn_state["mean"]
+        new_mean = bn_state["mean"] + delta * (n / count)
+        # parallel-variance (Chan) merge: the between-batch mean-shift term
+        # keeps running var = E[x^2]-E[x]^2 over ALL frames, matching
+        # Kaldi's sum/sum-sq accumulation (a plain weighted average of
+        # per-batch variances underestimates it when batch means differ)
+        old_n = bn_state["count"]
+        new_var = (old_n * bn_state["var"] + n * var
+                   + delta * delta * old_n * n / count) / count
+        # first batch: old_n = 0 makes the formula exact (init var ignored)
         new_state = {"count": count, "mean": new_mean, "var": new_var}
     else:
         mean, var = bn_state["mean"], bn_state["var"]
@@ -247,14 +255,10 @@ def _fwd_conv_relu_bn(spec: ConvReluBNSpec, p: dict, bn: dict, x: jnp.ndarray,
     nf_in, nf_out = spec.num_filters_in, spec.num_filters_out
     sub = spec.height_subsample
 
-    xh = x.reshape(B, T, H_in, nf_in)
-
     # pad the height axis so h_src = h_out*sub + h_off always lands in-range
     h_offs = spec.height_offsets
     pad_lo = max(0, -min(h_offs))
     pad_hi = max(0, (H_out - 1) * sub + max(h_offs) - (H_in - 1))
-    if pad_lo or pad_hi:
-        xh = jnp.pad(xh, ((0, 0), (0, 0), (pad_lo, pad_hi), (0, 0)))
 
     patches = []
     for t_off in spec.time_offsets:
@@ -352,12 +356,13 @@ def _fwd_spec_augment(spec: SpecAugmentSpec, x: jnp.ndarray, rng) -> jnp.ndarray
     B, T, D = x.shape
     k1, k2, k3, k4 = jax.random.split(rng, 4)
     # frequency mask: one band of width uniform in [0, freq_max_proportion*D)
-    max_w = max(1, int(spec.freq_max_proportion * D))
-    width = jax.random.randint(k1, (B,), 0, max_w + 1)
-    start = jax.random.randint(k2, (B,), 0, D)
-    f_idx = jnp.arange(D)[None, :]
-    f_mask = ~((f_idx >= start[:, None]) & (f_idx < (start + width)[:, None]))
-    x = x * f_mask[:, None, :].astype(x.dtype)
+    max_w = int(spec.freq_max_proportion * D)
+    if max_w > 0:  # freq-max-proportion=0 disables frequency masking
+        width = jax.random.randint(k1, (B,), 0, max_w + 1)
+        start = jax.random.randint(k2, (B,), 0, D)
+        f_idx = jnp.arange(D)[None, :]
+        f_mask = ~((f_idx >= start[:, None]) & (f_idx < (start + width)[:, None]))
+        x = x * f_mask[:, None, :].astype(x.dtype)
     # time masks: zero roughly time_zeroed_proportion of frames
     if spec.time_zeroed_proportion > 0:
         n_masks = max(1, int(T * spec.time_zeroed_proportion

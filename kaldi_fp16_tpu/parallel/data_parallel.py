@@ -88,7 +88,10 @@ def make_sharded_train_step(step_fn, mesh: Mesh, model: Model, params,
     data = NamedSharding(mesh, P("data"))
     p_shard = param_shardings(model, mesh, params)
     net_shard = _repl_like(net_state, mesh)
-    opt_shard = {"velocity": p_shard, "step": repl}
+    # velocity follows the param shardings; anything else in the optimizer
+    # state (step counter, natural-gradient Fisher factors, ...) replicates
+    opt_shard = {k: (p_shard if k == "velocity" else _repl_like(v, mesh))
+                 for k, v in opt_state.items()}
     scale_shard = _repl_like(scale_state, mesh)
     batch_shard = {k: data if getattr(v, "ndim", 0) >= 1 else repl
                    for k, v in example_batch.items()}
@@ -96,8 +99,7 @@ def make_sharded_train_step(step_fn, mesh: Mesh, model: Model, params,
     placed = (
         jax.device_put(params, p_shard),
         jax.device_put(net_state, net_shard),
-        {"velocity": jax.device_put(opt_state["velocity"], p_shard),
-         "step": jax.device_put(opt_state["step"], repl)},
+        {k: jax.device_put(v, opt_shard[k]) for k, v in opt_state.items()},
         jax.device_put(scale_state, scale_shard),
     )
 
