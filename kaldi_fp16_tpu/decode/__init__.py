@@ -10,6 +10,8 @@ from kaldi_fp16_tpu.decode.viterbi import DecodeOptions, ViterbiDecoder, DecodeR
 from kaldi_fp16_tpu.decode.graph import DecodingGraph
 from kaldi_fp16_tpu.decode.wer import wer, levenshtein
 from kaldi_fp16_tpu.decode.tpu_viterbi import DenseViterbiDecoder, DenseGraph
+from kaldi_fp16_tpu.decode.lm import NGramLM as _NGramLM  # noqa: F401
+from kaldi_fp16_tpu.decode.lm import read_arpa, read_symbol_table, sentence_cost
 from kaldi_fp16_tpu.decode.lattice import (
     Lattice, LatticeArc, LatticeDecodeOptions, LatticeDecoder, NGramLM,
     rescore_with_lm,

@@ -38,7 +38,23 @@ def make_mesh(config: Optional[MeshConfig] = None,
     return Mesh(grid, axis_names=("data", "model"))
 
 
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> None:
+    """Multi-host bring-up: jax.distributed.initialize with explicit args or
+    from the environment (JAX auto-detects GKE/SLURM/TPU-pod metadata when
+    called with no args).  Safe to call once per process before any jax op;
+    after it, jax.devices() spans all hosts and `make_mesh` builds the
+    global mesh (dp over ICI intra-slice / DCN across hosts)."""
+    import jax.distributed
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)
+
+
 def make_distributed_mesh(config: MeshConfig) -> Mesh:
-    """Multi-host entry: call jax.distributed.initialize() first (driver or
+    """Multi-host entry: call initialize_distributed() first (driver or
     launcher does this); jax.devices() then spans all hosts."""
     return make_mesh(config)

@@ -60,6 +60,10 @@ class TrainConfig:
     natural_gradient: bool = False
     ng_rank_in: int = 20
     ng_rank_out: int = 80
+    # rematerialize the network forward in the backward pass (jax.checkpoint)
+    # — trades ~1 extra forward for not storing activations, buying batch
+    # size / sequence length headroom in HBM
+    remat: bool = False
 
 
 class TrainStepOutput(NamedTuple):
@@ -183,16 +187,21 @@ def make_train_step(model: Model,
                 full, left_context, (n_out - 1) * stride + 1, axis=1)
             return sl[:, ::stride]
 
-        def loss_fn(p, taps):
+        def net_apply(p, taps):
             if taps is not None:
-                outs, new_state, xs = forward(
+                return forward(
                     model, p, net_state, feats, ivecs, train=True, rng=rng,
                     compute_dtype=dtype, ng_taps=taps, collect_ng=True)
-            else:
-                outs, new_state = forward(model, p, net_state, feats, ivecs,
-                                          train=True, rng=rng,
-                                          compute_dtype=dtype)
-                xs = {}
+            outs, new_state = forward(model, p, net_state, feats, ivecs,
+                                      train=True, rng=rng,
+                                      compute_dtype=dtype)
+            return outs, new_state, {}
+
+        if config.remat:
+            net_apply = jax.checkpoint(net_apply)
+
+        def loss_fn(p, taps):
+            outs, new_state, xs = net_apply(p, taps)
             chain_head = model.chain_output().name
             out = pick_frames(outs[chain_head].astype(jnp.float32))
             objf, result, num_post = objf_fn(out, weights, dws_arg)

@@ -128,3 +128,80 @@ class TestLMRescoring:
         assert lm.cost((7,), 5) == 2.0          # backoff (no cost entry)
         assert lm.cost((9,), 5) == 3.5          # backoff cost + unigram
         assert lm.cost((), 12345) == 20.0       # OOV
+
+
+class TestArpa:
+    ARPA = """\
+\\data\\
+ngram 1=5
+ngram 2=3
+
+\\1-grams:
+-1.0 <s> -0.5
+-0.69897 </s>
+-0.30103 one -0.2
+-0.69897 two -0.1
+-2.0 <unk>
+
+\\2-grams:
+-0.30103 <s> one
+-0.09691 one two
+-0.52288 two </s>
+
+\\end\\
+"""
+
+    def _lm(self, tmp_path):
+        from kaldi_fp16_tpu.decode.lm import read_arpa
+        p = tmp_path / "lm.arpa"
+        p.write_text(self.ARPA)
+        return read_arpa(str(p))
+
+    def test_costs_natural_log(self, tmp_path):
+        import math
+        lm, syms = self._lm(tmp_path)
+        assert lm.order == 2
+        one = syms["one"]
+        # unigram: -log10 p = 0.30103 -> cost = 0.30103 * ln 10 = -ln(0.5)
+        assert lm.cost((), one) == pytest.approx(math.log(2.0), rel=1e-5)
+        # bigram hit
+        two = syms["two"]
+        assert lm.cost((one,), two) == pytest.approx(0.09691 * math.log(10),
+                                                     rel=1e-5)
+
+    def test_backoff_path(self, tmp_path):
+        import math
+        lm, syms = self._lm(tmp_path)
+        two, one = syms["two"], syms["one"]
+        # (two, one) unseen: backoff(two) + unigram(one)
+        expect = (0.1 + 0.30103) * math.log(10)
+        assert lm.cost((two,), one) == pytest.approx(expect, rel=1e-5)
+
+    def test_sentence_cost_and_rescoring(self, tmp_path):
+        from kaldi_fp16_tpu.decode.lm import sentence_cost
+        lm, syms = self._lm(tmp_path)
+        c = sentence_cost(lm, [syms["one"], syms["two"]],
+                          bos=syms["<s>"], eos=syms["</s>"])
+        assert c > 0 and c < 10
+        # rescoring a lattice with word ids 1/2 mapped onto one/two
+        graph_fixture = DecodingGraph.from_fst(two_word_graph())
+        lat = LatticeDecoder(graph_fixture).decode(ambiguous_loglikes())
+        from kaldi_fp16_tpu.decode.lattice import rescore_with_lm
+        # olabel 1 -> "one", 2 -> "two": rebuild an LM over lattice ids
+        from kaldi_fp16_tpu.decode.lattice import NGramLM
+        idlm = NGramLM({(1,): lm.cost((), syms["one"]),
+                        (2,): lm.cost((), syms["two"])}, order=1)
+        res = rescore_with_lm(lat, idlm)
+        words, cost = res.best_path()
+        assert words in ([1], [2])
+
+    def test_symbol_table_roundtrip(self, tmp_path):
+        from kaldi_fp16_tpu.decode.lm import read_arpa, read_symbol_table
+        w = tmp_path / "words.txt"
+        w.write_text("<eps> 0\none 1\ntwo 2\n")
+        syms = read_symbol_table(str(w))
+        p = tmp_path / "lm.arpa"
+        p.write_text(self.ARPA)
+        lm, syms2 = read_arpa(str(p), syms)
+        assert syms2["one"] == 1 and syms2["two"] == 2
+        assert syms2["<s>"] > 2  # fresh id past the table

@@ -150,3 +150,35 @@ def test_multi_step_stability():
             params, net_state, opt_state, scale_state, sbatch, sub)
         losses.append(float(out.loss))
     assert losses[-1] < losses[0], losses
+
+
+def test_sharded_with_natural_gradient():
+    """NG-SGD composes with the dp-sharded step: the Fisher states ride the
+    optimizer state generically (review finding: they were dropped)."""
+    model, den, num_graph, batch, config = _setup()
+    from dataclasses import replace
+    config = replace(config, natural_gradient=True, ng_rank_in=4,
+                     ng_rank_out=4)
+    opts = ChainTrainingOpts()
+    mesh = make_mesh(MeshConfig(data=4, model=1))
+    pure = make_train_step(model, den, num_graph, opts, config,
+                           num_frames_out=T_OUT, donate=False, jit=False)
+    params, net_state, opt_state, scale_state = init_train_state(
+        model, jax.random.PRNGKey(0), config)
+    assert "ng" in opt_state
+    sbatch = shard_batch(batch, mesh)
+    sstep, placed = make_sharded_train_step(
+        pure, mesh, model, params, net_state, opt_state, scale_state, sbatch)
+    p2, ns2, os2, ss2, out = sstep(*placed, sbatch, jax.random.PRNGKey(5))
+    assert "ng" in os2
+    assert np.isfinite(float(out.loss))
+    # and it matches the unsharded NG step
+    step1 = make_train_step(model, den, num_graph, opts, config,
+                            num_frames_out=T_OUT, donate=False)
+    p1, _, os1, _, out1 = step1(params, net_state, opt_state, scale_state,
+                                batch, jax.random.PRNGKey(5))
+    np.testing.assert_allclose(float(out1.loss), float(out.loss), rtol=1e-5)
+    site = next(iter(os1["ng"]))
+    np.testing.assert_allclose(np.asarray(os1["ng"][site]["in"].v),
+                               np.asarray(os2["ng"][site]["in"].v),
+                               rtol=1e-4, atol=1e-5)

@@ -402,3 +402,27 @@ class TestDerivWeights:
                                    b, jax.random.PRNGKey(2))
             outs[name] = float(out.grad_norm)
         assert outs["half"] < outs["ones"], outs
+
+
+def test_remat_matches_exact(training_setup):
+    """jax.checkpoint rematerialization changes memory, not numbers."""
+    model, den, num_graph, batch = training_setup
+    outs = {}
+    for remat in (False, True):
+        config = TrainConfig(learning_rate=0.02, momentum=0.5,
+                             frame_subsampling_factor=STRIDE,
+                             compute_dtype="float32", remat=remat)
+        step = make_train_step(model, den, num_graph, ChainTrainingOpts(),
+                               config, num_frames_out=T_OUT, donate=False)
+        params, net_state, opt_state, scale_state = init_train_state(
+            model, jax.random.PRNGKey(0), config)
+        p, _, _, _, out = step(params, net_state, opt_state, scale_state,
+                               batch, jax.random.PRNGKey(3))
+        outs[remat] = (p, float(out.loss), float(out.grad_norm))
+    assert outs[False][1] == pytest.approx(outs[True][1], rel=1e-6)
+    assert outs[False][2] == pytest.approx(outs[True][2], rel=1e-5)
+    for lname in outs[False][0]:
+        for pname in outs[False][0][lname]:
+            np.testing.assert_allclose(
+                np.asarray(outs[False][0][lname][pname]),
+                np.asarray(outs[True][0][lname][pname]), rtol=1e-5, atol=1e-7)

@@ -34,6 +34,11 @@ def main():
     ap.add_argument("--lattice-beam", type=float, default=8.0)
     ap.add_argument("--ref", help="reference transcripts for WER")
     ap.add_argument("--nbest", type=int, default=0)
+    ap.add_argument("--arpa-lm", help="ARPA LM for lattice rescoring")
+    ap.add_argument("--words", help="words.txt symbol table for the LM")
+    ap.add_argument("--lm-weight", type=float, default=1.0)
+    ap.add_argument("--old-lm-weight", type=float, default=0.0,
+                    help="weight on the graph's own scores when rescoring")
     args = ap.parse_args()
 
     import jax
@@ -86,13 +91,24 @@ def main():
                 if parts:
                     refs[parts[0]] = [int(w) for w in parts[1:]]
 
+    lm = None
+    if args.arpa_lm:
+        from kaldi_fp16_tpu.decode.lm import read_arpa, read_symbol_table
+        syms = read_symbol_table(args.words) if args.words else None
+        lm, _ = read_arpa(args.arpa_lm, syms)
+        print(f"ARPA LM loaded: order {lm.order}, {len(lm.ngrams)} n-grams")
+
     dec = LatticeDecoder(graph, LatticeDecodeOptions(
         beam=args.beam, lattice_beam=args.lattice_beam,
         acoustic_scale=args.acoustic_scale))
     hyps, ref_list, hyp_list = {}, [], []
     for key, ll in posts.items():
         lat = dec.decode(ll)
-        words, cost = lat.best_path()
+        if lm is not None:
+            from kaldi_fp16_tpu.decode.lattice import rescore_with_lm
+            lat = rescore_with_lm(lat, lm, lm_weight=args.lm_weight,
+                                  old_lm_weight=args.old_lm_weight)
+        words, cost = lat.best_path(acoustic_scale=args.acoustic_scale)
         hyps[key] = words
         extra = ""
         if args.nbest:
