@@ -44,22 +44,28 @@ def main():
     model = build_model("configs/cnn_tdnn.xconfig")
 
     # ---- forward-only throughput (continuity metric) -----------------------
+    # Measured with a chained in-jit scan: on this tunneled backend,
+    # un-chained async dispatch measures the DISPATCH rate, not device
+    # time (it once inflated this number ~20x — see docs/PERFORMANCE.md).
     params, state = init_params(model, jax.random.PRNGKey(0))
+    K = 20
 
     @jax.jit
-    def fwd(params, state, features, ivectors):
-        outs, _ = forward(model, params, state, features, ivectors,
-                          train=False, compute_dtype=jnp.bfloat16)
-        return outs["output"]
+    def fwd_many(params, state, feats, ivecs):
+        def body(x, _):
+            outs, _ = forward(model, params, state, x, ivecs,
+                              train=False, compute_dtype=jnp.bfloat16)
+            return x + 1e-9 * outs["output"][:, :, :40], ()
+        x, _ = jax.lax.scan(body, feats, None, length=K)
+        return x.sum()
 
     feats8 = jnp.asarray(rng.normal(size=(8, T_in, 40)).astype(np.float32))
     ivecs8 = jnp.asarray(rng.normal(size=(8, 100)).astype(np.float32))
-    fwd(params, state, feats8, ivecs8).block_until_ready()
+    float(fwd_many(params, state, feats8, ivecs8))
     t0 = time.perf_counter()
-    for _ in range(30):
-        out = fwd(params, state, feats8, ivecs8)
-    out.block_until_ready()
-    fwd_frames_per_s = 8 * T_in * 30 / (time.perf_counter() - t0)
+    for _ in range(3):
+        float(fwd_many(params, state, feats8, ivecs8))
+    fwd_frames_per_s = 8 * T_in * K * 3 / (time.perf_counter() - t0)
 
     # ---- full train step at production scale -------------------------------
     dst = np.sort(rng.integers(0, S, size=A).astype(np.int32))
