@@ -426,3 +426,34 @@ def test_remat_matches_exact(training_setup):
             np.testing.assert_allclose(
                 np.asarray(outs[False][0][lname][pname]),
                 np.asarray(outs[True][0][lname][pname]), rtol=1e-5, atol=1e-7)
+
+
+def test_checkpoint_roundtrip_with_ng_state(training_setup, tmp_path):
+    """Orbax checkpoint must round-trip the NG Fisher NamedTuples living
+    inside opt_state (new with NG-SGD)."""
+    from kaldi_fp16_tpu.training.checkpoint import CheckpointManager, DataPosition
+    model, den, num_graph, batch = training_setup
+    config = TrainConfig(learning_rate=0.02, frame_subsampling_factor=STRIDE,
+                         compute_dtype="float32", natural_gradient=True,
+                         ng_rank_in=4, ng_rank_out=4)
+    step = make_train_step(model, den, num_graph, ChainTrainingOpts(),
+                           config, num_frames_out=T_OUT, donate=False)
+    params, net_state, opt_state, scale_state = init_train_state(
+        model, jax.random.PRNGKey(0), config)
+    params, net_state, opt_state, scale_state, _ = step(
+        params, net_state, opt_state, scale_state, batch,
+        jax.random.PRNGKey(1))
+    mgr = CheckpointManager(str(tmp_path / "ck"))
+    mgr.save(7, params, net_state, opt_state, scale_state,
+             DataPosition(epoch=2, batches_consumed=3))
+    p2, n2, o2, s2 = init_train_state(model, jax.random.PRNGKey(9), config)
+    p2, n2, o2, s2, step_no, pos = mgr.restore(None, p2, n2, o2, s2)
+    mgr.close()
+    assert step_no == 7 and pos.epoch == 2 and pos.batches_consumed == 3
+    assert "ng" in o2
+    site = next(iter(opt_state["ng"]))
+    np.testing.assert_array_equal(np.asarray(o2["ng"][site]["in"].v),
+                                  np.asarray(opt_state["ng"][site]["in"].v))
+    assert int(o2["ng"][site]["in"].t) == int(opt_state["ng"][site]["in"].t)
+    # restored state continues training without retrace errors
+    _ = step(p2, n2, o2, s2, batch, jax.random.PRNGKey(2))
