@@ -103,9 +103,33 @@ def cmd_fst(args):
                 print(f"  {s} -> {a.next_state} label={a.label} w={a.weight:.4f}")
 
 
+def cmd_compare(args):
+    """Native C++ parser vs pure-Python parser, field by field (the
+    available parser oracle here; the reference compared against a live
+    Kaldi install, cmd/egstools compare)."""
+    import numpy as np
+    from kaldi_fp16_tpu.io.egs import EgsReader, example_to_text
+    from kaldi_fp16_tpu.io.native import NativeEgsReader, native_available
+    if not native_available():
+        print("native parser not built (make -C cpp); nothing to compare")
+        sys.exit(2)
+    mismatches = total = 0
+    for path in args.paths:
+        with EgsReader(path) as rp, NativeEgsReader(path) as rn:
+            for ep, en in zip(rp, rn):
+                total += 1
+                if example_to_text(ep) != example_to_text(en):
+                    mismatches += 1
+                    print(f"MISMATCH {ep.key}")
+    print(f"compared {total} examples: "
+          f"{'all identical' if not mismatches else f'{mismatches} mismatches'}")
+    sys.exit(1 if mismatches else 0)
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("cmd", choices=["analyze", "dump", "totext", "verify", "fst"])
+    ap.add_argument("cmd", choices=["analyze", "dump", "totext", "verify",
+                                    "fst", "compare"])
     ap.add_argument("paths", nargs="+")
     ap.add_argument("-n", type=int, default=5)
     ap.add_argument("--feat-dim", type=int, default=40)
