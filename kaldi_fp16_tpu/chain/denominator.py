@@ -318,9 +318,24 @@ class DenominatorComputation:
         return self._forward_backward(nnet_output, compute_grad=True)
 
 
+# the jit cache keys on DenominatorComputation identity (static self), so
+# the functional wrapper memoizes per (graph, leaky, mode) — a fresh
+# instance per call would re-run the host-side blocked-graph construction
+# AND a full XLA recompile every time.  Keyed by id(graph) with the graph
+# kept alive by the cache entry so ids cannot be recycled.
+_den_cache: dict = {}
+
+
 def denominator_forward_backward(graph: DenominatorGraph,
                                  nnet_output: jnp.ndarray,
                                  leaky: float = 1e-5,
                                  mode: str = "exact"):
     """Functional convenience wrapper; nnet_output [N, T, P]."""
-    return DenominatorComputation(graph, leaky, mode).forward_backward(nnet_output)
+    key = (id(graph), float(leaky), mode)
+    hit = _den_cache.get(key)
+    if hit is None or hit.graph is not graph:
+        hit = DenominatorComputation(graph, leaky, mode)
+        if len(_den_cache) > 16:
+            _den_cache.clear()
+        _den_cache[key] = hit
+    return hit.forward_backward(nnet_output)

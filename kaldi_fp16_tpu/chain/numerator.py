@@ -45,13 +45,16 @@ def _num_forward_backward(arc_src, arc_dst, arc_pdf, arc_logw, arc_mask,
     # one-hot gather/scatter matrices (constant across frames): [B, A, S]
     e_src = jax.nn.one_hot(arc_src, S, dtype=jnp.float32)
     e_dst = jax.nn.one_hot(arc_dst, S, dtype=jnp.float32)
-    mask = arc_mask > 0
+    # out-of-range pdfs (label > num_pdfs, malformed graphs) are skipped
+    # like the fp64 reference skips them — the raw jit gather would clamp
+    # to pdf P-1 and silently score the wrong output column
+    mask = (arc_mask > 0) & (arc_pdf >= 0) & (arc_pdf < P)
 
     # hoisted per-arc scores for all frames: [T, B, A]
     pdf_scores = jax.vmap(lambda x_bt, pdf_b: x_bt[:, pdf_b])(
         nnet_output, arc_pdf)                                  # [B, T, A]
     scores = pdf_scores + arc_logw[:, None, :]
-    scores = jnp.where(arc_mask[:, None, :] > 0, scores, LOG_ZERO)
+    scores = jnp.where(mask[:, None, :], scores, LOG_ZERO)
     scores = jnp.swapaxes(scores, 0, 1)                        # [T, B, A]
 
     def gather_states(vec, e):

@@ -48,16 +48,25 @@ State = Dict[str, Dict[str, jnp.ndarray]]
 # ---------------------------------------------------------------------------
 
 def make_idct_matrix(dim: int, cepstral_lifter: float) -> np.ndarray:
-    """IDCT matrix used as x @ M (ref: forward.go:1190-1210)."""
+    """IDCT matrix used as x @ M, i.e. [in=cepstra, out=mel] orientation —
+    the TRANSPOSE of Kaldi compute_idct_matrix's [out, in] affine
+    (ref: forward.go:1190-1210; steps/libs/common.py).
+
+    Two earlier bugs, both caught by the lifter round-trip test:
+    the matrix was built in [out, in] orientation (computing a forward
+    DCT under x @ M), and the lifter coefficient 1 + (Q/2) sin(pi i / Q)
+    was MULTIPLIED instead of DIVIDED.  MFCC extraction multiplied
+    cepstrum i by the coefficient; the inverse transform divides it back
+    out on the CONTRACTION (cepstral) index before the inverse DCT."""
     mat = np.zeros((dim, dim), dtype=np.float64)
-    for i in range(dim):
-        for j in range(dim):
-            val = math.cos(math.pi * j * (i + 0.5) / dim)
-            val *= math.sqrt((1.0 if j == 0 else 2.0) / dim)
-            if cepstral_lifter > 0 and j > 0:
-                val *= 1.0 + (cepstral_lifter / 2.0) * math.sin(
-                    math.pi * j / cepstral_lifter)
-            mat[i, j] = val
+    for i in range(dim):          # cepstral (contraction) index
+        lc = 1.0
+        if cepstral_lifter > 0 and i > 0:
+            lc = 1.0 + (cepstral_lifter / 2.0) * math.sin(
+                math.pi * i / cepstral_lifter)
+        norm = math.sqrt((1.0 if i == 0 else 2.0) / dim)
+        for j in range(dim):      # output mel-bin index
+            mat[i, j] = norm * math.cos(math.pi * i * (j + 0.5) / dim) / lc
     return mat.astype(np.float32)
 
 
@@ -196,9 +205,11 @@ def _shift_time(x: jnp.ndarray, offset: int, mode: str) -> jnp.ndarray:
     T = x.shape[1]
     if mode == "zero":
         pad = jnp.zeros_like(x[:, :1])
+        reps_hi = (1, offset) + (1,) * (x.ndim - 2)
+        reps_lo = (1, -offset) + (1,) * (x.ndim - 2)
         if offset > 0:
-            return jnp.concatenate([x[:, offset:], jnp.tile(pad, (1, offset, 1))], axis=1)
-        return jnp.concatenate([jnp.tile(pad, (1, -offset, 1)), x[:, :T + offset]], axis=1)
+            return jnp.concatenate([x[:, offset:], jnp.tile(pad, reps_hi)], axis=1)
+        return jnp.concatenate([jnp.tile(pad, reps_lo), x[:, :T + offset]], axis=1)
     # clamp (replicate edge rows; ref splice helpers, forward.go:697-790)
     if offset > 0:
         return jnp.concatenate([x[:, offset:],
@@ -320,8 +331,8 @@ def _fwd_attention(spec: AttentionSpec, p: dict, bn: dict, x: jnp.ndarray,
     outs_b = []
     for o in range(cd):
         delta = (o - spec.num_left_inputs) * stride
-        k_o = _shift_time_4d(keys, delta)          # zero pad outside
-        v_o = _shift_time_4d(values, delta)
+        k_o = _shift_time(keys, delta, "zero")     # zero pad outside
+        v_o = _shift_time(values, delta, "zero")
         dot = (q_key.astype(jnp.float32) * k_o.astype(jnp.float32)).sum(-1)
         b_o = q_ctx[..., o].astype(jnp.float32) + spec.key_scale * dot  # [B,T,H]
         outs_b.append(b_o)
@@ -335,19 +346,6 @@ def _fwd_attention(spec: AttentionSpec, p: dict, bn: dict, x: jnp.ndarray,
     out = out.reshape(B, T, H * (vd + cd))
     out = jax.nn.relu(out).astype(dtype)
     return _batchnorm(out, bn, spec.target_rms, 1e-3, train)
-
-
-def _shift_time_4d(x: jnp.ndarray, offset: int) -> jnp.ndarray:
-    if offset == 0:
-        return x
-    B, T = x.shape[:2]
-    zeros = jnp.zeros_like(x[:, :1])
-    if offset > 0:
-        return jnp.concatenate([x[:, offset:],
-                                jnp.tile(zeros, (1, offset) + (1,) * (x.ndim - 2))],
-                               axis=1)
-    return jnp.concatenate([jnp.tile(zeros, (1, -offset) + (1,) * (x.ndim - 2)),
-                            x[:, :T + offset]], axis=1)
 
 
 def _fwd_spec_augment(spec: SpecAugmentSpec, x: jnp.ndarray, rng) -> jnp.ndarray:

@@ -161,6 +161,10 @@ def make_train_step(model: Model,
     ng_cfg_in = NGConfig(rank=config.ng_rank_in)
     ng_cfg_out = NGConfig(rank=config.ng_rank_out)
     dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32
+    # two spellings of the Kaldi option exist (TrainConfig mirrors
+    # TrainConfig/train_step.go, ChainTrainingOpts mirrors backward.go);
+    # honor whichever is set so neither knob is silently dead
+    xent_regularize = config.xent_regularize or chain_opts.xent_regularize
     sgd_cfg = SGDConfig(learning_rate=config.learning_rate,
                         momentum=config.momentum,
                         max_param_change=config.max_param_change)
@@ -208,11 +212,11 @@ def make_train_step(model: Model,
             loss = -objf
             xent_objf = jnp.zeros((), jnp.float32)
             xent_layer = model.xent_output()
-            if config.xent_regularize > 0 and xent_layer is not None:
+            if xent_regularize > 0 and xent_layer is not None:
                 xent = pick_frames(outs[xent_layer.name].astype(jnp.float32))
                 xent = xent * dws_arg[:, :, None]
                 xent_objf = jnp.sum(weights[:, None, None] * num_post * xent)
-                loss = loss - config.xent_regularize * xent_objf
+                loss = loss - xent_regularize * xent_objf
             if config.use_loss_scaling:
                 loss = loss * scale_state.scale
             return loss, (result, new_state, xent_objf, xs)
@@ -251,6 +255,11 @@ def make_train_step(model: Model,
         grad_norm = jnp.sqrt(sum(
             jnp.sum(g.astype(jnp.float32) ** 2)
             for g in jax.tree_util.tree_leaves(grads)))
+
+        # a skipped (non-finite) batch must not poison BN running stats
+        # either — Inf activations would flow into eval-mode forwards
+        new_state = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(skip, old, new), new_state, net_state)
 
         mask = trainable_mask(model, params)
         new_params, new_opt_state, stats = sgd_update(

@@ -88,10 +88,35 @@ class TestPrimitives:
 
     def test_idct_matrix_values(self):
         m = make_idct_matrix(4, 0.0)
-        # j=0 column: sqrt(1/4) everywhere
-        np.testing.assert_allclose(m[:, 0], 0.5, atol=1e-6)
+        # cepstral index 0 row: sqrt(1/4) everywhere (x @ M orientation:
+        # rows = cepstra; an earlier bug built the [out, in] transpose)
+        np.testing.assert_allclose(m[0, :], 0.5, atol=1e-6)
         m_lift = make_idct_matrix(4, 22.0)
-        assert not np.allclose(m[:, 1], m_lift[:, 1])
+        assert not np.allclose(m[1, :], m_lift[1, :])
+        # true inverse: forward DCT-II of the IDCT output is identity
+        d = np.asarray(m, np.float64)
+        np.testing.assert_allclose(d @ d.T, np.eye(4), atol=1e-6)
+
+    def test_idct_lifter_divides(self):
+        """The lifter is UNDONE (divide), not re-applied: column j of the
+        liftered matrix = unliftered column / (1 + Q/2 sin(pi j / Q)).
+        Kaldi compute_idct_matrix; a multiply here amplified high cepstra
+        by the coefficient squared (up to 144x at Q=22)."""
+        import math
+        Q, D = 22.0, 40
+        m0 = make_idct_matrix(D, 0.0)
+        mq = make_idct_matrix(D, Q)
+        for i in range(1, D):
+            lc = 1.0 + (Q / 2.0) * math.sin(math.pi * i / Q)
+            np.testing.assert_allclose(mq[i, :], m0[i, :] / lc, rtol=1e-5)
+        # end-to-end: liftering cepstra then applying the matrix recovers
+        # the unliftered IDCT exactly
+        rng = np.random.default_rng(0)
+        cep = rng.normal(size=(3, D)).astype(np.float32)
+        lift = np.array([1.0 + (Q / 2.0) * math.sin(math.pi * j / Q)
+                         if j else 1.0 for j in range(D)], np.float32)
+        np.testing.assert_allclose((cep * lift) @ mq, cep @ m0,
+                                   rtol=1e-4, atol=1e-5)
 
 
 class TestForward:
