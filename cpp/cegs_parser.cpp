@@ -10,7 +10,9 @@
 
 #include "cegs_parser.h"
 
+#include <algorithm>
 #include <cmath>
+#include <stdexcept>
 #include <cstdio>
 #include <cstring>
 #include <string>
@@ -61,6 +63,7 @@ struct Reader {
 struct IoBlock {
   std::string name;
   int rows = 0, cols = 0;
+  int fmt = 0;  // 0=CM 1=CM2 2=CM3 3=FM (matrix codec of the source ark)
   std::vector<float> data;
   std::vector<int32_t> indexes;  // triples
 };
@@ -68,6 +71,8 @@ struct IoBlock {
 struct Example {
   std::string key;
   std::vector<IoBlock> inputs;
+  std::string sup_name;
+  int dw_fmt = 0;  // 0=none 1=DW 2=DW2
   float weight = 0;
   int num_sequences = 0, frames_per_seq = 0, label_dim = 0;
   bool end2end = false;
@@ -184,8 +189,9 @@ struct CegsParser {
   // ---- index vectors ------------------------------------------------------
 
   bool read_index_vector(int count, std::vector<int32_t> *out) {
+    if (count <= 0 || count > 1000000) return false;
     out->clear();
-    out->reserve(count * 3);
+    out->reserve(size_t(count) * 3);
     int32_t n = 0, t = 0, x = 0;
     for (int i = 0; i < count; i++) {
       int b = get();
@@ -285,7 +291,9 @@ struct CegsParser {
     b = get();
     if (b != 4) return false;
     if (!r->read_i32(&cols)) return false;
-    if (rows <= 0 || cols <= 0) return false;
+    // same sanity caps as the compressed-matrix header: corrupt size
+    // fields must fail the parse, not attempt a multi-GB allocation
+    if (rows <= 0 || cols <= 0 || rows > 100000 || cols > 10000) return false;
     io->rows = rows; io->cols = cols;
     io->data.resize(size_t(rows) * cols);
     return r->read_bytes(io->data.data(), io->data.size() * 4);
@@ -312,6 +320,12 @@ struct CegsParser {
         !r->read_u64(&props) || !r->read_i64(&start) ||
         !r->read_i64(&num_states) || !r->read_i64(&num_arcs))
       return false;
+    // corrupt counts must fail cleanly: negative num_states would index
+    // offsets[-1] (heap OOB), huge ones would allocate gigabytes
+    if (num_states < 0 || num_states > 10000000 || num_arcs < -1 ||
+        num_arcs > 100000000 || start < kNoStateId ||
+        start >= std::max<int64_t>(num_states, 1))
+      return false;
     ex.fst_num_states = int(num_states);
     ex.fst_start = int(start);
     ex.arc_src.clear(); ex.arc_dst.clear(); ex.arc_label.clear();
@@ -322,6 +336,9 @@ struct CegsParser {
       for (auto &o : offsets)
         if (!r->read_u32(&o)) return false;
       uint32_t ncompacts = offsets[num_states];
+      if (ncompacts > 100000000u) return false;
+      for (int64_t sdx = 0; sdx < num_states; sdx++)
+        if (offsets[sdx] > offsets[sdx + 1]) return false;
       struct Compact { int32_t label; float weight; int32_t next; };
       std::vector<Compact> compacts(ncompacts);
       for (auto &c : compacts) {
@@ -350,6 +367,7 @@ struct CegsParser {
         float final_w;
         int64_t narcs;
         if (!r->read_f32(&final_w) || !r->read_i64(&narcs)) return false;
+        if (narcs < 0 || narcs > 100000000) return false;
         if (!std::isinf(final_w)) {
           ex.final_states.push_back(int32_t(s));
           ex.final_weights.push_back(final_w);
@@ -359,6 +377,7 @@ struct CegsParser {
           if (!r->read_i32(&il) || !r->read_i32(&ol) || !r->read_f32(&w) ||
               !r->read_i32(&next))
             return false;
+          if (next < 0 || next >= num_states) return false;
           ex.arc_src.push_back(int32_t(s));
           ex.arc_dst.push_back(next);
           ex.arc_label.push_back(il);
@@ -382,12 +401,12 @@ struct CegsParser {
     if (dw2) {
       int sz = get();
       if (sz != 4) return false;
-      if (!r->read_i32(&size)) return false;
+      if (!r->read_i32(&size) || size < 0 || size > 10000000) return false;
       ex.deriv_weights.resize(size);
       return r->read_bytes(ex.deriv_weights.data(), size_t(size) * 4);
     }
     // DW: raw int32 count, then bytes/255 (ref fst.go:243)
-    if (!r->read_i32(&size)) return false;
+    if (!r->read_i32(&size) || size < 0 || size > 10000000) return false;
     std::vector<uint8_t> raw(size);
     if (!r->read_bytes(raw.data(), raw.size())) return false;
     ex.deriv_weights.resize(size);
@@ -413,13 +432,13 @@ struct CegsParser {
         bool got = false;
         if (b == 'C' && b2 == 'M') {
           int b3 = get();
-          if (b3 == '2') { get(); got = read_cm2(&io); }
-          else if (b3 == '3') { get(); got = read_cm3(&io); }
-          else if (b3 == ' ') { got = read_cm(&io); }
+          if (b3 == '2') { get(); io.fmt = 1; got = read_cm2(&io); }
+          else if (b3 == '3') { get(); io.fmt = 2; got = read_cm3(&io); }
+          else if (b3 == ' ') { io.fmt = 0; got = read_cm(&io); }
           else { unget(b3); continue; }
         } else if (b == 'F' && b2 == 'M') {
           int b3 = get();
-          if (b3 == ' ') got = read_fm(&io);
+          if (b3 == ' ') { io.fmt = 3; got = read_fm(&io); }
           else { unget(b3); continue; }
         } else {
           if (b2 >= 0) unget(b2);
@@ -440,7 +459,8 @@ struct CegsParser {
       if (!try_read_tag(&tag)) continue;
 
       if (tag == "NumInputs" || tag == "NumOutputs") {
-        int32_t v; read_basic_int(&v);
+        int32_t v;
+        if (!read_basic_int(&v)) { error = "bad " + tag; return false; }
       } else if (tag == "NnetIo") {
         current_name = read_name();
       } else if (tag == "I1V") {
@@ -457,15 +477,23 @@ struct CegsParser {
       } else if (tag == "/NnetIo") {
         current_name.clear();
       } else if (tag == "NnetChainSup") {
-        read_name();
+        ex.sup_name = read_name();
       } else if (tag == "Weight") {
-        read_basic_float(&ex.weight);
+        // a silently-discarded failure here desyncs the stream and zeroes
+        // the field where the Python parser raises — fail the parse
+        if (!read_basic_float(&ex.weight)) { error = "bad Weight"; return false; }
       } else if (tag == "NumSequences") {
-        int32_t v; read_basic_int(&v); ex.num_sequences = v;
+        int32_t v;
+        if (!read_basic_int(&v)) { error = "bad NumSequences"; return false; }
+        ex.num_sequences = v;
       } else if (tag == "FramesPerSeq") {
-        int32_t v; read_basic_int(&v); ex.frames_per_seq = v;
+        int32_t v;
+        if (!read_basic_int(&v)) { error = "bad FramesPerSeq"; return false; }
+        ex.frames_per_seq = v;
       } else if (tag == "LabelDim") {
-        int32_t v; read_basic_int(&v); ex.label_dim = v;
+        int32_t v;
+        if (!read_basic_int(&v)) { error = "bad LabelDim"; return false; }
+        ex.label_dim = v;
       } else if (tag == "End2End") {
         get();  // space
         int e = get();
@@ -474,6 +502,7 @@ struct CegsParser {
           error = "failed to read supervision FST"; return false;
         }
       } else if (tag == "DW" || tag == "DW2") {
+        ex.dw_fmt = (tag == "DW2") ? 2 : 1;
         if (!read_deriv_weights(tag == "DW2")) {
           error = "failed to read deriv weights"; return false;
         }
@@ -504,12 +533,27 @@ const char *cegs_last_error(CegsParser *p) {
 }
 
 int cegs_next(CegsParser *p) {
-  std::string key;
-  if (!p->find_example_start(&key)) return 0;  // EOF
-  if (!p->parse_example()) return -1;
-  p->ex.key = key;
-  return 1;
+  // exception barrier: corrupt size fields can throw bad_alloc /
+  // length_error from vector::resize; unwinding through the C ABI into
+  // ctypes is undefined behavior (in practice SIGABRT) — convert to -1
+  try {
+    std::string key;
+    if (!p->find_example_start(&key)) return 0;  // EOF
+    if (!p->parse_example()) return -1;
+    p->ex.key = key;
+    return 1;
+  } catch (const std::exception &e) {
+    p->error = std::string("native parse exception: ") + e.what();
+    return -1;
+  } catch (...) {
+    p->error = "native parse exception";
+    return -1;
+  }
 }
+
+const char *cegs_sup_name(CegsParser *p) { return p->ex.sup_name.c_str(); }
+int cegs_input_fmt(CegsParser *p, int i) { return p->ex.inputs[i].fmt; }
+int cegs_dw_fmt(CegsParser *p) { return p->ex.dw_fmt; }
 
 const char *cegs_key(CegsParser *p) { return p->ex.key.c_str(); }
 int cegs_num_inputs(CegsParser *p) { return int(p->ex.inputs.size()); }

@@ -49,6 +49,9 @@ int cegs_sup_num_indexes(CegsParser *p);
 const int32_t *cegs_sup_indexes(CegsParser *p);
 int cegs_sup_num_deriv_weights(CegsParser *p);
 const float *cegs_sup_deriv_weights(CegsParser *p);
+const char *cegs_sup_name(CegsParser *p);       // supervision output name
+int cegs_input_fmt(CegsParser *p, int i);       // 0=CM 1=CM2 2=CM3 3=FM
+int cegs_dw_fmt(CegsParser *p);                 // 0=none 1=DW 2=DW2
 
 // Supervision FST (flattened arcs) ------------------------------------------
 int cegs_fst_num_states(CegsParser *p);

@@ -233,7 +233,14 @@ class PrefetchLoader:
     def _produce(self):
         try:
             for batch in self.loader:
-                self._queue.put(batch)
+                while True:
+                    if getattr(self, "_stop", False):
+                        return
+                    try:
+                        self._queue.put(batch, timeout=0.1)
+                        break
+                    except Exception:
+                        continue
         except BaseException as e:  # noqa: BLE001 — re-raised at consumer
             self._error = e
         finally:
@@ -247,6 +254,21 @@ class PrefetchLoader:
                     raise self._error
                 return
             yield item
+
+    def close(self, timeout: float = 5.0) -> None:
+        """Stop the producer (it may be blocked on a full queue after an
+        early consumer break) and join it — otherwise each abandoned epoch
+        leaks a thread pinning open readers and buffered batches."""
+        self._stop = True
+        while self._thread.is_alive():
+            try:
+                self._queue.get_nowait()
+            except Exception:
+                pass
+            self._thread.join(timeout=0.05)
+            timeout -= 0.05
+            if timeout <= 0:
+                break
 
     def summary(self) -> str:
         return getattr(self.loader, "summary", lambda: "")()

@@ -423,6 +423,26 @@ _MATRIX_WRITERS = {
 }
 
 
+def count_examples(path: str) -> int:
+    """Count examples by scanning for the '\\0B<Nnet3ChainEg>' record marker
+    without decoding anything — for LR-schedule sizing, a full parse of a
+    73 GB dataset just to count batches would double time-to-first-step."""
+    import gzip
+    marker = b"\x00B<Nnet3ChainEg>"
+    opener = gzip.open if path.endswith(".gz") else open
+    n = 0
+    tail = b""
+    with opener(path, "rb") as f:
+        while True:
+            chunk = f.read(1 << 20)
+            if not chunk:
+                break
+            buf = tail + chunk
+            n += buf.count(marker)
+            tail = buf[-(len(marker) - 1):]
+    return n
+
+
 def write_example(w: BinaryWriter, ex: Example) -> None:
     """Emit one 'key \\0B<Nnet3ChainEg>...' record."""
     key = ex.key or "eg-0"

@@ -72,6 +72,7 @@ def _configure(lib):
         ("cegs_fst_num_finals", c.c_int),
         ("cegs_fst_final_states", c.POINTER(c.c_int32)),
         ("cegs_fst_final_weights", c.POINTER(c.c_float)),
+        ("cegs_sup_name", c.c_char_p), ("cegs_dw_fmt", c.c_int),
     ]:
         fn = getattr(lib, name)
         fn.restype = res
@@ -82,6 +83,7 @@ def _configure(lib):
         ("cegs_input_data", c.POINTER(c.c_float)),
         ("cegs_input_num_indexes", c.c_int),
         ("cegs_input_indexes", c.POINTER(c.c_int32)),
+        ("cegs_input_fmt", c.c_int),
     ]:
         fn = getattr(lib, name)
         fn.restype = res
@@ -155,8 +157,10 @@ class NativeEgsReader:
                             np.float32).reshape(rows, cols)
             idx = _np_copy(lib.cegs_input_indexes(p, i),
                            lib.cegs_input_num_indexes(p, i) * 3, np.int32)
+            fmt = ("CM", "CM2", "CM3", "FM")[lib.cegs_input_fmt(p, i)]
             inputs.append(IoBlock(name=lib.cegs_input_name(p, i).decode(),
-                                  indexes=_indexes_from(idx), data=data))
+                                  indexes=_indexes_from(idx), data=data,
+                                  fmt=fmt))
 
         # rebuild the supervision FST
         fst = None
@@ -183,8 +187,10 @@ class NativeEgsReader:
               if ndw else None)
         sup_idx = _np_copy(lib.cegs_sup_indexes(p),
                            lib.cegs_sup_num_indexes(p) * 3, np.int32)
+        sup_name = lib.cegs_sup_name(p)
+        dw_fmt = ("DW2", "DW", "DW2")[lib.cegs_dw_fmt(p)]
         sup = Supervision(
-            name="output",
+            name=(sup_name.decode() if sup_name else "output") or "output",
             weight=float(lib.cegs_sup_weight(p)),
             num_sequences=lib.cegs_sup_num_sequences(p),
             frames_per_seq=lib.cegs_sup_frames_per_seq(p),
@@ -192,7 +198,8 @@ class NativeEgsReader:
             end2end=bool(lib.cegs_sup_end2end(p)),
             fst=fst,
             indexes=_indexes_from(sup_idx),
-            deriv_weights=dw)
+            deriv_weights=dw,
+            deriv_weights_fmt=dw_fmt)
         return Example(key=lib.cegs_key(p).decode(), inputs=inputs,
                        supervision=sup)
 

@@ -63,7 +63,8 @@ class StepTimer:
 def profile_fn(fn: Callable, *args, iters: int = 20, warmup: int = 2) -> dict:
     """Time a jitted function: returns {mean_ms, p50_ms, min_ms}."""
     import jax
-    for _ in range(warmup):
+    out = fn(*args)                      # compile + bind `out` even at warmup=0
+    for _ in range(max(0, warmup - 1)):
         out = fn(*args)
     jax.tree_util.tree_map(lambda x: getattr(x, "block_until_ready", lambda: x)(),
                            out)

@@ -191,3 +191,14 @@ class TestPrefetchLoader:
         import pytest as _pytest
         with _pytest.raises(ValueError, match="boom"):
             list(it)
+
+    def test_close_stops_blocked_producer(self):
+        import itertools
+        import time as _time
+        from kaldi_fp16_tpu.io.dataloader import PrefetchLoader
+        pl = PrefetchLoader(itertools.count(), depth=1)  # endless producer
+        it = iter(pl)
+        assert next(it) == 0
+        pl.close()
+        _time.sleep(0.1)
+        assert not pl._thread.is_alive()

@@ -163,3 +163,13 @@ class EgsReaderFromBytes:
         ex = self._parse(self._r)
         ex.key = key
         return ex
+
+
+def test_count_examples_matches_reader(tmp_path):
+    """count_examples scans record markers without decoding; must agree
+    with the full parse (used for LR-schedule sizing in tools/train.py)."""
+    from kaldi_fp16_tpu.io.egs import count_examples, read_examples, write_ark
+    exs = [make_example(key=f"utt-{i:03d}") for i in range(7)]
+    p = str(tmp_path / "c.ark")
+    write_ark(p, exs)
+    assert count_examples(p) == len(read_examples(p)) == 7

@@ -69,7 +69,8 @@ output-layer name=output include-log-softmax=false dim={args.pdfs}
                                                label_dim=args.pdfs))
     batch = next(iter(dl))
     feats = jnp.asarray(batch.features)
-    ivecs = jnp.asarray(batch.ivectors)
+    ivecs = (jnp.asarray(batch.ivectors)
+             if batch.ivectors is not None else None)
     print(f"batch: features {feats.shape}, frames_per_seq "
           f"{batch.frames_per_seq}, left_context {batch.left_context}")
 

@@ -113,14 +113,28 @@ def cmd_compare(args):
     if not native_available():
         print("native parser not built (make -C cpp); nothing to compare")
         sys.exit(2)
+    import itertools
     mismatches = total = 0
     for path in args.paths:
         with EgsReader(path) as rp, NativeEgsReader(path) as rn:
-            for ep, en in zip(rp, rn):
+            # zip_longest: a COUNT disagreement is exactly the kind of
+            # parser divergence this oracle exists to catch
+            for ep, en in itertools.zip_longest(rp, rn):
                 total += 1
-                if example_to_text(ep) != example_to_text(en):
+                if ep is None or en is None:
                     mismatches += 1
-                    print(f"MISMATCH {ep.key}")
+                    who = "python" if ep is None else "native"
+                    print(f"MISMATCH: {who} reader ran out of examples first")
+                    break
+                key = (ep.key, ep.supervision.name,
+                       [b.fmt for b in ep.inputs],
+                       ep.supervision.deriv_weights_fmt)
+                key_n = (en.key, en.supervision.name,
+                         [b.fmt for b in en.inputs],
+                         en.supervision.deriv_weights_fmt)
+                if example_to_text(ep) != example_to_text(en) or key != key_n:
+                    mismatches += 1
+                    print(f"MISMATCH {ep.key}: {key} vs {key_n}")
     print(f"compared {total} examples: "
           f"{'all identical' if not mismatches else f'{mismatches} mismatches'}")
     sys.exit(1 if mismatches else 0)

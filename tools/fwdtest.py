@@ -42,7 +42,8 @@ def main():
                                                    ivector_dim=ivec_dim))
         batch = next(iter(dl))
         feats = jnp.asarray(batch.features)
-        ivecs = jnp.asarray(batch.ivectors) if has_ivec else None
+        ivecs = (jnp.asarray(batch.ivectors)
+                 if has_ivec and batch.ivectors is not None else None)
         print(f"loaded batch: {batch.features.shape} keys={batch.keys[:3]}...")
     else:
         rng = np.random.default_rng(0)

@@ -80,13 +80,17 @@ def main():
     den_graph = DenominatorGraph.from_fst(den_fst, args.pdfs)
     den = DenominatorComputation(den_graph, leaky=args.leaky_hmm)
 
-    # estimate total steps for the lr schedule from one counting pass
-    probe = DataLoader(args.egs, DataLoaderConfig(batch_size=args.batch,
-                                                  label_dim=args.pdfs))
-    n_batches = sum(1 for _ in probe)
+    # estimate total steps for the lr schedule from a cheap marker scan
+    # (a full decoding pass over a production dataset would double
+    # time-to-first-step); bucketing/invalid examples make this an upper
+    # bound, which only flattens the LR tail slightly
+    import glob as globlib
+    from kaldi_fp16_tpu.io.egs import count_examples
+    n_examples = sum(count_examples(f) for f in sorted(globlib.glob(args.egs)))
+    n_batches = n_examples // args.batch
     if n_batches == 0:
         sys.exit(f"error: no full batches — fewer than --batch {args.batch} "
-                 f"valid examples in {args.egs!r}; lower --batch")
+                 f"examples in {args.egs!r} ({n_examples} found); lower --batch")
     if args.steps_per_epoch:
         n_batches = min(n_batches, args.steps_per_epoch)
     total_steps = max(n_batches * args.epochs, 1)
@@ -133,29 +137,33 @@ def main():
                                          max_fst_arcs=args.fst_pad_arcs))
         batches = PrefetchLoader(dl, args.prefetch) if args.prefetch else dl
         epoch_objf = []
-        for i, batch in enumerate(batches):
-            if args.steps_per_epoch and i >= args.steps_per_epoch:
-                break
-            with timer:
-                out = trainer.train_batch(batch)
-            epoch_objf.append(float(out.objf_per_frame))
-            if metrics:
-                metrics.log(trainer.global_step, epoch=epoch,
-                            loss=float(out.loss),
-                            objf_per_frame=float(out.objf_per_frame),
-                            num=float(out.num_logprob),
-                            den=float(out.den_logprob),
-                            grad_norm=float(out.grad_norm),
-                            lr=schedule(trainer.global_step))
-            if (i + 1) % args.log_every == 0:
-                print(f"epoch {epoch} step {trainer.global_step}: "
-                      f"objf/frame={float(out.objf_per_frame):.4f} "
-                      f"lr={schedule(trainer.global_step):.2e}")
-            if mgr and trainer.global_step % args.ckpt_every == 0:
-                mgr.save(trainer.global_step, trainer.params,
-                         trainer.net_state, trainer.opt_state,
-                         trainer.scale_state,
-                         DataPosition(epoch=epoch, batches_consumed=i + 1))
+        try:
+            for i, batch in enumerate(batches):
+                if args.steps_per_epoch and i >= args.steps_per_epoch:
+                    break
+                with timer:
+                    out = trainer.train_batch(batch)
+                epoch_objf.append(float(out.objf_per_frame))
+                if metrics:
+                    metrics.log(trainer.global_step, epoch=epoch,
+                                loss=float(out.loss),
+                                objf_per_frame=float(out.objf_per_frame),
+                                num=float(out.num_logprob),
+                                den=float(out.den_logprob),
+                                grad_norm=float(out.grad_norm),
+                                lr=schedule(trainer.global_step))
+                if (i + 1) % args.log_every == 0:
+                    print(f"epoch {epoch} step {trainer.global_step}: "
+                          f"objf/frame={float(out.objf_per_frame):.4f} "
+                          f"lr={schedule(trainer.global_step):.2e}")
+                if mgr and trainer.global_step % args.ckpt_every == 0:
+                    mgr.save(trainer.global_step, trainer.params,
+                             trainer.net_state, trainer.opt_state,
+                             trainer.scale_state,
+                             DataPosition(epoch=epoch, batches_consumed=i + 1))
+        finally:
+            if args.prefetch:
+                batches.close()  # stop the producer thread on early break
         print(f"epoch {epoch}: avg objf/frame = {np.mean(epoch_objf):.4f}  "
               f"{timer.summary()}")
 

@@ -93,9 +93,12 @@ output-layer name=output dim={args.pdfs} include-log-softmax=false
             losses.append(float(out.loss))
             steps += 1
             if steps == 2:
-                t_start = time.perf_counter()   # skip compile steps
+                # skip compile steps; step 2's frames are EXCLUDED along
+                # with its wall time (counting them inflated throughput)
+                t_start = time.perf_counter()
                 frames = 0
-            frames += batch.batch_size * batch.num_input_frames
+            else:
+                frames += batch.batch_size * batch.num_input_frames
             print(f"step {steps}: loss={losses[-1]:.4f} "
                   f"objf/frame={float(out.objf_per_frame):.4f} "
                   f"ok={bool(out.ok)}")
