@@ -124,12 +124,15 @@ class DenominatorComputation:
     (the reference's NativeDenominator analog, batched over sequences)."""
 
     def __init__(self, graph: DenominatorGraph, leaky: float = 1e-5,
-                 mode: str = "exact", hoist_bytes: int = 1 << 30):
+                 mode: str = "exact", hoist_bytes: int = 1 << 30,
+                 posterior_reduce: str = "einsum"):
         assert mode in ("exact", "fast")
+        assert posterior_reduce in ("einsum", "pallas")
         self.graph = graph
         self.leaky = leaky
         self.mode = mode
         self.hoist_bytes = hoist_bytes
+        self.posterior_reduce = posterior_reduce
         S, P = graph.num_states, graph.num_pdfs
 
         oh_dtype = jnp.float32 if mode == "exact" else jnp.bfloat16
@@ -165,13 +168,19 @@ class DenominatorComputation:
                 local: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         """[Ap, ...] arc values -> [NB*SB, ...] per-key block sums (MXU).
 
-        Lowered as an einsum against the stored one-hot blocks.  A Pallas
+        Lowered as einsums against the stored one-hot blocks.  A Pallas
         kernel with on-the-fly one-hots (ops/pallas_reduce.py) was measured
         against it: standalone it wins at N>=64 (0.16 vs 0.22 ms/step) but
         composed inside these scans it LOSES at every N on the current
         toolchain (in-scan pallas_call dispatch + K-tiling overheads), so
         the einsum stays the production path; `local` is accepted so the
         two lowerings stay drop-in interchangeable for future re-audits.
+
+        A manual 2-pass value-split (bf16 hi+lo against bf16 one-hots,
+        DEFAULT precision) was also measured: no faster (116 vs 111 ms
+        full fwd-bwd at N=128) and its ~2^-17/step split error compounds
+        through the 49-step recursion to ~7e-4 posterior drift — outside
+        the exact-mode accuracy class.  HIGH (bf16x3) stays.
         """
         nb, j = onehot.shape[0], onehot.shape[1]
         rest = vals.shape[1:]
@@ -270,7 +279,7 @@ class DenominatorComputation:
         # contraction per chunk.  [state, time*batch] layout makes each
         # per-arc gather row T_c*N wide (bandwidth-bound, not index-bound).
         inv_hist = jnp.where(asum_hist > 0, 1.0 / asum_hist, 0.0)  # [T, N]
-        bytes_per_frame = pdfo.padded * N * 4 * 5
+        bytes_per_frame = pdfo.padded * N * 4 * 4
         Tc = int(min(T, max(1, self.hoist_bytes // max(1, bytes_per_frame))))
         nc = -(-T // Tc)
         Tpad = nc * Tc
@@ -288,13 +297,29 @@ class DenominatorComputation:
             ad_st = jnp.transpose(ad, (1, 0, 2))    # [Sp, Tc, N]
             be_st = jnp.transpose(be, (1, 0, 2))
             x_pt = jnp.transpose(xf, (1, 0, 2))     # [P, Tc, N]
+            # x[t][pdf] depends on (t, pdf) only — NOT the arc — so it
+            # multiplies AFTER the per-pdf reduce (one [P, Tc, N]
+            # elementwise op) instead of riding each arc as a third
+            # gathered [Ap, Tc, N] operand.  1/3 less gather traffic in
+            # the HBM-bound pass; tp stays per-arc but fuses into the
+            # av*bt elementwise chain for free.
             av = jnp.take(ad_st, pdfo.src, axis=0)            # [Ap, Tc, N]
             bt = jnp.take(be_st, pdfo.dst, axis=0)
-            xtp = jnp.take(x_pt, pdfo.pdf, axis=0) * pdfo.prob[:, None, None]
-            gv = av * bt * xtp * iv[None, :, :]
-            post = self._reduce(gv.reshape(pdfo.padded, Tc * N),
-                                self._oh_pdf, pdfo.local)
-            return post.reshape(self._Pp, Tc, N)[:P]           # [P, Tc, N]
+            gv = av * bt * pdfo.prob[:, None, None]
+            if self.posterior_reduce == "pallas":
+                from kaldi_fp16_tpu.ops.pallas_reduce import (
+                    blocked_segment_reduce,
+                )
+                red = blocked_segment_reduce(
+                    gv.reshape(pdfo.num_blocks, pdfo.chunks * AC, Tc * N),
+                    pdfo.local, sb=SB, exact=self.mode == "exact")
+                red = red.reshape(self._Pp, Tc, N)
+            else:
+                red = self._reduce(gv.reshape(pdfo.padded, Tc * N),
+                                   self._oh_pdf, pdfo.local)
+                red = red.reshape(self._Pp, Tc, N)
+            red = red[:P]                                      # [P, Tc, N]
+            return red * x_pt * iv[None, :, :]
 
         posts = jax.lax.map(chunk_posts, (ad_c, be_c, x_c, inv_c))
         # [nc, P, Tc, N] -> [N, T, P]
