@@ -1,4 +1,5 @@
-"""Sharded training: dp over the batch axis + tp over the wide heads.
+"""Sharded training: dp over the batch axis + tp over the wide heads
++ optional sp over the feature time axis (see mesh.py axis docs).
 
 GSPMD style: the train step stays the pure function from training/train_step;
 we annotate input/output shardings and let XLA insert the collectives.
@@ -64,13 +65,26 @@ def _repl_like(tree, mesh):
     return jax.tree_util.tree_map(lambda _: repl, tree)
 
 
+_TIME_AXIS_KEYS = ("features", "deriv_weights")
+
+
+def _batch_spec(k: str, v, mesh: Mesh) -> P:
+    """Batch axis over 'data'; the TIME axis of time-major arrays over
+    'seq' (GSPMD turns the temporal shifts into halo exchanges)."""
+    ndim = getattr(v, "ndim", 0)
+    if ndim == 0:
+        return P()
+    if (mesh.shape.get("seq", 1) > 1 and ndim >= 2
+            and k in _TIME_AXIS_KEYS):
+        return P("data", "seq")
+    return P("data")
+
+
 def shard_batch(batch: Dict[str, jnp.ndarray], mesh: Mesh) -> Dict:
-    """Place batch arrays with the leading (sequence) axis over 'data'."""
-    out = {}
-    for k, v in batch.items():
-        spec = P("data") if getattr(v, "ndim", 0) >= 1 else P()
-        out[k] = jax.device_put(v, NamedSharding(mesh, spec))
-    return out
+    """Place batch arrays with the leading (sequence) axis over 'data'
+    and time axes over 'seq' (when the mesh has one)."""
+    return {k: jax.device_put(v, NamedSharding(mesh, _batch_spec(k, v, mesh)))
+            for k, v in batch.items()}
 
 
 def make_sharded_train_step(step_fn, mesh: Mesh, model: Model, params,
@@ -85,7 +99,6 @@ def make_sharded_train_step(step_fn, mesh: Mesh, model: Model, params,
     keeps output shardings identical to inputs so layout is step-stable.
     """
     repl = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P("data"))
     p_shard = param_shardings(model, mesh, params)
     net_shard = _repl_like(net_state, mesh)
     # velocity follows the param shardings; anything else in the optimizer
@@ -93,7 +106,7 @@ def make_sharded_train_step(step_fn, mesh: Mesh, model: Model, params,
     opt_shard = {k: (p_shard if k == "velocity" else _repl_like(v, mesh))
                  for k, v in opt_state.items()}
     scale_shard = _repl_like(scale_state, mesh)
-    batch_shard = {k: data if getattr(v, "ndim", 0) >= 1 else repl
+    batch_shard = {k: NamedSharding(mesh, _batch_spec(k, v, mesh))
                    for k, v in example_batch.items()}
 
     placed = (

@@ -2,11 +2,19 @@
 
 Axes:
   data   — data parallelism over utterance minibatches (gradient psum)
+  seq    — sequence parallelism over the feature TIME axis.  Under GSPMD
+           the conv/TDNN-F temporal shifts become automatic halo
+           exchanges (collective-permute over ICI); the chain recursion
+           stays sequential in T, so XLA re-gathers the output along
+           'seq' before the loss.  Useful when per-chunk frame counts
+           grow beyond what one chip's HBM holds for activations; at the
+           production 150-frame chunks dp alone is faster.
   model  — tensor parallelism for the wide output/prefinal matmuls
            (3080 pdf-ids shard cleanly)
 
 On a v5e slice the 'data' axis should ride ICI within a host and DCN across
-hosts (jax.distributed handles the process mesh); 'model' stays intra-host.
+hosts (jax.distributed handles the process mesh); 'seq' and 'model' stay
+intra-host.
 """
 
 from __future__ import annotations
@@ -23,6 +31,7 @@ from jax.sharding import Mesh
 class MeshConfig:
     data: int = 1
     model: int = 1
+    seq: int = 1
 
 
 def make_mesh(config: Optional[MeshConfig] = None,
@@ -30,12 +39,13 @@ def make_mesh(config: Optional[MeshConfig] = None,
     devices = list(devices if devices is not None else jax.devices())
     if config is None:
         config = MeshConfig(data=len(devices), model=1)
-    n = config.data * config.model
+    n = config.data * config.seq * config.model
     if n > len(devices):
         raise ValueError(f"mesh {config} needs {n} devices, "
                          f"have {len(devices)}")
-    grid = np.array(devices[:n]).reshape(config.data, config.model)
-    return Mesh(grid, axis_names=("data", "model"))
+    grid = np.array(devices[:n]).reshape(config.data, config.seq,
+                                         config.model)
+    return Mesh(grid, axis_names=("data", "seq", "model"))
 
 
 def initialize_distributed(coordinator_address: Optional[str] = None,

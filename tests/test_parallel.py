@@ -68,18 +68,26 @@ def test_devices_available():
 
 def test_make_mesh_shapes():
     mesh = make_mesh(MeshConfig(data=4, model=2))
-    assert mesh.shape == {"data": 4, "model": 2}
+    assert mesh.shape == {"data": 4, "seq": 1, "model": 2}
     mesh_dp = make_mesh()
     assert mesh_dp.shape["data"] == 8
+    mesh_sp = make_mesh(MeshConfig(data=2, seq=2, model=2))
+    assert mesh_sp.shape == {"data": 2, "seq": 2, "model": 2}
     with pytest.raises(ValueError):
         make_mesh(MeshConfig(data=16, model=1))
 
 
 @pytest.mark.parametrize("mesh_cfg", [MeshConfig(data=4, model=1),
                                       MeshConfig(data=2, model=2),
-                                      MeshConfig(data=1, model=4)])
+                                      MeshConfig(data=1, model=4),
+                                      MeshConfig(data=2, seq=2, model=1),
+                                      MeshConfig(data=2, seq=2, model=2)])
 def test_sharded_matches_single_device(mesh_cfg):
-    """dp/tp sharded training must reproduce the single-device numbers."""
+    """dp/tp/sp sharded training must reproduce the single-device numbers.
+
+    The sp cases shard the 12-frame feature time axis over 'seq'; GSPMD
+    inserts halo exchanges for the tdnnf temporal splices and re-gathers
+    before the chain scan, so the numbers must be identical."""
     model, den, num_graph, batch, config = _setup()
     opts = ChainTrainingOpts()
 
