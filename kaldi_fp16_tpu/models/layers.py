@@ -98,6 +98,12 @@ class TDNNFSpec:
     bypass_scale: float = 0.66
     target_rms: float = 1.0
     l2_reg: float = 0.0
+    # Kaldi tdnnf-layer default: the bottleneck linear is kept
+    # semi-orthogonal with a FLOATING scale (Povey et al. 2018).  The
+    # reference parses this option but never applies it
+    # (layers.go:45,221 — no other use); here training/orthonormal.py
+    # enforces it every TrainConfig.orthonormal_interval steps.
+    orthonormal_constraint: float = -1.0
 
 
 @dataclass
@@ -150,6 +156,9 @@ class PrefinalSpec:
     big_dim: int
     target_rms: float = 1.0
     l2_reg: float = 0.0
+    # Kaldi prefinal-layer: the big->small linear carries a floating
+    # semi-orthogonal constraint by default (see TDNNFSpec note)
+    orthonormal_constraint: float = -1.0
 
 
 @dataclass
@@ -307,7 +316,9 @@ def _resolve_one(cfg: LayerConfig, layer_map, layers, idx) -> Layer:
         spec = TDNNFSpec(inp.dim, dim, bn,
                          time_stride=cfg.get_int("time-stride", 3),
                          bypass_scale=cfg.get_float("bypass-scale", 0.66),
-                         l2_reg=cfg.get_float("l2-regularize"))
+                         l2_reg=cfg.get_float("l2-regularize"),
+                         orthonormal_constraint=cfg.get_float(
+                             "orthonormal-constraint", -1.0))
         return Layer(cfg.name, t, cfg, inp, inp.dim, dim, spec)
 
     if t == LayerType.ATTENTION_RELU_BATCHNORM:
@@ -340,7 +351,9 @@ def _resolve_one(cfg: LayerConfig, layer_map, layers, idx) -> Layer:
         if small <= 0 or big <= 0:
             raise ValueError(f"prefinal-layer {cfg.name}: missing small-dim/big-dim")
         spec = PrefinalSpec(inp.dim, small, big,
-                            l2_reg=cfg.get_float("l2-regularize"))
+                            l2_reg=cfg.get_float("l2-regularize"),
+                            orthonormal_constraint=cfg.get_float(
+                                "orthonormal-constraint", -1.0))
         return Layer(cfg.name, t, cfg, inp, inp.dim, small, spec)
 
     if t == LayerType.OUTPUT:

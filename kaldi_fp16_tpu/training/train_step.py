@@ -37,6 +37,9 @@ from kaldi_fp16_tpu.training.natural_gradient import (
 from kaldi_fp16_tpu.training.optimizer import (
     SGDConfig, init_sgd_state, layer_hyperparams, sgd_update,
 )
+from kaldi_fp16_tpu.training.orthonormal import (
+    constrain_orthonormal, orthonormal_targets,
+)
 from kaldi_fp16_tpu.training.loss_scale import (
     LossScaleState, grads_finite, init_loss_scale, unscale_grads,
     update_loss_scale,
@@ -64,6 +67,10 @@ class TrainConfig:
     # — trades ~1 extra forward for not storing activations, buying batch
     # size / sequence length headroom in HBM
     remat: bool = False
+    # apply the Kaldi semi-orthogonal constraint to tdnnf/prefinal
+    # bottleneck linears every N non-skipped steps (0 disables; Kaldi
+    # uses a random ~1/4 of steps — training/orthonormal.py)
+    orthonormal_interval: int = 4
 
 
 class TrainStepOutput(NamedTuple):
@@ -267,6 +274,22 @@ def make_train_step(model: Model,
             sgd_cfg, lr=lr, hyper=hyper, trainable=mask, skip=skip)
         if config.natural_gradient:
             new_opt_state["ng"] = new_ng
+
+        # Kaldi applies ConstrainOrthonormal after the parameter update
+        # (nnet-chain-training.cc TrainInternal -> ConstrainOrthonormal)
+        if config.orthonormal_interval > 0:
+            targets = orthonormal_targets(model)
+            if targets:
+                do = ((new_opt_state["step"] % config.orthonormal_interval
+                       == 0) & ~skip)
+                for lname, pname, c in targets:
+                    w = new_params[lname][pname]
+                    new_params[lname] = dict(
+                        new_params[lname],
+                        **{pname: jax.lax.cond(
+                            do,
+                            lambda w, _c=c: constrain_orthonormal(w, _c),
+                            lambda w: w, w)})
 
         out = TrainStepOutput(
             loss=loss,
