@@ -36,6 +36,9 @@ def main():
     ap.add_argument("--max-param-change", type=float, default=2.0)
     ap.add_argument("--l2-regularize", type=float, default=0.0)
     ap.add_argument("--xent-regularize", type=float, default=0.0)
+    ap.add_argument("--orthonormal-interval", type=int, default=4,
+                    help="apply the TDNN-F semi-orthogonal constraint "
+                         "every N steps (0 disables)")
     ap.add_argument("--natural-gradient", action="store_true",
                     help="Kaldi NG-SGD: precondition affine grads with "
                          "online low-rank Fisher estimates")
@@ -104,7 +107,8 @@ def main():
                          max_param_change=args.max_param_change,
                          frame_subsampling_factor=args.frame_subsampling,
                          xent_regularize=args.xent_regularize,
-                         natural_gradient=args.natural_gradient)
+                         natural_gradient=args.natural_gradient,
+                         orthonormal_interval=args.orthonormal_interval)
     chain_opts = ChainTrainingOpts(l2_regularize=args.l2_regularize,
                                    leaky_hmm_coefficient=args.leaky_hmm,
                                    xent_regularize=args.xent_regularize)
