@@ -36,6 +36,9 @@ def main():
     ap.add_argument("--max-param-change", type=float, default=2.0)
     ap.add_argument("--l2-regularize", type=float, default=0.0)
     ap.add_argument("--xent-regularize", type=float, default=0.0)
+    ap.add_argument("--loss-scaling", action="store_true",
+                    help="dynamic loss scaling (65536 init, 2x/2000 growth, "
+                         "0.5 backoff); needed for fp16, optional for bf16")
     ap.add_argument("--orthonormal-interval", type=int, default=4,
                     help="apply the TDNN-F semi-orthogonal constraint "
                          "every N steps (0 disables)")
@@ -108,7 +111,8 @@ def main():
                          frame_subsampling_factor=args.frame_subsampling,
                          xent_regularize=args.xent_regularize,
                          natural_gradient=args.natural_gradient,
-                         orthonormal_interval=args.orthonormal_interval)
+                         orthonormal_interval=args.orthonormal_interval,
+                         use_loss_scaling=args.loss_scaling)
     chain_opts = ChainTrainingOpts(l2_regularize=args.l2_regularize,
                                    leaky_hmm_coefficient=args.leaky_hmm,
                                    xent_regularize=args.xent_regularize)
