@@ -112,6 +112,54 @@ def make_simple_den_fst(num_pdfs: int, num_states: int = 4,
     return Fst(start=0, states=states)
 
 
+def make_phone_lm_den_fst(num_pdfs: int = 3080, num_phones: int = 3526,
+                          states_per_phone: int = 2, branching: int = 28,
+                          seed: int = 0) -> Fst:
+    """Denominator FST with the REAL topology class: a phone-LM over
+    left-to-right HMMs (what `chain-est-phone-lm | chain-make-den-fst`
+    produces), instead of a uniformly random graph.
+
+    Each phone is a chain of `states_per_phone` states with self-loops;
+    the last state fans out to `branching` random phone-initial states
+    (the n-gram phone-LM transitions).  pdf-ids are assigned per
+    (phone, state) round-robin over num_pdfs.  Defaults reproduce the
+    production scale: 7052 states, ~113K arcs, 3080 pdfs
+    (ref: den.fst structure, docs report — 7052 states / 113,380 arcs).
+    Every state is final with weight 0 (chain convention).  Unlike the
+    random generator this graph has gather locality (self-loops and
+    in-phone arcs touch neighboring states), which is what the blocked
+    denominator kernels see in production."""
+    from kaldi_fp16_tpu.io.fst import FstArc, FstState
+    rng = np.random.default_rng(seed)
+    S = num_phones * states_per_phone
+    states = [FstState(final=0.0) for _ in range(S)]
+    pdf_of_state = (np.arange(S, dtype=np.int64) % num_pdfs) + 1
+    initials = np.arange(num_phones, dtype=np.int64) * states_per_phone
+    for ph in range(num_phones):
+        base = ph * states_per_phone
+        for k in range(states_per_phone):
+            s = base + k
+            lbl = int(pdf_of_state[s])
+            # self-loop (HMM state persistence)
+            states[s].arcs.append(
+                FstArc(lbl, float(rng.uniform(0.3, 1.2)), s))
+            if k + 1 < states_per_phone:
+                nxt = s + 1
+                states[s].arcs.append(
+                    FstArc(int(pdf_of_state[nxt]),
+                           float(rng.uniform(0.3, 1.2)), nxt))
+        # phone-LM fan-out from the last state to successor phone starts
+        last = base + states_per_phone - 1
+        succ = rng.choice(num_phones, size=min(branching, num_phones),
+                          replace=False)
+        for sp in succ:
+            dst = int(initials[sp])
+            states[last].arcs.append(
+                FstArc(int(pdf_of_state[dst]),
+                       float(rng.uniform(1.0, 4.0)), dst))
+    return Fst(start=0, states=states)
+
+
 # ---------------------------------------------------------------------------
 # Numerator graph batch (padded static shapes)
 # ---------------------------------------------------------------------------

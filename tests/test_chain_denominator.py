@@ -127,3 +127,29 @@ class TestJaxVsOracle:
         assert np.isfinite(np.asarray(post)).all()
         ref_logp, _ = denominator_forward_backward_ref(graph, out[0])
         assert abs(float(logp[0]) - ref_logp) / max(abs(ref_logp), 1) < 1e-4
+
+
+class TestPhoneLmTopology:
+    """make_phone_lm_den_fst: realistic den.fst structure (self-loops,
+    L-R phone HMMs, phone-LM fan-out) must behave like any den graph."""
+
+    def test_production_scale_shape(self):
+        from kaldi_fp16_tpu.chain.graph import make_phone_lm_den_fst
+        fst = make_phone_lm_den_fst()
+        g = DenominatorGraph.from_fst(fst, 3080)
+        assert g.num_states == 7052
+        assert 100_000 < g.num_transitions < 120_000
+        np.testing.assert_allclose(g.initial.sum(), 1.0, atol=1e-5)
+
+    def test_small_matches_oracle(self, rng):
+        from kaldi_fp16_tpu.chain.graph import make_phone_lm_den_fst
+        fst = make_phone_lm_den_fst(num_pdfs=6, num_phones=4,
+                                    states_per_phone=2, branching=3, seed=1)
+        g = DenominatorGraph.from_fst(fst, 6)
+        out = rng.normal(size=(2, 5, 6)).astype(np.float32)
+        logp, post = denominator_forward_backward(g, jnp.asarray(out))
+        for b in range(2):
+            ref_logp, ref_post = denominator_forward_backward_ref(g, out[b])
+            assert abs(float(logp[b]) - ref_logp) < 5e-4
+            np.testing.assert_allclose(np.asarray(post[b]), ref_post,
+                                       rtol=1e-4, atol=1e-5)

@@ -29,6 +29,10 @@ def main():
     ap.add_argument("--num-states", type=int, default=200)
     ap.add_argument("--num-arcs", type=int, default=256)
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--topology", default="random",
+                    choices=["random", "phone-lm"],
+                    help="random = locality-free worst case; phone-lm = "
+                         "realistic den.fst structure")
     args = ap.parse_args()
 
     import jax
@@ -43,15 +47,25 @@ def main():
     B, T, P = args.batch, args.frames, args.pdfs
     S, A = args.den_states, args.den_arcs
 
-    # synthetic denominator graph at den.fst scale (7052 states, 113380 arcs)
-    dst = np.sort(rng.integers(0, S, size=A).astype(np.int32))
-    graph = DenominatorGraph(
-        src=rng.integers(0, S, size=A).astype(np.int32),
-        dst=dst,
-        pdf=rng.integers(0, P, size=A).astype(np.int32),
-        prob=rng.uniform(0.1, 1.0, size=A).astype(np.float32),
-        initial=(lambda v: v / v.sum())(rng.uniform(0, 1, S).astype(np.float32)),
-        num_states=S, num_pdfs=P, start_state=0)
+    if args.topology == "phone-lm":
+        # realistic den.fst topology: phone-LM over L-R HMMs with
+        # self-loops -> gather locality like the real production graph
+        from kaldi_fp16_tpu.chain.graph import make_phone_lm_den_fst
+        fst = make_phone_lm_den_fst(num_pdfs=P)
+        graph = DenominatorGraph.from_fst(fst, P)
+        S, A = graph.num_states, graph.num_transitions
+    else:
+        # uniformly random graph at den.fst scale: the locality-free
+        # WORST case for the blocked gathers
+        dst = np.sort(rng.integers(0, S, size=A).astype(np.int32))
+        graph = DenominatorGraph(
+            src=rng.integers(0, S, size=A).astype(np.int32),
+            dst=dst,
+            pdf=rng.integers(0, P, size=A).astype(np.int32),
+            prob=rng.uniform(0.1, 1.0, size=A).astype(np.float32),
+            initial=(lambda v: v / v.sum())(
+                rng.uniform(0, 1, S).astype(np.float32)),
+            num_states=S, num_pdfs=P, start_state=0)
     den = DenominatorComputation(graph, leaky=1e-5)
 
     # synthetic numerator batch at typical scale (~200 states/arcs per utt)
