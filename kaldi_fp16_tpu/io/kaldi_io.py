@@ -30,7 +30,7 @@ class BinaryReader:
             self._f: BinaryIO = io.BytesIO(bytes(src))
         else:
             self._f = src
-        self._peeked: Optional[int] = None
+        self._pushback: list = []
 
     @classmethod
     def open(cls, path: str) -> "BinaryReader":
@@ -51,9 +51,8 @@ class BinaryReader:
 
     def read_byte(self) -> int:
         """Read one byte; raises EOFError at end of stream."""
-        if self._peeked is not None:
-            b, self._peeked = self._peeked, None
-            return b
+        if self._pushback:
+            return self._pushback.pop()
         data = self._f.read(1)
         if not data:
             raise EOFError("unexpected EOF")
@@ -66,8 +65,9 @@ class BinaryReader:
             return None
 
     def unread_byte(self, b: int) -> None:
-        assert self._peeked is None, "only one byte of lookahead supported"
-        self._peeked = b
+        """Push a byte back; LIFO, multi-byte lookahead supported (the
+        nnet3 binary reader peeks 3-byte matrix/vector markers)."""
+        self._pushback.append(b)
 
     def peek_byte(self) -> Optional[int]:
         b = self.try_read_byte()
@@ -77,9 +77,8 @@ class BinaryReader:
 
     def read_bytes(self, n: int) -> bytes:
         out = bytearray()
-        if self._peeked is not None and n > 0:
-            out.append(self._peeked)
-            self._peeked = None
+        while self._pushback and len(out) < n:
+            out.append(self._pushback.pop())
         while len(out) < n:
             chunk = self._f.read(n - len(out))
             if not chunk:

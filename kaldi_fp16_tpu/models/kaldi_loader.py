@@ -321,6 +321,23 @@ def load_weights_from_text(model: Model, params: dict, state: dict,
                                        parse_nnet3_text(text))
 
 
+def load_weights_from_file(model: Model, params: dict, state: dict,
+                           path: str):
+    """Load a Kaldi model file, binary (.mdl/.raw, read standalone by
+    io/nnet3_binary.py — no Kaldi install needed, unlike the reference's
+    nnet3-copy subprocess) or `nnet3-copy --binary=false` text."""
+    with open(path, "rb") as f:
+        head = f.read(2)
+    if head == b"\x00B":
+        from kaldi_fp16_tpu.io.nnet3_binary import (
+            read_nnet3, to_kaldi_components,
+        )
+        comps = to_kaldi_components(read_nnet3(path))
+        return load_params_from_components(model, params, state, comps)
+    with open(path, "r") as f:
+        return load_weights_from_text(model, params, state, f.read())
+
+
 # ---------------------------------------------------------------------------
 # Export
 # ---------------------------------------------------------------------------

@@ -2,11 +2,12 @@
 """loadtest — Kaldi model import: load an nnet3 text model into the network,
 dump execution order, forward sanity (ref: cmd/loadtest/main.go).
 
-With --model pointing at `nnet3-copy --binary=false` output, imports that;
-without it, round-trips a freshly exported model (export -> import) so the
-tool is runnable with no Kaldi installation.
+With --model pointing at a Kaldi model file — binary .mdl/.raw (read
+standalone, no Kaldi install) or `nnet3-copy --binary=false` text — it
+imports that; without it, round-trips a freshly exported model
+(export -> text AND binary -> import) so the tool is runnable anywhere.
 
-Usage: python tools/loadtest.py [--xconfig F] [--model nnet3.txt]
+Usage: python tools/loadtest.py [--xconfig F] [--model final.mdl|nnet3.txt]
 """
 
 import argparse
@@ -19,7 +20,8 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--xconfig", default="configs/cnn_tdnn.xconfig")
-    ap.add_argument("--model", help="nnet3-copy --binary=false text output")
+    ap.add_argument("--model",
+                    help="Kaldi model: binary .mdl/.raw or nnet3 text")
     ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--frames", type=int, default=30)
     args = ap.parse_args()
@@ -29,7 +31,7 @@ def main():
     from kaldi_fp16_tpu.models.model import build_model
     from kaldi_fp16_tpu.models.network import forward, init_params
     from kaldi_fp16_tpu.models.kaldi_loader import (
-        export_params_to_text, load_weights_from_text,
+        export_params_to_text, load_weights_from_file, load_weights_from_text,
     )
 
     model = build_model(args.xconfig)
@@ -38,15 +40,25 @@ def main():
           " -> ".join(l.name for l in model.execution_order()))
 
     params, state = init_params(model, jax.random.PRNGKey(0))
-    if args.model:
-        text = open(args.model).read()
-    else:
-        print("no --model given: round-tripping the exporter's own output")
-        text = export_params_to_text(model, params, state)
-
     params2, state2 = init_params(model, jax.random.PRNGKey(1))
-    params2, state2, report = load_weights_from_text(model, params2, state2,
-                                                     text)
+    if args.model:
+        params2, state2, report = load_weights_from_file(
+            model, params2, state2, args.model)
+    else:
+        print("no --model given: round-tripping the exporter's own output "
+              "through BOTH the text and binary containers")
+        text = export_params_to_text(model, params, state)
+        from kaldi_fp16_tpu.io.nnet3_binary import (
+            Nnet3Model, components_from_text, write_nnet3,
+        )
+        from kaldi_fp16_tpu.models.kaldi_loader import parse_nnet3_text
+        import tempfile, os
+        comps = parse_nnet3_text(text)
+        bpath = os.path.join(tempfile.mkdtemp(), "roundtrip.raw")
+        write_nnet3(Nnet3Model(config_lines=[],
+                               components=components_from_text(comps)), bpath)
+        params2, state2, report = load_weights_from_file(
+            model, params2, state2, bpath)
     total = sum(report.values())
     print(f"loaded {total:,} values into {len(report)} layers:")
     for name, n in report.items():

@@ -33,6 +33,9 @@ def main():
     ap.add_argument("--xconfig", default="configs/cnn_tdnn.xconfig")
     ap.add_argument("--natural-gradient", action="store_true")
     ap.add_argument("--mode", default="exact", choices=["exact", "fast"])
+    ap.add_argument("--remat", action="store_true",
+                    help="jax.checkpoint the network forward (trade FLOPs "
+                         "for activation HBM traffic)")
     args = ap.parse_args()
 
     import jax
@@ -78,7 +81,8 @@ def main():
 
     config = TrainConfig(learning_rate=1e-3, momentum=0.9,
                          frame_subsampling_factor=stride, left_context=left,
-                         natural_gradient=args.natural_gradient)
+                         natural_gradient=args.natural_gradient,
+                         remat=args.remat)
     step = make_train_step(model, den, num_graph, ChainTrainingOpts(), config,
                            num_frames_out=T_out, donate=True)
     params, net_state, opt_state, scale_state = init_train_state(
@@ -117,7 +121,7 @@ def main():
         "detail": {"step_ms": round(dt * 1e3, 2), "batch": B,
                    "frames_in": T_in, "frames_out": T_out,
                    "natural_gradient": args.natural_gradient,
-                   "den_mode": args.mode,
+                   "den_mode": args.mode, "remat": args.remat,
                    "loss": float(out.loss)},
     }))
 
