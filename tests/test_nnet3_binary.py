@@ -170,3 +170,40 @@ output-layer name=output dim=8 include-log-softmax=false
             for a, b in zip(leaves1, leaves2):
                 np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                            atol=1e-6, err_msg=lname)
+
+
+class TestModeltoolsCLI:
+    def test_copy_info_compare(self, tmp_path):
+        """tools/modeltools.py: text -> binary -> text with zero diff."""
+        import os
+        import subprocess
+        import sys
+        import jax
+        from kaldi_fp16_tpu.models.model import build_model_from_string
+        from kaldi_fp16_tpu.models.network import init_params
+        from kaldi_fp16_tpu.models.kaldi_loader import export_params_to_text
+
+        model = build_model_from_string(
+            "input name=input dim=8\n"
+            "linear-component name=lin1 dim=16\n"
+            "output-layer name=output dim=4 include-log-softmax=false\n")
+        params, state = init_params(model, jax.random.PRNGKey(0))
+        t0 = tmp_path / "m.txt"
+        t0.write_text(export_params_to_text(model, params, state))
+        raw = tmp_path / "m.raw"
+        t1 = tmp_path / "m2.txt"
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        tool = os.path.join(root, "tools", "modeltools.py")
+
+        def run(*a):
+            return subprocess.run([sys.executable, tool, *a], env=env,
+                                  capture_output=True, text=True, cwd=root)
+
+        assert run("copy", str(t0), str(raw), "--binary").returncode == 0
+        info = run("info", str(raw))
+        assert info.returncode == 0 and "binary container" in info.stdout
+        assert run("copy", str(raw), str(t1), "--text").returncode == 0
+        cmp_ = run("compare", str(t0), str(t1))
+        assert cmp_.returncode == 0, cmp_.stdout
+        assert "worst |diff| = 0.000e+00" in cmp_.stdout
