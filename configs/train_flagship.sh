@@ -30,6 +30,7 @@ exec python "$(dirname "$0")/../tools/train.py" \
     --l2-regularize 5e-5 \
     --xent-regularize 0.1 \
     --leaky-hmm 1e-5 \
+    --loss-scaling \
     --natural-gradient \
     --orthonormal-interval 4 \
     --ckpt-dir exp/flagship \

@@ -28,9 +28,15 @@ Notes on fidelity:
     pdf-id map is not attempted (the chain pipeline needs only the nnet).
   * Component payloads are parsed with a tag-driven reader: matrix/vector
     markers are self-describing; sized scalars are typed by the same tag
-    tables the text loader uses (models/kaldi_loader.py), with a
-    float-plausibility heuristic for unknown tags, so foreign components
-    are skipped structurally rather than crashing the load.
+    tables the text loader uses (models/kaldi_loader.py) plus a
+    float-plausibility heuristic for unknown tags; integer-vector tags
+    (Kaldi WriteIntegerVector: sized count + raw int32 block, e.g.
+    <TimeOffsets>/<RequiredTimeOffsets>) are table-driven.  Items are
+    recorded and re-written in SOURCE ORDER, so read->write of a foreign
+    component preserves Kaldi's ExpectToken sequencing.
+  * Known lossy case: float64 payloads ("DV"/"DM" and 8-byte scalars)
+    are held as float32/float in memory; "DV"/"DM" re-write as "FV"/"FM"
+    (model parameters are BaseFloat=float32 in practice).
 """
 
 from __future__ import annotations
@@ -49,26 +55,93 @@ _BOOL_TAGS = {
     "<IsGradient>", "<UseNaturalGradient>", "<IsUpdatable>", "<TestMode>",
 }
 
-# int-valued tags (4-byte payloads that must NOT be read as float)
+# int-valued tags (4-byte payloads that must NOT be read as float).
+# NOTE <NumSamplesHistory> is a BaseFloat in Kaldi (OnlineNaturalGradient)
+# — deliberately NOT here.
 _INT_TAGS = {
     "<Dim>", "<InputDim>", "<OutputDim>", "<BlockDim>", "<NumFiltersIn>",
     "<NumFiltersOut>", "<HeightIn>", "<HeightOut>", "<NumHeads>",
     "<KeyDim>", "<ValueDim>", "<RankIn>", "<RankOut>", "<Rank>",
-    "<UpdatePeriod>", "<NumSamplesHistory>", "<NumRepeats>", "<NumBlocks>",
+    "<UpdatePeriod>", "<NumRepeats>", "<NumBlocks>",
+}
+
+# tags whose payload is Kaldi WriteIntegerVector: sized count then the
+# RAW int32 array (no per-element size bytes)
+_INTVEC_TAGS = {
+    "<TimeOffsets>", "<RequiredTimeOffsets>", "<Offsets>", "<Context>",
+    "<ColumnMap>", "<Sizes>", "<Pdfs>",
 }
 
 
 @dataclass
 class BinaryComponent:
-    """One parsed component: class name + tag payloads in read order."""
+    """One parsed component: class name + payload ITEMS in read order.
+
+    `items` is the source of truth — a list of (tag, kind, value) where
+    tag may be None for a payload with no preceding tag, and kind is one
+    of 'int', 'float', 'double', 'bool', 'vector', 'matrix', 'intvec',
+    'flag'.  The typed dict properties are convenience views; the writer
+    replays `items` verbatim so read->write preserves the original tag
+    order (Kaldi component readers are ExpectToken-sequenced, and
+    reordering would also break byte-stable round-trips)."""
     name: str = ""
     type: str = ""                       # class token without <>
-    scalars: Dict[str, float] = field(default_factory=dict)
-    ints: Dict[str, int] = field(default_factory=dict)
-    bools: Dict[str, bool] = field(default_factory=dict)
-    matrices: Dict[str, np.ndarray] = field(default_factory=dict)
-    vectors: Dict[str, np.ndarray] = field(default_factory=dict)
-    flags: List[str] = field(default_factory=list)   # value-less tags
+    items: List[Tuple[Optional[str], str, object]] = field(
+        default_factory=list)
+
+    def _view(self, kinds) -> Dict[str, object]:
+        return {tag: v for tag, k, v in self.items
+                if tag is not None and k in kinds}
+
+    @property
+    def scalars(self) -> Dict[str, float]:
+        return self._view(("float", "double"))
+
+    @property
+    def ints(self) -> Dict[str, int]:
+        return self._view(("int",))
+
+    @property
+    def bools(self) -> Dict[str, bool]:
+        return self._view(("bool",))
+
+    @property
+    def matrices(self) -> Dict[str, np.ndarray]:
+        return self._view(("matrix",))
+
+    @property
+    def vectors(self) -> Dict[str, np.ndarray]:
+        return self._view(("vector",))
+
+    @property
+    def int_vectors(self) -> Dict[str, np.ndarray]:
+        return self._view(("intvec",))
+
+    @property
+    def flags(self) -> List[str]:
+        return [tag for tag, k, _ in self.items if k == "flag"]
+
+    # -- helpers for constructing components programmatically -----------
+    def set_int(self, tag: str, v: int) -> None:
+        self.items.append((tag, "int", int(v)))
+
+    def set_float(self, tag: str, v: float) -> None:
+        self.items.append((tag, "float", float(v)))
+
+    def set_bool(self, tag: str, v: bool) -> None:
+        self.items.append((tag, "bool", bool(v)))
+
+    def set_vector(self, tag: str, v: np.ndarray) -> None:
+        self.items.append((tag, "vector", np.asarray(v, np.float32)))
+
+    def set_matrix(self, tag: str, v: np.ndarray) -> None:
+        self.items.append((tag, "matrix", np.asarray(v, np.float32)))
+
+    def set_intvec(self, tag: str, v: np.ndarray) -> None:
+        self.items.append((tag, "intvec", np.asarray(v, np.int32)))
+
+    def set_flag(self, tag: str) -> None:
+        self.items.append((tag, "flag", None))
 
 
 @dataclass
@@ -142,8 +215,19 @@ def _plausible_float(raw4: bytes) -> bool:
 # component reader (generic, tag-driven)
 # ---------------------------------------------------------------------------
 
+def _read_intvec(r: BinaryReader) -> np.ndarray:
+    """Kaldi ReadIntegerVector: sized int32 count, then the RAW int32
+    array (one block, no per-element size bytes)."""
+    n = r.read_basic_int()
+    if n < 0 or n > 100_000_000:
+        raise ValueError(f"implausible integer-vector length {n}")
+    raw = r.read_bytes(n * 4)
+    return np.frombuffer(raw, dtype=np.int32).copy()
+
+
 def read_component(r: BinaryReader) -> BinaryComponent:
-    """Reads `<ClassName> ...tags/data... </ClassName>` generically."""
+    """Reads `<ClassName> ...tags/data... </ClassName>` generically,
+    recording payload items in source order."""
     cls = _read_token(r)
     if not (cls.startswith("<") and cls.endswith(">")):
         raise ValueError(f"expected component class token, got {cls!r}")
@@ -159,10 +243,10 @@ def read_component(r: BinaryReader) -> BinaryComponent:
             tok = _read_token(r)
             if tok == end:
                 if pending is not None:
-                    comp.flags.append(pending)
+                    comp.items.append((pending, "flag", None))
                 return comp
             if pending is not None:
-                comp.flags.append(pending)
+                comp.items.append((pending, "flag", None))
             pending = tok
             continue
         # value for the pending tag
@@ -170,39 +254,46 @@ def read_component(r: BinaryReader) -> BinaryComponent:
             tok = _read_token(r)
             double = tok[0] == "D"
             if tok[1] == "V":
-                val = _read_vector(r, double)
-                comp.vectors[pending or f"_v{len(comp.vectors)}"] = val
+                comp.items.append(
+                    (pending, "vector", _read_vector(r, double)))
             else:
-                val = _read_matrix(r, double)
-                comp.matrices[pending or f"_m{len(comp.matrices)}"] = val
+                comp.items.append(
+                    (pending, "matrix", _read_matrix(r, double)))
             pending = None
             continue
         if mk[:1] in (b"T", b"F") and pending in _BOOL_TAGS:
-            comp.bools[pending] = r.read_byte() == ord("T")
+            comp.items.append((pending, "bool", r.read_byte() == ord("T")))
             pending = None
             continue
         if mk[:1] == b"\x04":
+            if pending in _INTVEC_TAGS:
+                comp.items.append((pending, "intvec", _read_intvec(r)))
+                pending = None
+                continue
             r.read_byte()
             raw4 = r.read_bytes(4)
             if pending in _INT_TAGS:
-                comp.ints[pending] = struct.unpack("<i", raw4)[0]
-            elif pending is not None and (not _plausible_float(raw4)
-                                          and "<" not in pending):
-                comp.ints[pending] = struct.unpack("<i", raw4)[0]
+                comp.items.append(
+                    (pending, "int", struct.unpack("<i", raw4)[0]))
+            elif pending is not None and not _plausible_float(raw4):
+                # unknown tag with a bit pattern that is not a sane float:
+                # int is the safer interpretation
+                comp.items.append(
+                    (pending, "int", struct.unpack("<i", raw4)[0]))
             else:
-                comp.scalars[pending or f"_s{len(comp.scalars)}"] = (
-                    struct.unpack("<f", raw4)[0])
+                comp.items.append(
+                    (pending, "float", struct.unpack("<f", raw4)[0]))
             pending = None
             continue
         if mk[:1] == b"\x08":
             r.read_byte()
-            comp.scalars[pending or f"_s{len(comp.scalars)}"] = (
-                struct.unpack("<d", r.read_bytes(8))[0])
+            comp.items.append(
+                (pending, "double",
+                 struct.unpack("<d", r.read_bytes(8))[0]))
             pending = None
             continue
         if mk[:1] in (b"T", b"F"):
-            comp.bools[pending or f"_b{len(comp.bools)}"] = (
-                r.read_byte() == ord("T"))
+            comp.items.append((pending, "bool", r.read_byte() == ord("T")))
             pending = None
             continue
         raise ValueError(
@@ -210,37 +301,53 @@ def read_component(r: BinaryReader) -> BinaryComponent:
             f"in {comp.type}")
 
 
-def write_component(w: BinaryWriter, comp: BinaryComponent) -> None:
-    """Inverse of read_component: emits tags in a canonical order
-    (ints, scalars, bools, vectors, matrices, flags)."""
-    w.write_token(f"<{comp.type}>")
-    for tag, v in comp.ints.items():
+def _write_item(w: BinaryWriter, tag: Optional[str], kind: str,
+                v: object) -> None:
+    if tag is not None:
         w.write_token(tag)
+    if kind == "flag":
+        return
+    if kind == "int":
         w.write_byte(4)
-        w.write_bytes(struct.pack("<i", v))
-    for tag, v in comp.scalars.items():
-        w.write_token(tag)
+        w.write_bytes(struct.pack("<i", int(v)))
+    elif kind == "float":
         w.write_byte(4)
-        w.write_bytes(struct.pack("<f", v))
-    for tag, v in comp.bools.items():
-        w.write_token(tag)
+        w.write_bytes(struct.pack("<f", float(v)))
+    elif kind == "double":
+        w.write_byte(8)
+        w.write_bytes(struct.pack("<d", float(v)))
+    elif kind == "bool":
         w.write_bytes(b"T" if v else b"F")
-    for tag, v in comp.vectors.items():
-        w.write_token(tag)
+    elif kind == "intvec":
+        a = np.ascontiguousarray(v, np.int32)
+        w.write_byte(4)
+        w.write_bytes(struct.pack("<i", len(a)))
+        w.write_bytes(a.tobytes())
+    elif kind == "vector":
+        a = np.ascontiguousarray(v, np.float32)
         w.write_token("FV")
         w.write_byte(4)
-        w.write_bytes(struct.pack("<i", len(v)))
-        w.write_bytes(np.ascontiguousarray(v, np.float32).tobytes())
-    for tag, v in comp.matrices.items():
-        w.write_token(tag)
+        w.write_bytes(struct.pack("<i", len(a)))
+        w.write_bytes(a.tobytes())
+    elif kind == "matrix":
+        a = np.ascontiguousarray(v, np.float32)
         w.write_token("FM")
         w.write_byte(4)
-        w.write_bytes(struct.pack("<i", v.shape[0]))
+        w.write_bytes(struct.pack("<i", a.shape[0]))
         w.write_byte(4)
-        w.write_bytes(struct.pack("<i", v.shape[1]))
-        w.write_bytes(np.ascontiguousarray(v, np.float32).tobytes())
-    for tag in comp.flags:
-        w.write_token(tag)
+        w.write_bytes(struct.pack("<i", a.shape[1]))
+        w.write_bytes(a.tobytes())
+    else:
+        raise ValueError(f"unknown item kind {kind!r}")
+
+
+def write_component(w: BinaryWriter, comp: BinaryComponent) -> None:
+    """Inverse of read_component: replays `items` in their original
+    order, so read->write of a foreign component is order- and
+    content-preserving (Kaldi readers are ExpectToken-sequenced)."""
+    w.write_token(f"<{comp.type}>")
+    for tag, kind, v in comp.items:
+        _write_item(w, tag, kind, v)
     w.write_token(f"</{comp.type}>")
 
 
@@ -388,24 +495,23 @@ def components_from_text(components: Dict) -> List[BinaryComponent]:
     out: List[BinaryComponent] = []
     for name, kc in components.items():
         bc = BinaryComponent(name=name, type=kc.type)
-        for attr, tag in inv_i.items():
+        for attr, tag in sorted(inv_i.items()):
             v = getattr(kc, attr)
             if v:
-                bc.ints[tag] = int(v)
-        for attr, tag in inv_f.items():
+                bc.set_int(tag, v)
+        for attr, tag in sorted(inv_f.items()):
             v = getattr(kc, attr)
             if v:
-                bc.scalars[tag] = float(v)
+                bc.set_float(tag, v)
         if kc.linear_params is not None:
             tag = ("<Params>" if kc.type == "TimeHeightConvolutionComponent"
                    else "<LinearParams>")
-            bc.matrices[tag] = np.asarray(kc.linear_params, np.float32)
+            bc.set_matrix(tag, kc.linear_params)
         if kc.bias_params is not None:
-            bc.vectors["<BiasParams>"] = np.asarray(kc.bias_params,
-                                                    np.float32)
+            bc.set_vector("<BiasParams>", kc.bias_params)
         if kc.stats_mean is not None:
-            bc.vectors["<StatsMean>"] = np.asarray(kc.stats_mean, np.float32)
+            bc.set_vector("<StatsMean>", kc.stats_mean)
         if kc.stats_var is not None:
-            bc.vectors["<StatsVar>"] = np.asarray(kc.stats_var, np.float32)
+            bc.set_vector("<StatsVar>", kc.stats_var)
         out.append(bc)
     return out

@@ -34,9 +34,9 @@ def roundtrip_component(comp: BinaryComponent) -> BinaryComponent:
 class TestComponentRoundtrip:
     def test_scalars_ints_bools(self):
         c = BinaryComponent(type="LinearComponent")
-        c.ints["<Dim>"] = 512
-        c.scalars["<LearningRate>"] = 0.00125
-        c.bools["<IsGradient>"] = True
+        c.set_int("<Dim>", 512)
+        c.set_float("<LearningRate>", 0.00125)
+        c.set_bool("<IsGradient>", True)
         r = roundtrip_component(c)
         assert r.type == "LinearComponent"
         assert r.ints["<Dim>"] == 512
@@ -46,9 +46,9 @@ class TestComponentRoundtrip:
     def test_matrix_vector(self):
         rng = np.random.default_rng(0)
         c = BinaryComponent(type="NaturalGradientAffineComponent")
-        c.matrices["<LinearParams>"] = rng.normal(
-            size=(7, 5)).astype(np.float32)
-        c.vectors["<BiasParams>"] = rng.normal(size=7).astype(np.float32)
+        c.set_matrix("<LinearParams>", rng.normal(
+            size=(7, 5)).astype(np.float32))
+        c.set_vector("<BiasParams>", rng.normal(size=7).astype(np.float32))
         r = roundtrip_component(c)
         np.testing.assert_array_equal(r.matrices["<LinearParams>"],
                                       c.matrices["<LinearParams>"])
@@ -57,31 +57,97 @@ class TestComponentRoundtrip:
 
     def test_negative_exponent_scalar_not_mistaken_for_int(self):
         c = BinaryComponent(type="BatchNormComponent")
-        c.scalars["<Epsilon>"] = 1e-3
-        c.scalars["<TargetRms>"] = 0.025
+        c.set_float("<Epsilon>", 1e-3)
+        c.set_float("<TargetRms>", 0.025)
         r = roundtrip_component(c)
         assert abs(r.scalars["<Epsilon>"] - 1e-3) < 1e-9
         assert abs(r.scalars["<TargetRms>"] - 0.025) < 1e-7
 
     def test_unknown_flag_tag_preserved(self):
         c = BinaryComponent(type="NoOpComponent")
-        c.flags.append("<SomeFlag>")
+        c.set_flag("<SomeFlag>")
         r = roundtrip_component(c)
         assert r.flags == ["<SomeFlag>"]
+
+    def test_integer_vector_tags(self):
+        """Kaldi WriteIntegerVector payloads (sized count + raw int32
+        block), incl. negative offsets that are not plausible floats."""
+        c = BinaryComponent(type="TimeHeightConvolutionComponent")
+        c.set_intvec("<RequiredTimeOffsets>", np.array([-1, 0, 1], np.int32))
+        c.set_intvec("<TimeOffsets>", np.array([-3, 0, 3], np.int32))
+        r = roundtrip_component(c)
+        np.testing.assert_array_equal(r.int_vectors["<RequiredTimeOffsets>"],
+                                      [-1, 0, 1])
+        np.testing.assert_array_equal(r.int_vectors["<TimeOffsets>"],
+                                      [-3, 0, 3])
+
+    def test_source_order_preserved_byte_stable(self):
+        """Kaldi component readers are ExpectToken-sequenced: write must
+        replay items in READ order, byte-identically."""
+        rng = np.random.default_rng(3)
+        c = BinaryComponent(type="NaturalGradientAffineComponent")
+        c.set_float("<LearningRate>", 0.001)
+        c.set_matrix("<LinearParams>", rng.normal(size=(4, 3))
+                     .astype(np.float32))
+        c.set_vector("<BiasParams>", rng.normal(size=4).astype(np.float32))
+        c.set_int("<RankIn>", 20)
+        c.set_float("<NumSamplesHistory>", 2000.0)
+        c.set_bool("<IsGradient>", False)
+        w = BinaryWriter()
+        write_component(w, c)
+        data = w.getvalue()
+        r = read_component(BinaryReader(data))
+        assert [t for t, _, _ in r.items] == [t for t, _, _ in c.items]
+        w2 = BinaryWriter()
+        write_component(w2, r)
+        assert w2.getvalue() == data
+        # NumSamplesHistory is a float in Kaldi, not an int
+        assert abs(r.scalars["<NumSamplesHistory>"] - 2000.0) < 1e-3
+
+    def test_untagged_payload_roundtrip(self):
+        """A payload with no preceding tag must re-write as a bare
+        payload, not as a bogus token."""
+        w = BinaryWriter()
+        w.write_token("<SumBlockComponent>")
+        w.write_token("FV")
+        w.write_byte(4)
+        import struct
+        w.write_bytes(struct.pack("<i", 2))
+        w.write_bytes(np.array([1.5, -2.5], np.float32).tobytes())
+        w.write_token("</SumBlockComponent>")
+        data = w.getvalue()
+        r = read_component(BinaryReader(data))
+        assert r.items[0][0] is None and r.items[0][1] == "vector"
+        w2 = BinaryWriter()
+        write_component(w2, r)
+        assert w2.getvalue() == data
+
+    def test_unknown_int_tag_heuristic(self):
+        """An unknown tag whose 4 bytes are not a plausible float decodes
+        as int (e.g. a small count), not denormal-float garbage."""
+        import struct
+        w = BinaryWriter()
+        w.write_token("<FooComponent>")
+        w.write_token("<LeftContext>")
+        w.write_byte(4)
+        w.write_bytes(struct.pack("<i", 100))
+        w.write_token("</FooComponent>")
+        r = read_component(BinaryReader(w.getvalue()))
+        assert r.ints["<LeftContext>"] == 100
 
 
 def small_model() -> Nnet3Model:
     rng = np.random.default_rng(1)
     lin = BinaryComponent(name="lin1", type="LinearComponent")
-    lin.matrices["<Params>"] = rng.normal(size=(8, 16)).astype(np.float32)
-    lin.scalars["<LearningRate>"] = 0.001
+    lin.set_matrix("<Params>", rng.normal(size=(8, 16)).astype(np.float32))
+    lin.set_float("<LearningRate>", 0.001)
     bn = BinaryComponent(name="bn1", type="BatchNormComponent")
-    bn.ints["<Dim>"] = 8
-    bn.scalars["<Epsilon>"] = 1e-3
-    bn.scalars["<TargetRms>"] = 1.0
-    bn.scalars["<Count>"] = 100.0
-    bn.vectors["<StatsMean>"] = rng.normal(size=8).astype(np.float32)
-    bn.vectors["<StatsVar>"] = rng.uniform(0.5, 2, 8).astype(np.float32)
+    bn.set_int("<Dim>", 8)
+    bn.set_float("<Epsilon>", 1e-3)
+    bn.set_float("<TargetRms>", 1.0)
+    bn.set_float("<Count>", 100.0)
+    bn.set_vector("<StatsMean>", rng.normal(size=8).astype(np.float32))
+    bn.set_vector("<StatsVar>", rng.uniform(0.5, 2, 8).astype(np.float32))
     cfg = [
         "input-node name=input dim=16",
         "component-node name=lin1 component=lin1 input=input",

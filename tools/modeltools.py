@@ -69,11 +69,15 @@ def cmd_copy(args):
     out_kind = ("binary" if args.binary else
                 "text" if args.text else kind)
     if out_kind == "binary":
-        cfg = raw.config_lines if raw is not None else []
-        tm = raw.transition_model if raw is not None else None
-        write_nnet3(Nnet3Model(config_lines=cfg,
-                               components=components_from_text(comps),
-                               transition_model=tm), args.output)
+        if raw is not None:
+            # binary in -> binary out: full fidelity, every tag/item of
+            # every component preserved in source order (NOT routed
+            # through the lossy text bridge)
+            write_nnet3(raw, args.output)
+        else:
+            write_nnet3(Nnet3Model(config_lines=[],
+                                   components=components_from_text(comps)),
+                        args.output)
     else:
         # emit the same token layout the text loader parses, via the
         # exporter's proven formatters
