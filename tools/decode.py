@@ -26,7 +26,8 @@ def main():
     ap.add_argument("--egs")
     ap.add_argument("--graph")
     ap.add_argument("--xconfig")
-    ap.add_argument("--model", help="nnet3 text model to load")
+    ap.add_argument("--model",
+                    help="Kaldi model to load (binary .mdl/.raw or text)")
     ap.add_argument("--pdfs", type=int, default=48)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--acoustic-scale", type=float, default=1.0)
@@ -39,7 +40,15 @@ def main():
     ap.add_argument("--lm-weight", type=float, default=1.0)
     ap.add_argument("--old-lm-weight", type=float, default=0.0,
                     help="weight on the graph's own scores when rescoring")
+    ap.add_argument("--on-device", action="store_true",
+                    help="batched exact Viterbi on the TPU (arc-parallel, "
+                         "epsilon-free graphs; best path only — "
+                         "incompatible with --nbest/--arpa-lm)")
     args = ap.parse_args()
+
+    if args.on_device and (args.nbest or args.arpa_lm):
+        raise SystemExit("--on-device produces the best path only; drop "
+                         "--nbest/--arpa-lm or decode on the host")
 
     import jax
     import jax.numpy as jnp
@@ -51,7 +60,11 @@ def main():
         print("demo mode: synthetic graph + posteriors "
               "(pass --egs/--graph/--xconfig for real decoding)")
         from tests.test_decoder import two_word_graph, loglikes_for
-        graph = DecodingGraph.from_fst(two_word_graph())
+        if args.on_device:
+            from tests.test_tpu_viterbi import eps_free_graph
+            graph = DecodingGraph.from_fst(eps_free_graph())
+        else:
+            graph = DecodingGraph.from_fst(two_word_graph())
         posts = {"demo-utt": loglikes_for([1, 2, 3, 4])}
         refs = {"demo-utt": [1, 2]}
     else:
@@ -64,9 +77,11 @@ def main():
         model = build_model(args.xconfig)
         params, state = init_params(model, jax.random.PRNGKey(0))
         if args.model:
-            from kaldi_fp16_tpu.models.kaldi_loader import load_weights_from_text
-            params, state, _ = load_weights_from_text(
-                model, params, state, open(args.model).read())
+            from kaldi_fp16_tpu.models.kaldi_loader import (
+                load_weights_from_file,
+            )
+            params, state, _ = load_weights_from_file(
+                model, params, state, args.model)
 
         @jax.jit
         def acoustic(feats, ivecs):
@@ -98,10 +113,35 @@ def main():
         lm, _ = read_arpa(args.arpa_lm, syms)
         print(f"ARPA LM loaded: order {lm.order}, {len(lm.ngrams)} n-grams")
 
+    hyps, ref_list, hyp_list = {}, [], []
+    if args.on_device:
+        # batched exact Viterbi on device, grouped by frame count so every
+        # group is one [B, T, P] dispatch (no padding frames that would
+        # alter the best path)
+        from kaldi_fp16_tpu.decode.tpu_viterbi import SparseViterbiDecoder
+        sdec = SparseViterbiDecoder(graph, acoustic_scale=args.acoustic_scale)
+        import numpy as _np
+        by_t = {}
+        for key, ll in posts.items():
+            by_t.setdefault(ll.shape[0], []).append((key, ll))
+        for t, group in sorted(by_t.items()):
+            lls = _np.stack([ll for _, ll in group])
+            res = sdec.decode_batch(lls)
+            for (key, _), r in zip(group, res):
+                hyps[key] = r["words"]
+                print(f"{key}: {' '.join(map(str, r['words']))}  "
+                      f"(cost {r['total_cost']:.3f}, on-device)")
+                if key in refs:
+                    ref_list.append(refs[key])
+                    hyp_list.append(r["words"])
+        if ref_list:
+            report = wer(ref_list, hyp_list)
+            print("WER: " + " ".join(f"{k}={v}" for k, v in report.items()))
+        return
+
     dec = LatticeDecoder(graph, LatticeDecodeOptions(
         beam=args.beam, lattice_beam=args.lattice_beam,
         acoustic_scale=args.acoustic_scale))
-    hyps, ref_list, hyp_list = {}, [], []
     for key, ll in posts.items():
         lat = dec.decode(ll)
         if lm is not None:
