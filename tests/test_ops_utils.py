@@ -185,3 +185,51 @@ class TestUtils:
         assert lines[0]["step"] == 1 and lines[0]["loss"] == 1.5
         assert lines[0]["objf"] == -0.25
         assert lines[1]["step"] == 2
+
+
+class TestLosses:
+    """ops/losses.py — the GoTorch loss inventory (gotorch/ops.go)."""
+
+    def test_cross_entropy_int_labels_matches_manual(self):
+        import jax
+        import jax.numpy as jnp
+        from kaldi_fp16_tpu.ops.losses import cross_entropy
+        rng = np.random.default_rng(0)
+        logits = jnp.asarray(rng.normal(size=(5, 7)).astype(np.float32))
+        labels = jnp.asarray(rng.integers(0, 7, size=5))
+        got = float(cross_entropy(logits, labels))
+        logp = np.asarray(jax.nn.log_softmax(logits, axis=-1))
+        want = -np.mean([logp[i, labels[i]] for i in range(5)])
+        assert abs(got - want) < 1e-6
+
+    def test_cross_entropy_soft_labels_and_smoothing(self):
+        import jax.numpy as jnp
+        from kaldi_fp16_tpu.ops.losses import cross_entropy
+        logits = jnp.asarray([[2.0, 0.0, -2.0]])
+        soft = jnp.asarray([[0.5, 0.5, 0.0]])
+        hard = jnp.asarray([0])
+        assert float(cross_entropy(logits, soft)) > float(
+            cross_entropy(logits, hard))
+        # smoothing pulls toward uniform -> higher loss on a confident hit
+        assert float(cross_entropy(logits, hard, label_smoothing=0.2)) > \
+            float(cross_entropy(logits, hard))
+
+    def test_cross_entropy_weights(self):
+        import jax.numpy as jnp
+        from kaldi_fp16_tpu.ops.losses import cross_entropy
+        logits = jnp.asarray([[5.0, 0.0], [0.0, 5.0]])
+        labels = jnp.asarray([0, 0])   # first right, second wrong
+        w_right = float(cross_entropy(logits, labels,
+                                      weights=jnp.asarray([1.0, 0.0])))
+        w_wrong = float(cross_entropy(logits, labels,
+                                      weights=jnp.asarray([0.0, 1.0])))
+        assert w_right < 0.1 < w_wrong
+
+    def test_mse(self):
+        import jax.numpy as jnp
+        from kaldi_fp16_tpu.ops.losses import mse
+        a = jnp.asarray([[1.0, 2.0], [3.0, 4.0]])
+        b = jnp.asarray([[1.0, 0.0], [3.0, 4.0]])
+        assert abs(float(mse(a, b)) - 1.0) < 1e-6      # mean over all
+        w = jnp.asarray([1.0, 0.0])
+        assert abs(float(mse(a, b, weights=w)) - 2.0) < 1e-6
