@@ -134,3 +134,63 @@ class TestSparseViterbi:
         from tests.test_decoder import two_word_graph
         with pytest.raises(ValueError):
             ArcGraph.from_graph(DecodingGraph.from_fst(two_word_graph()))
+
+
+class TestDeviceLattice:
+    """DeviceLatticeDecoder: the exact alpha+arc+beta criterion must give
+    the same pruned lattice as the host token-passing decoder when the
+    host's decode beam is wide open."""
+
+    def _host_lat(self, g, ll, lattice_beam):
+        from kaldi_fp16_tpu.decode.lattice import (
+            LatticeDecodeOptions, LatticeDecoder,
+        )
+        return LatticeDecoder(g, LatticeDecodeOptions(
+            beam=1e9, max_active=10 ** 9,
+            lattice_beam=lattice_beam)).decode(ll)
+
+    @staticmethod
+    def _arc_set(lat):
+        frames = lat.node_frame
+        return {(int(frames[a.src]), a.ilabel, a.olabel,
+                 round(a.graph_cost, 4), round(a.acoustic_cost, 4))
+                for a in lat.arcs}
+
+    def test_matches_host_lattice(self):
+        from kaldi_fp16_tpu.decode.tpu_viterbi import DeviceLatticeDecoder
+        for seed in (0, 1, 2):
+            g = DecodingGraph.from_fst(random_eps_free_graph(seed=seed))
+            rng = np.random.default_rng(seed + 10)
+            ll = rng.normal(size=(7, 12)).astype(np.float32)
+            for beam in (2.0, 6.0):
+                host = self._host_lat(g, ll, beam)
+                dev = DeviceLatticeDecoder(
+                    g, lattice_beam=beam).decode_batch(ll[None])[0]
+                assert self._arc_set(dev) == self._arc_set(host), (
+                    seed, beam)
+                hw, hc = host.best_path()
+                dw, dc = dev.best_path()
+                assert hw == dw and abs(hc - dc) < 1e-4
+
+    def test_nbest_and_rescoring_machinery_works(self):
+        from kaldi_fp16_tpu.decode.tpu_viterbi import DeviceLatticeDecoder
+        g = DecodingGraph.from_fst(eps_free_graph())
+        ll = loglikes_for([1, 2, 1, 2])
+        lat = DeviceLatticeDecoder(g, lattice_beam=20.0).decode_batch(
+            ll[None])[0]
+        nb = lat.n_best(3)
+        assert nb and nb[0][0] == lat.best_path()[0]
+        # acoustic rescaling without re-decoding
+        w_scaled, _ = lat.best_path(acoustic_scale=0.01)
+        assert isinstance(w_scaled, list)
+
+    def test_batched(self):
+        from kaldi_fp16_tpu.decode.tpu_viterbi import DeviceLatticeDecoder
+        g = DecodingGraph.from_fst(random_eps_free_graph(seed=5))
+        rng = np.random.default_rng(6)
+        lls = rng.normal(size=(3, 6, 12)).astype(np.float32)
+        dec = DeviceLatticeDecoder(g, lattice_beam=4.0)
+        lats = dec.decode_batch(lls)
+        for b in range(3):
+            host = self._host_lat(g, lls[b], 4.0)
+            assert self._arc_set(lats[b]) == self._arc_set(host), b

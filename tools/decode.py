@@ -41,14 +41,12 @@ def main():
     ap.add_argument("--old-lm-weight", type=float, default=0.0,
                     help="weight on the graph's own scores when rescoring")
     ap.add_argument("--on-device", action="store_true",
-                    help="batched exact Viterbi on the TPU (arc-parallel, "
-                         "epsilon-free graphs; best path only — "
-                         "incompatible with --nbest/--arpa-lm)")
+                    help="batched exact decode on the TPU (arc-parallel, "
+                         "epsilon-free graphs); with --nbest/--arpa-lm the "
+                         "device emits exact beam-pruned lattices "
+                         "(alpha+arc+beta criterion) and n-best/rescoring "
+                         "run on them")
     args = ap.parse_args()
-
-    if args.on_device and (args.nbest or args.arpa_lm):
-        raise SystemExit("--on-device produces the best path only; drop "
-                         "--nbest/--arpa-lm or decode on the host")
 
     import jax
     import jax.numpy as jnp
@@ -115,25 +113,58 @@ def main():
 
     hyps, ref_list, hyp_list = {}, [], []
     if args.on_device:
-        # batched exact Viterbi on device, grouped by frame count so every
+        # batched exact decode on device, grouped by frame count so every
         # group is one [B, T, P] dispatch (no padding frames that would
-        # alter the best path)
-        from kaldi_fp16_tpu.decode.tpu_viterbi import SparseViterbiDecoder
-        sdec = SparseViterbiDecoder(graph, acoustic_scale=args.acoustic_scale)
+        # alter paths).  Plain Viterbi unless lattices are needed.
         import numpy as _np
+        want_lattice = bool(args.nbest or args.arpa_lm)
+        if want_lattice:
+            from kaldi_fp16_tpu.decode.tpu_viterbi import DeviceLatticeDecoder
+            ddec = DeviceLatticeDecoder(graph,
+                                        acoustic_scale=args.acoustic_scale,
+                                        lattice_beam=args.lattice_beam)
+        else:
+            from kaldi_fp16_tpu.decode.tpu_viterbi import SparseViterbiDecoder
+            sdec = SparseViterbiDecoder(graph,
+                                        acoustic_scale=args.acoustic_scale)
         by_t = {}
         for key, ll in posts.items():
             by_t.setdefault(ll.shape[0], []).append((key, ll))
         for t, group in sorted(by_t.items()):
             lls = _np.stack([ll for _, ll in group])
-            res = sdec.decode_batch(lls)
-            for (key, _), r in zip(group, res):
-                hyps[key] = r["words"]
-                print(f"{key}: {' '.join(map(str, r['words']))}  "
-                      f"(cost {r['total_cost']:.3f}, on-device)")
-                if key in refs:
-                    ref_list.append(refs[key])
-                    hyp_list.append(r["words"])
+            if want_lattice:
+                lats = ddec.decode_batch(lls)
+                for (key, _), lat in zip(group, lats):
+                    if args.arpa_lm:
+                        from kaldi_fp16_tpu.decode.lattice import (
+                            rescore_with_lm,
+                        )
+                        lat = rescore_with_lm(
+                            lat, lm, lm_weight=args.lm_weight,
+                            old_lm_weight=args.old_lm_weight)
+                    words, cost = lat.best_path(
+                        acoustic_scale=args.acoustic_scale)
+                    hyps[key] = words
+                    extra = ""
+                    if args.nbest:
+                        nb = lat.n_best(args.nbest)
+                        extra = "  nbest=" + "; ".join(
+                            f"{w}@{c:.2f}" for w, c in nb)
+                    print(f"{key}: {' '.join(map(str, words))}  "
+                          f"(cost {cost:.3f}, {len(lat.arcs)} lattice "
+                          f"arcs, on-device){extra}")
+                    if key in refs:
+                        ref_list.append(refs[key])
+                        hyp_list.append(words)
+            else:
+                res = sdec.decode_batch(lls)
+                for (key, _), r in zip(group, res):
+                    hyps[key] = r["words"]
+                    print(f"{key}: {' '.join(map(str, r['words']))}  "
+                          f"(cost {r['total_cost']:.3f}, on-device)")
+                    if key in refs:
+                        ref_list.append(refs[key])
+                        hyp_list.append(r["words"])
         if ref_list:
             report = wer(ref_list, hyp_list)
             print("WER: " + " ".join(f"{k}={v}" for k, v in report.items()))
