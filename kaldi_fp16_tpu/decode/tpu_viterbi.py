@@ -396,39 +396,40 @@ class DeviceLatticeDecoder:
         best = np.asarray(best)
         a = self.arcs
         A = len(a.src)
+        S = self.arcs.num_states
         lls = np.asarray(ll)
         out = []
         for b in range(B):
+            # vectorized assembly: node key = frame*S + state; np.unique
+            # keys ascending, and in an exact lattice every frame-0
+            # source is the start state (alpha[0] is finite only there),
+            # so node 0 is always (0, start) as Lattice requires
             mask = np.unpackbits(packed[:, :, b], axis=1)[:, :A] > 0
             ts, ais = np.nonzero(mask)
-            node_of = {}
-            frames = []
-
-            def node(frame, state):
-                key = (frame, state)
-                nid = node_of.get(key)
-                if nid is None:
-                    nid = len(node_of)
-                    node_of[key] = nid
-                    frames.append(frame)
-                return nid
-
-            node(0, a.start)
-            arcs = []
-            for t, ai in zip(ts, ais):
-                arcs.append(LatticeArc(
-                    node(int(t), int(a.src[ai])),
-                    node(int(t) + 1, int(a.dst[ai])),
-                    int(a.ilabel[ai]), int(a.olabel[ai]),
-                    float(-a.weight[ai]),
-                    float(-lls[b, t, a.pdf[ai]])))
-            n = len(node_of)
+            src_keys = ts.astype(np.int64) * S + a.src[ais]
+            dst_keys = (ts.astype(np.int64) + 1) * S + a.dst[ais]
+            start_key = np.asarray([0 * S + a.start], np.int64)
+            uniq, inv = np.unique(
+                np.concatenate([start_key, src_keys, dst_keys]),
+                return_inverse=True)
+            n = len(uniq)
+            k = len(ts)
+            src_ids = inv[1:1 + k]
+            dst_ids = inv[1 + k:]
+            frames = (uniq // S).astype(np.int64)
+            il = a.ilabel[ais]
+            ol = a.olabel[ais]
+            gc = (-a.weight[ais]).astype(np.float64)
+            ac = (-lls[b, ts, a.pdf[ais]]).astype(np.float64)
+            arcs = [LatticeArc(int(src_ids[i]), int(dst_ids[i]),
+                               int(il[i]), int(ol[i]),
+                               float(gc[i]), float(ac[i]))
+                    for i in range(k)]
             final = np.full(n, np.inf)
-            for (frame, state), nid in node_of.items():
-                if frame == T:
-                    fc = self.graph.final_cost[state]
-                    if np.isfinite(fc):
-                        final[nid] = float(fc)
+            at_T = frames == T
+            if at_T.any():
+                fc = self.graph.final_cost[uniq[at_T] - T * S]
+                final[at_T] = fc
             out.append(Lattice(num_nodes=n, arcs=arcs, final_cost=final,
-                               node_frame=np.asarray(frames)))
+                               node_frame=frames))
         return out
