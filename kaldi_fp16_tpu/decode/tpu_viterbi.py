@@ -345,7 +345,11 @@ def _lattice_masks(src, dst, pdf, graph_cost, final_cost, start, loglikes,
     _, beta_hist = jax.lax.scan(bwd_step, betaT, ac_cost, reverse=True)
     # beta_hist[t] = beta at time t+1 (the carry INPUT emitted per step)
 
-    thr = best + lattice_beam                             # [B]
+    # no reachable final state => keep NOTHING: with best ~ INF, fp32
+    # saturation would otherwise make `tot <= best + beam` true for every
+    # arc with one finite endpoint (the host path has the same guard in
+    # Lattice.prune via np.isfinite(best))
+    thr = jnp.where(best > INF / 2, -INF, best + lattice_beam)    # [B]
 
     def mask_step(carry, inp):
         alpha_t, beta_t1, ll_t = inp

@@ -89,9 +89,13 @@ class BinaryComponent:
     items: List[Tuple[Optional[str], str, object]] = field(
         default_factory=list)
 
-    def _view(self, kinds) -> Dict[str, object]:
-        return {tag: v for tag, k, v in self.items
-                if tag is not None and k in kinds}
+    def _view(self, kinds):
+        """Read-only view: item assignment must go through set_* (a plain
+        dict here would silently discard `comp.ints['<Dim>'] = v`)."""
+        import types
+        return types.MappingProxyType(
+            {tag: v for tag, k, v in self.items
+             if tag is not None and k in kinds})
 
     @property
     def scalars(self) -> Dict[str, float]:
@@ -118,8 +122,8 @@ class BinaryComponent:
         return self._view(("intvec",))
 
     @property
-    def flags(self) -> List[str]:
-        return [tag for tag, k, _ in self.items if k == "flag"]
+    def flags(self) -> Tuple[str, ...]:
+        return tuple(tag for tag, k, _ in self.items if k == "flag")
 
     # -- helpers for constructing components programmatically -----------
     def set_int(self, tag: str, v: int) -> None:
@@ -272,14 +276,16 @@ def read_component(r: BinaryReader) -> BinaryComponent:
                 continue
             r.read_byte()
             raw4 = r.read_bytes(4)
+            iv = struct.unpack("<i", raw4)[0]
             if pending in _INT_TAGS:
-                comp.items.append(
-                    (pending, "int", struct.unpack("<i", raw4)[0]))
-            elif pending is not None and not _plausible_float(raw4):
-                # unknown tag with a bit pattern that is not a sane float:
-                # int is the safer interpretation
-                comp.items.append(
-                    (pending, "int", struct.unpack("<i", raw4)[0]))
+                comp.items.append((pending, "int", iv))
+            elif (pending is not None and not _plausible_float(raw4)
+                  and -100_000_000 < iv < 100_000_000):
+                # unknown tag whose bits are not a sane float but ARE a
+                # sane int (counts/dims): int is the safer interpretation;
+                # an implausible int too (e.g. a denormal-range float like
+                # a 1e-25 probability floor) stays a float
+                comp.items.append((pending, "int", iv))
             else:
                 comp.items.append(
                     (pending, "float", struct.unpack("<f", raw4)[0]))

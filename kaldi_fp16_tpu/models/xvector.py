@@ -111,6 +111,6 @@ def xvector_forward(cfg: XVectorConfig, params: Dict, feats: jnp.ndarray,
 def xvector_loss(cfg: XVectorConfig, params: Dict, feats: jnp.ndarray,
                  labels: jnp.ndarray) -> jnp.ndarray:
     """Cross-entropy speaker-classification training loss."""
+    from kaldi_fp16_tpu.ops.losses import cross_entropy
     _, logits = xvector_forward(cfg, params, feats)
-    logp = jax.nn.log_softmax(logits, axis=-1)
-    return -jnp.take_along_axis(logp, labels[:, None], axis=1).mean()
+    return cross_entropy(logits, labels)

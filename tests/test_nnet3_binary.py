@@ -63,11 +63,20 @@ class TestComponentRoundtrip:
         assert abs(r.scalars["<Epsilon>"] - 1e-3) < 1e-9
         assert abs(r.scalars["<TargetRms>"] - 0.025) < 1e-7
 
+    def test_views_are_read_only(self):
+        c = BinaryComponent(type="LinearComponent")
+        c.set_int("<Dim>", 4)
+        with pytest.raises(TypeError):
+            c.ints["<Dim>"] = 8
+        with pytest.raises(TypeError):
+            c.scalars["<LearningRate>"] = 0.1
+        assert c.ints["<Dim>"] == 4
+
     def test_unknown_flag_tag_preserved(self):
         c = BinaryComponent(type="NoOpComponent")
         c.set_flag("<SomeFlag>")
         r = roundtrip_component(c)
-        assert r.flags == ["<SomeFlag>"]
+        assert r.flags == ("<SomeFlag>",)
 
     def test_integer_vector_tags(self):
         """Kaldi WriteIntegerVector payloads (sized count + raw int32

@@ -194,3 +194,19 @@ class TestDeviceLattice:
         for b in range(3):
             host = self._host_lat(g, lls[b], 4.0)
             assert self._arc_set(lats[b]) == self._arc_set(host), b
+
+    def test_unreachable_final_keeps_nothing(self):
+        """best == INF must not saturate the beam threshold into
+        keep-everything (fp32: INF + beam == INF)."""
+        from kaldi_fp16_tpu.decode.tpu_viterbi import DeviceLatticeDecoder
+        s = [FstState() for _ in range(4)]
+        s[0].arcs.append(FstArc(1, 0.0, 1))
+        s[1].arcs.append(FstArc(2, 0.0, 2))
+        s[2].arcs.append(FstArc(3, 0.0, 3))
+        s[3].final = 0.0                      # only state 3 final
+        g = DecodingGraph.from_fst(Fst(start=0, states=s))
+        ll = np.zeros((1, 2, 12), np.float32)   # T=2 < 3 needed
+        lat = DeviceLatticeDecoder(g, lattice_beam=8.0).decode_batch(ll)[0]
+        assert len(lat.arcs) == 0
+        words, cost = lat.best_path()
+        assert words == [] and not np.isfinite(cost)

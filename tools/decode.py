@@ -147,7 +147,8 @@ def main():
                     hyps[key] = words
                     extra = ""
                     if args.nbest:
-                        nb = lat.n_best(args.nbest)
+                        nb = lat.n_best(args.nbest,
+                                        acoustic_scale=args.acoustic_scale)
                         extra = "  nbest=" + "; ".join(
                             f"{w}@{c:.2f}" for w, c in nb)
                     print(f"{key}: {' '.join(map(str, words))}  "
@@ -183,7 +184,7 @@ def main():
         hyps[key] = words
         extra = ""
         if args.nbest:
-            nb = lat.n_best(args.nbest)
+            nb = lat.n_best(args.nbest, acoustic_scale=args.acoustic_scale)
             extra = "  nbest=" + "; ".join(
                 f"{w}@{c:.2f}" for w, c in nb)
         print(f"{key}: {' '.join(map(str, words))}  (cost {cost:.3f},"

@@ -80,9 +80,11 @@ def cmd_copy(args):
                         args.output)
     else:
         # emit the same token layout the text loader parses, via the
-        # exporter's proven formatters
+        # exporter's proven formatters; every scalar/int field the
+        # parsers know about is emitted (dropping any would bake silent
+        # loss into a text round-trip)
         from kaldi_fp16_tpu.models.kaldi_loader import (
-            _fmt_matrix, _fmt_vector,
+            _FLOAT_TAGS, _INT_TAGS, _fmt_matrix, _fmt_vector,
         )
         lines = []
         for name, c in comps.items():
@@ -98,14 +100,14 @@ def cmd_copy(args):
                 fields.append(f"<StatsMean>{_fmt_vector(c.stats_mean)}")
             if c.stats_var is not None:
                 fields.append(f"<StatsVar>{_fmt_vector(c.stats_var)}")
-            if c.epsilon:
-                fields.append(f"<Epsilon> {c.epsilon:.9g}")
-            if c.target_rms:
-                fields.append(f"<TargetRms> {c.target_rms:.9g}")
-            if c.count:
-                fields.append(f"<Count> {c.count:.9g}")
-            if c.learning_rate:
-                fields.append(f"<LearningRate> {c.learning_rate:.9g}")
+            for tag, attr in sorted(_INT_TAGS.items()):
+                v = getattr(c, attr)
+                if v:
+                    fields.append(f"{tag} {int(v)}")
+            for tag, attr in sorted(_FLOAT_TAGS.items()):
+                v = getattr(c, attr)
+                if v:
+                    fields.append(f"{tag} {v:.9g}")
             # one bracketed (matrix/vector) field per line: the text
             # parser is line-oriented and reads at most one [ ... ]
             # block per line
@@ -126,8 +128,15 @@ def cmd_compare(args):
         print(f"only in {args.a}: {', '.join(only_a)}")
     if only_b:
         print(f"only in {args.b}: {', '.join(only_b)}")
+    from kaldi_fp16_tpu.models.kaldi_loader import _FLOAT_TAGS, _INT_TAGS
     worst = 0.0
     for name in shared:
+        for attr in list(_INT_TAGS.values()) + list(_FLOAT_TAGS.values()):
+            va, vb = getattr(ca[name], attr), getattr(cb[name], attr)
+            err = abs(float(va) - float(vb))
+            if err > 1e-6:
+                print(f"  {name}.{attr}: {va} vs {vb}")
+                worst = max(worst, err)
         for attr in ("linear_params", "bias_params", "stats_mean",
                      "stats_var"):
             va, vb = getattr(ca[name], attr), getattr(cb[name], attr)
