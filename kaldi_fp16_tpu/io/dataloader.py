@@ -130,11 +130,14 @@ class DataLoader:
     """Validated, bucketed batches over cegs ark files
     (ref: dataloader.go:63-277)."""
 
-    def __init__(self, pattern_or_files, config: DataLoaderConfig = DataLoaderConfig()):
+    def __init__(self, pattern_or_files,
+                 config: DataLoaderConfig = DataLoaderConfig(),
+                 use_native: bool = True):
         self.config = config
         self.iterator = EgsIterator(pattern_or_files,
                                     shuffle=config.shuffle_files,
-                                    seed=config.seed)
+                                    seed=config.seed,
+                                    use_native=use_native)
         self.stats = LoaderStats()
         self._pending: Dict[Tuple[int, int], List[Example]] = {}
         self._shuffle_rng = random.Random(config.seed + 1)
@@ -272,3 +275,119 @@ class PrefetchLoader:
 
     def summary(self) -> str:
         return getattr(self.loader, "summary", lambda: "")()
+
+
+class MultiPrefetchLoader:
+    """Multi-worker host ingestion: W parser threads over round-robin file
+    shards, merged round-robin (deterministic given a fixed file list).
+
+    Measured reality (tools/dltest.py --workers N): after the lazy
+    index/state refactor a SINGLE thread parses ~578K frames/s at
+    production dims (~6.9 chips' worth) and extra threads add nothing —
+    the residual cost is GIL-held numpy assembly, not the GIL-releasing
+    native parse.  Use this loader for parse/step overlap and worker-
+    style file sharding, not for parse scaling; if ingestion ever
+    becomes the bottleneck again, the next lever is multi-PROCESS
+    workers or moving batch assembly into cpp/cegs_parser.
+
+    Each worker owns a DataLoader over its file shard, so per-worker
+    batch streams are identical to a single loader over that shard;
+    `deterministic=False` switches to a shared queue (first-ready order,
+    slightly better tail throughput, nondeterministic order).
+    """
+
+    _DONE = object()
+
+    def __init__(self, pattern_or_files, config: DataLoaderConfig,
+                 workers: int = 4, depth: int = 2,
+                 deterministic: bool = True, use_native: bool = True):
+        import queue as _queue
+        import threading
+        if isinstance(pattern_or_files, str):
+            files = sorted(globlib.glob(pattern_or_files))
+        else:
+            files = list(pattern_or_files)
+        if not files:
+            raise FileNotFoundError(f"no ark files match {pattern_or_files!r}")
+        workers = max(1, min(workers, len(files)))
+        self.workers = workers
+        self.deterministic = deterministic
+        self._stop = False
+        self._errors: list = []
+        self.loaders = [
+            DataLoader(shard_files(files, w, workers), config,
+                       use_native=use_native)
+            for w in range(workers)
+        ]
+        if deterministic:
+            self._queues = [_queue.Queue(maxsize=max(1, depth))
+                            for _ in range(workers)]
+        else:
+            shared = _queue.Queue(maxsize=max(1, depth * workers))
+            self._queues = [shared] * workers
+        self._threads = [
+            threading.Thread(target=self._produce, args=(w,), daemon=True)
+            for w in range(workers)
+        ]
+        for t in self._threads:
+            t.start()
+
+    def _produce(self, w: int) -> None:
+        q = self._queues[w]
+        try:
+            for batch in self.loaders[w]:
+                while not self._stop:
+                    try:
+                        q.put(batch, timeout=0.1)
+                        break
+                    except Exception:
+                        continue
+                if self._stop:
+                    return
+        except BaseException as e:  # noqa: BLE001 — re-raised at consumer
+            self._errors.append(e)
+        finally:
+            q.put(self._DONE)
+
+    def __iter__(self):
+        if self.deterministic:
+            live = list(range(self.workers))
+            w = 0
+            while live:
+                q = self._queues[live[w % len(live)]]
+                item = q.get()
+                if item is self._DONE:
+                    live.remove(live[w % len(live)])
+                    continue
+                yield item
+                w += 1
+        else:
+            done = 0
+            q = self._queues[0]
+            while done < self.workers:
+                item = q.get()
+                if item is self._DONE:
+                    done += 1
+                    continue
+                yield item
+        if self._errors:
+            raise self._errors[0]
+
+    def close(self, timeout: float = 5.0) -> None:
+        self._stop = True
+        seen = set()
+        for q in self._queues:
+            if id(q) in seen:
+                continue
+            seen.add(id(q))
+            try:
+                while True:
+                    q.get_nowait()
+            except Exception:
+                pass
+        for t in self._threads:
+            t.join(timeout=max(0.05, timeout / max(1, len(self._threads))))
+
+    def summary(self) -> str:
+        s = [ld.summary() for ld in self.loaders]
+        return " | ".join(s)

@@ -100,9 +100,100 @@ def _np_copy(ptr, count, dtype):
     return np.ctypeslib.as_array(ptr, shape=(count,)).astype(dtype, copy=True)
 
 
-def _indexes_from(flat: np.ndarray) -> List[Index]:
-    return [Index(int(flat[i]), int(flat[i + 1]), int(flat[i + 2]))
-            for i in range(0, len(flat), 3)]
+class LazyIndexList:
+    """Sequence view over a flat [(n,t,x), ...] int32 array that builds
+    Index objects only on access.  Building them eagerly was 38% of the
+    whole DataLoader hot path (~1M Index objects for 2000 examples) while
+    almost nothing reads them (batch.py looks at indexes[0].t; only the
+    writers/egstools iterate fully)."""
+
+    __slots__ = ("_flat",)
+
+    def __init__(self, flat: np.ndarray):
+        self._flat = flat
+
+    def __len__(self) -> int:
+        return len(self._flat) // 3
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            return [self[j] for j in range(*i.indices(len(self)))]
+        if i < 0:
+            i += len(self)
+        if not 0 <= i < len(self):
+            raise IndexError(i)
+        f = self._flat
+        return Index(int(f[3 * i]), int(f[3 * i + 1]), int(f[3 * i + 2]))
+
+    def __iter__(self):
+        f = self._flat
+        for i in range(0, len(f), 3):
+            yield Index(int(f[i]), int(f[i + 1]), int(f[i + 2]))
+
+    def __bool__(self) -> bool:
+        return len(self._flat) > 0
+
+    def __eq__(self, other):
+        if isinstance(other, LazyIndexList):
+            return np.array_equal(self._flat, other._flat)
+        try:
+            return len(self) == len(other) and all(
+                a == b for a, b in zip(self, other))
+        except TypeError:
+            return NotImplemented
+
+    def __repr__(self):
+        return f"LazyIndexList({list(self)!r})"
+
+
+def _indexes_from(flat: np.ndarray) -> "LazyIndexList":
+    return LazyIndexList(flat)
+
+
+class LazyStates:
+    """Sequence of FstState that materializes on first element access;
+    len() is free.  The DataLoader hot path never touches it — sparse
+    conversions consume the flat arc arrays (fst.flat) directly."""
+
+    __slots__ = ("_n", "_flat", "_states")
+
+    def __init__(self, num_states: int, flat):
+        self._n = num_states
+        self._flat = flat
+        self._states = None
+
+    def _materialize(self):
+        if self._states is None:
+            src, dst, lab, wgt, fs, fw = self._flat
+            states = [FstState() for _ in range(self._n)]
+            for a in range(len(src)):
+                states[src[a]].arcs.append(
+                    FstArc(int(lab[a]), float(wgt[a]), int(dst[a])))
+            for s, w in zip(fs, fw):
+                states[s].final = float(w)
+            self._states = states
+        return self._states
+
+    def __len__(self) -> int:
+        return self._n
+
+    def __getitem__(self, i):
+        return self._materialize()[i]
+
+    def __iter__(self):
+        return iter(self._materialize())
+
+    def __bool__(self) -> bool:
+        return self._n > 0
+
+    def __eq__(self, other):
+        try:
+            return list(self) == list(other)
+        except TypeError:
+            return NotImplemented
+
+    def __repr__(self):
+        return f"LazyStates(n={self._n})"
 
 
 class NativeEgsReader:
@@ -162,25 +253,25 @@ class NativeEgsReader:
                                   indexes=_indexes_from(idx), data=data,
                                   fmt=fmt))
 
-        # rebuild the supervision FST
+        # rebuild the supervision FST: flat arrays as the source of truth
+        # (sparse.fst_to_coo consumes them directly via fst.flat); the
+        # per-state FstState/FstArc objects materialize only if someone
+        # actually walks .states (writers, egstools totext)
         fst = None
         ns = lib.cegs_fst_num_states(p)
         if ns > 0:
-            states = [FstState() for _ in range(ns)]
             na = lib.cegs_fst_num_arcs(p)
             src = _np_copy(lib.cegs_fst_arc_src(p), na, np.int32)
             dst = _np_copy(lib.cegs_fst_arc_dst(p), na, np.int32)
             lab = _np_copy(lib.cegs_fst_arc_label(p), na, np.int32)
             wgt = _np_copy(lib.cegs_fst_arc_weight(p), na, np.float32)
-            for a in range(na):
-                states[src[a]].arcs.append(
-                    FstArc(int(lab[a]), float(wgt[a]), int(dst[a])))
             nf = lib.cegs_fst_num_finals(p)
             fs = _np_copy(lib.cegs_fst_final_states(p), nf, np.int32)
             fw = _np_copy(lib.cegs_fst_final_weights(p), nf, np.float32)
-            for s, w in zip(fs, fw):
-                states[s].final = float(w)
-            fst = Fst(start=lib.cegs_fst_start(p), states=states)
+            flat = (src, dst, lab, wgt, fs, fw)
+            fst = Fst(start=lib.cegs_fst_start(p),
+                      states=LazyStates(ns, flat))
+            fst.flat = flat
 
         ndw = lib.cegs_sup_num_deriv_weights(p)
         dw = (_np_copy(lib.cegs_sup_deriv_weights(p), ndw, np.float32)

@@ -74,6 +74,14 @@ class COO:
 
 
 def _extract_arcs(fst: Fst):
+    flat = getattr(fst, "flat", None)
+    if flat is not None:
+        # native-parser fast path: the flat arc arrays ARE the FST; no
+        # FstState/FstArc object walk (negation here matches the object
+        # path below — tropical -> log-prob on arcs AND finals)
+        src, dst, lab, wgt, fs, fw = flat
+        return (src, dst, lab, (-wgt).astype(np.float32),
+                fs, (-fw).astype(np.float32))
     rows, cols, labels, weights = [], [], [], []
     final_states, final_weights = [], []
     for s, st in enumerate(fst.states):

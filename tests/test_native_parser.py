@@ -117,3 +117,62 @@ def test_eof_handling(tmp_path):
         f.write(b"\x00" * 16)
     with NativeEgsReader(p) as r:
         assert r.read_example() is None
+
+
+def test_lazy_views_semantics(ark):
+    """LazyIndexList / LazyStates: sequence semantics, equality, and the
+    flat-array fast path used by sparse conversions."""
+    from kaldi_fp16_tpu.io.native import LazyIndexList, LazyStates
+    from kaldi_fp16_tpu.io.sparse import fst_to_csr
+    py = read_examples(ark)
+    with NativeEgsReader(ark) as r:
+        nat = list(r)
+    ex_n, ex_p = nat[0], py[0]
+    idx = ex_n.inputs[0].indexes
+    assert isinstance(idx, LazyIndexList)
+    assert len(idx) == len(ex_p.inputs[0].indexes)
+    assert idx[0] == ex_p.inputs[0].indexes[0]
+    assert idx[-1] == ex_p.inputs[0].indexes[-1]
+    assert idx == ex_p.inputs[0].indexes          # vs plain list
+    assert list(idx[:2]) == ex_p.inputs[0].indexes[:2]
+    assert isinstance(ex_n.supervision.fst.states, LazyStates)
+    assert hasattr(ex_n.supervision.fst, "flat")
+    # flat fast path vs object path must give identical CSR
+    ca = fst_to_csr(ex_n.supervision.fst)
+    cb = fst_to_csr(ex_p.supervision.fst)
+    np.testing.assert_array_equal(ca.row_ptr, cb.row_ptr)
+    np.testing.assert_array_equal(ca.col_idx, cb.col_idx)
+    np.testing.assert_array_equal(ca.labels, cb.labels)
+    np.testing.assert_array_equal(ca.weights, cb.weights)
+    np.testing.assert_array_equal(ca.final_states, cb.final_states)
+    np.testing.assert_array_equal(ca.final_weights, cb.final_weights)
+
+
+def test_multi_prefetch_loader(ark, tmp_path):
+    """MultiPrefetchLoader: deterministic round-robin merge covers every
+    example exactly once."""
+    import shutil
+    from kaldi_fp16_tpu.io.dataloader import (
+        DataLoader, DataLoaderConfig, MultiPrefetchLoader,
+    )
+    files = []
+    for i in range(3):
+        p = str(tmp_path / f"cegs.{i}.ark")
+        shutil.copy(ark, p)
+        files.append(p)
+    # drop_remainder=False: per-worker shards change which bucket
+    # remainders exist (exactly like multi-host file sharding), so exact
+    # coverage needs partial batches kept
+    cfg = DataLoaderConfig(batch_size=2, label_dim=0, drop_remainder=False)
+    single = [b.keys for b in DataLoader(files, cfg)]
+    multi = MultiPrefetchLoader(files, cfg, workers=3)
+    got = [b.keys for b in multi]
+    multi.close()
+    flat = sorted(k for b in got for k in b)
+    want = sorted(k for b in single for k in b)
+    assert flat == want
+    # same call twice -> same order (deterministic merge)
+    multi2 = MultiPrefetchLoader(files, cfg, workers=3)
+    got2 = [b.keys for b in multi2]
+    multi2.close()
+    assert [list(b) for b in got] == [list(b) for b in got2]

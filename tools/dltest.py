@@ -21,16 +21,27 @@ def main():
     ap.add_argument("--label-dim", type=int, default=0)
     ap.add_argument("--feat-dim", type=int, default=40)
     ap.add_argument("--ivector-dim", type=int, default=100)
+    ap.add_argument("--workers", type=int, default=0,
+                    help="N parser threads via MultiPrefetchLoader "
+                         "(0 = single in-line DataLoader)")
+    ap.add_argument("--no-bf16-check", action="store_true",
+                    help="skip the per-batch bf16 round-trip check "
+                         "(isolates pure parse+assemble throughput)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
-    from kaldi_fp16_tpu.io.dataloader import DataLoader, DataLoaderConfig
+    from kaldi_fp16_tpu.io.dataloader import (
+        DataLoader, DataLoaderConfig, MultiPrefetchLoader,
+    )
 
-    dl = DataLoader(args.pattern,
-                    DataLoaderConfig(batch_size=args.batch,
-                                     label_dim=args.label_dim,
-                                     feat_dim=args.feat_dim,
-                                     ivector_dim=args.ivector_dim))
+    cfg = DataLoaderConfig(batch_size=args.batch,
+                           label_dim=args.label_dim,
+                           feat_dim=args.feat_dim,
+                           ivector_dim=args.ivector_dim)
+    if args.workers > 0:
+        dl = MultiPrefetchLoader(args.pattern, cfg, workers=args.workers)
+    else:
+        dl = DataLoader(args.pattern, cfg)
     t0 = time.perf_counter()
     n_batches = 0
     total_frames = 0
@@ -41,11 +52,12 @@ def main():
         total_frames += batch.features.shape[0] * batch.features.shape[1]
         fmin = min(fmin, float(batch.features.min()))
         fmax = max(fmax, float(batch.features.max()))
-        # bf16 round-trip precision (the mixed-precision ingestion path;
-        # analog of the reference's fp16 conversion stats, cmd/dltest)
-        bf = jnp.asarray(batch.features).astype(jnp.bfloat16)
-        err = np.abs(np.asarray(bf, np.float32) - batch.features).max()
-        bf16_max_err = max(bf16_max_err, float(err))
+        if not args.no_bf16_check:
+            # bf16 round-trip precision (the mixed-precision ingestion
+            # path; analog of the reference's fp16 conversion stats)
+            bf = jnp.asarray(batch.features).astype(jnp.bfloat16)
+            err = np.abs(np.asarray(bf, np.float32) - batch.features).max()
+            bf16_max_err = max(bf16_max_err, float(err))
     dt = time.perf_counter() - t0
     print(dl.summary())
     print(f"batches={n_batches} frames={total_frames} "
