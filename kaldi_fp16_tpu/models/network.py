@@ -258,9 +258,35 @@ def _site(ng: Optional[NGContext], name: str, x, out):
 # Layer forwards
 # ---------------------------------------------------------------------------
 
+def _even_spacing(offsets) -> Optional[int]:
+    """Common difference of an ascending arithmetic offset sequence, or
+    None if irregular (single offset -> 1)."""
+    if len(offsets) == 1:
+        return 1
+    d = offsets[1] - offsets[0]
+    if d <= 0 or any(offsets[i + 1] - offsets[i] != d
+                     for i in range(len(offsets) - 1)):
+        return None
+    return d
+
+
 def _fwd_conv_relu_bn(spec: ConvReluBNSpec, p: dict, bn: dict, x: jnp.ndarray,
                       train: bool, dtype, ng=None, lname="") -> Tuple[jnp.ndarray, dict]:
-    """Patch-gather + one matmul.  x: [B, T, H_in * nf_in] (filter fastest)."""
+    """Convolution over (time, height).  x: [B, T, H_in*nf_in] (filter
+    fastest).
+
+    Two lowerings, identical math:
+      * DIRECT: one lax.conv_general_dilated with spatials (T, H) —
+        dilation encodes evenly spaced offsets, stride the height
+        subsample.  No patch materialization: the patch path writes+reads
+        a [B, T, H_out, k*nf_in] concat (~0.9 GB bf16 per cnn layer at
+        B=128) in BOTH passes, and fwd+bwd sit at 94% of HBM bandwidth
+        (docs/PERFORMANCE.md roofline), so skipping it buys real time.
+      * PATCH: shifts + concat + one matmul.  Kept for irregular offset
+        grids and for NG-SGD, whose Fisher factors tap the materialized
+        patch as the matmul input (ref conv design: forward.go:418-524
+        did this via CPU im2col round-trips).
+    """
     B, T, _ = x.shape
     H_in, H_out = spec.height_in, spec.height_out
     nf_in, nf_out = spec.num_filters_in, spec.num_filters_out
@@ -268,24 +294,46 @@ def _fwd_conv_relu_bn(spec: ConvReluBNSpec, p: dict, bn: dict, x: jnp.ndarray,
 
     # pad the height axis so h_src = h_out*sub + h_off always lands in-range
     h_offs = spec.height_offsets
+    t_offs = spec.time_offsets
     pad_lo = max(0, -min(h_offs))
     pad_hi = max(0, (H_out - 1) * sub + max(h_offs) - (H_in - 1))
 
-    patches = []
-    for t_off in spec.time_offsets:
-        xt = _shift_time(x, t_off, "zero").reshape(B, T, H_in, nf_in)
-        if pad_lo or pad_hi:
-            xt = jnp.pad(xt, ((0, 0), (0, 0), (pad_lo, pad_hi), (0, 0)))
-        for h_off in h_offs:
-            start = pad_lo + h_off
-            sl = jax.lax.slice_in_dim(xt, start, start + (H_out - 1) * sub + 1,
-                                      stride=sub, axis=2)
-            patches.append(sl)                     # [B, T, H_out, nf_in]
-    # offsets order matches spec.offsets (time-major, height fastest)
-    patch = jnp.concatenate(patches, axis=-1)      # [B, T, H_out, n_off*nf_in]
-
-    out = _matmul(patch, p["w"], dtype) + p["b"].astype(jnp.float32)
-    out = _site(ng, f"{lname}/w", patch, out)
+    dt = _even_spacing(t_offs)
+    dh = _even_spacing(h_offs)
+    direct = (ng is None and dt is not None and dh is not None
+              and min(t_offs) <= 0 and min(h_offs) <= 0 <= max(h_offs))
+    if direct:
+        xs = x.reshape(B, T, H_in, nf_in).astype(dtype)
+        kernel = p["w"].reshape(len(t_offs), len(h_offs), nf_in,
+                                nf_out).astype(dtype)
+        # no preferred_element_type: its vjp mixes f32 cotangents with
+        # bf16 operands and conv requires uniform dtypes; XLA TPU convs
+        # accumulate in f32 internally regardless, so only the output
+        # rounding differs (bf16, same class as the rest of the net)
+        out = jax.lax.conv_general_dilated(
+            xs, kernel,
+            window_strides=(1, sub),
+            padding=((-min(t_offs), max(t_offs)), (pad_lo, pad_hi)),
+            rhs_dilation=(dt, dh),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        out = (out[:, :T, :H_out].astype(jnp.float32)
+               + p["b"].astype(jnp.float32))
+    else:
+        patches = []
+        for t_off in t_offs:
+            xt = _shift_time(x, t_off, "zero").reshape(B, T, H_in, nf_in)
+            if pad_lo or pad_hi:
+                xt = jnp.pad(xt, ((0, 0), (0, 0), (pad_lo, pad_hi), (0, 0)))
+            for h_off in h_offs:
+                start = pad_lo + h_off
+                sl = jax.lax.slice_in_dim(
+                    xt, start, start + (H_out - 1) * sub + 1,
+                    stride=sub, axis=2)
+                patches.append(sl)                 # [B, T, H_out, nf_in]
+        # offsets order matches spec.offsets (time-major, height fastest)
+        patch = jnp.concatenate(patches, axis=-1)  # [B, T, H_out, k*nf_in]
+        out = _matmul(patch, p["w"], dtype) + p["b"].astype(jnp.float32)
+        out = _site(ng, f"{lname}/w", patch, out)
     out = jax.nn.relu(out)                         # [B, T, H_out, nf_out]
     out = out.reshape(B, T, H_out * nf_out)        # filter fastest: h*nf + f
     out = out.astype(dtype)

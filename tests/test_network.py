@@ -352,3 +352,66 @@ output-layer name=output dim=10 include-log-softmax=false
                         compute_dtype=jnp.float32)
         np.testing.assert_allclose(np.asarray(o1["output"]),
                                    np.asarray(o2["output"]), atol=2e-3)
+
+
+class TestConvLowerings:
+    """The direct conv_general_dilated lowering must match the patch-
+    gather + matmul path exactly (same math, different schedule)."""
+
+    @pytest.mark.parametrize("case", [
+        # (H_in, H_out, sub, t_offs, h_offs, nf_in, nf_out)
+        (40, 40, 1, (-1, 0, 1), (-1, 0, 1), 3, 8),
+        (20, 10, 2, (-1, 0, 1), (-1, 0, 1), 4, 6),   # height subsample
+        (10, 10, 1, (-3, 0, 3), (-1, 0, 1), 4, 6),   # dilated time
+        (12, 12, 1, (0,), (-2, 0, 2), 2, 4),         # single t, dilated h
+    ])
+    def test_direct_matches_patch(self, case, rng):
+        import unittest.mock as mock
+        from kaldi_fp16_tpu.models import network as net
+        from kaldi_fp16_tpu.models.layers import ConvReluBNSpec
+
+        H_in, H_out, sub, t_offs, h_offs, nf_in, nf_out = case
+        spec = ConvReluBNSpec(
+            height_in=H_in, height_out=H_out, height_subsample=sub,
+            time_offsets=list(t_offs), height_offsets=list(h_offs),
+            num_filters_in=nf_in, num_filters_out=nf_out,
+            input_dim=H_in * nf_in, output_dim=H_out * nf_out)
+        k = len(t_offs) * len(h_offs) * nf_in
+        p = {"w": jnp.asarray(rng.normal(size=(k, nf_out))
+                              .astype(np.float32) * 0.2),
+             "b": jnp.asarray(rng.normal(size=nf_out).astype(np.float32))}
+        bn = {"mean": jnp.zeros(H_out * nf_out), "var": jnp.ones(H_out * nf_out),
+              "count": jnp.zeros(())}
+        x = jnp.asarray(rng.normal(size=(2, 9, H_in * nf_in))
+                        .astype(np.float32))
+
+        out_direct, _ = net._fwd_conv_relu_bn(
+            spec, p, dict(bn), x, train=False, dtype=jnp.float32)
+        with mock.patch.object(net, "_even_spacing", lambda _: None):
+            out_patch, _ = net._fwd_conv_relu_bn(
+                spec, p, dict(bn), x, train=False, dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(out_direct),
+                                   np.asarray(out_patch),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_ng_uses_patch_path(self, rng):
+        """With an NG context the patch path must be chosen (its Fisher
+        factors tap the materialized patch)."""
+        from kaldi_fp16_tpu.models import network as net
+        from kaldi_fp16_tpu.models.layers import ConvReluBNSpec
+
+        spec = ConvReluBNSpec(
+            height_in=8, height_out=8, height_subsample=1,
+            time_offsets=[-1, 0, 1], height_offsets=[-1, 0, 1],
+            num_filters_in=2, num_filters_out=4,
+            input_dim=16, output_dim=32)
+        p = {"w": jnp.asarray(rng.normal(size=(18, 4)).astype(np.float32)),
+             "b": jnp.zeros(4, jnp.float32)}
+        bn = {"mean": jnp.zeros(32), "var": jnp.ones(32),
+              "count": jnp.zeros(())}
+        x = jnp.asarray(rng.normal(size=(2, 5, 16)).astype(np.float32))
+        ng = net.NGContext(collect=True)
+        out, _ = net._fwd_conv_relu_bn(spec, p, dict(bn), x, train=False,
+                                       dtype=jnp.float32, ng=ng,
+                                       lname="cnn1")
+        assert "cnn1/w" in ng.xs
