@@ -84,3 +84,97 @@ class DecodingGraph:
         if fst is None:
             raise ValueError(f"cannot read FST {path}")
         return cls.from_fst(fst, **kw)
+
+
+def remove_epsilons(g: DecodingGraph) -> DecodingGraph:
+    """Epsilon-removed equivalent graph for the on-device decoders.
+
+    Real HCLG graphs carry epsilon (ilabel 0) arcs; the arc-parallel
+    device decoders (decode/tpu_viterbi.py) need every arc to consume a
+    frame.  Closure: per state, tropical shortest epsilon-distance to
+    every eps-reachable state (Dijkstra over the eps subgraph), then
+
+      * emitting arcs: (s -> d, il, w) exists iff s ->eps*-> u ->em-> d;
+        new weight = dist(s, u) + w, best (min-cost) arc kept per
+        (dst, ilabel, olabel-of-best) with the FIRST eps-path olabel
+        folded in only when the emitting arc's olabel is 0 (word labels
+        on eps arcs are pushed onto the following emitting arc).
+      * finals: final'(s) = min_u dist(s, u) + final(u).
+
+    Exact for best-path/Viterbi decoding (tropical semiring); lattices
+    built from the result lack interior epsilon nodes by construction.
+    """
+    import heapq
+
+    S = g.num_states
+    out_eps: List[List[int]] = [[] for _ in range(S)]
+    for s in range(S):
+        for a in range(g.eps_row_ptr[s], g.eps_row_ptr[s + 1]):
+            out_eps[s].append(a)
+
+    em_rp = [0]
+    em_dst: List[int] = []
+    em_il: List[int] = []
+    em_ol: List[int] = []
+    em_w: List[float] = []
+    final = np.array(g.final_cost, dtype=np.float64)
+    dropped_olabels = [0]
+
+    for s in range(S):
+        # eps closure from s: dist + first olabel en route
+        dist = {s: 0.0}
+        olab = {s: 0}
+        heap = [(0.0, s)]
+        while heap:
+            c, u = heapq.heappop(heap)
+            if c > dist.get(u, np.inf) + 1e-12:
+                continue
+            for a in out_eps[u]:
+                d = int(g.eps_dst[a])
+                nc = c + float(g.eps_weight[a])
+                if nc < dist.get(d, np.inf) - 1e-12:
+                    dist[d] = nc
+                    o = olab[u]
+                    eo = int(g.eps_olabel[a])
+                    if o and eo:
+                        dropped_olabels[0] += 1
+                    olab[d] = o if o else eo
+                    heapq.heappush(heap, (nc, d))
+        best: Dict[tuple, tuple] = {}
+        for u, du in dist.items():
+            final[s] = min(final[s], du + float(g.final_cost[u]))
+            for a in range(g.em_row_ptr[u], g.em_row_ptr[u + 1]):
+                d = int(g.em_dst[a])
+                il = int(g.em_ilabel[a])
+                ol = int(g.em_olabel[a]) or olab[u]
+                w = du + float(g.em_weight[a])
+                key = (d, il, ol)
+                if key not in best or w < best[key][0]:
+                    best[key] = (w, il, ol, d)
+        for w, il, ol, d in sorted(best.values(), key=lambda t: t[3]):
+            em_dst.append(d)
+            em_il.append(il)
+            em_ol.append(ol)
+            em_w.append(w)
+        em_rp.append(len(em_dst))
+
+    if dropped_olabels[0]:
+        import sys
+        print(f"warning: remove_epsilons dropped {dropped_olabels[0]} "
+              "word labels from multi-word epsilon chains (costs stay "
+              "exact; push labels in the graph build to avoid this)",
+              file=sys.stderr)
+    return DecodingGraph(
+        num_states=S, start=g.start,
+        em_row_ptr=np.asarray(em_rp, np.int64),
+        em_dst=np.asarray(em_dst, np.int32),
+        em_ilabel=np.asarray(em_il, np.int32),
+        em_olabel=np.asarray(em_ol, np.int32),
+        em_weight=np.asarray(em_w, np.float64),
+        eps_row_ptr=np.zeros(S + 1, np.int64),
+        eps_dst=np.empty(0, np.int32),
+        eps_olabel=np.empty(0, np.int32),
+        eps_weight=np.empty(0, np.float64),
+        final_cost=final,
+        ilabel_to_pdf=g.ilabel_to_pdf,
+    )

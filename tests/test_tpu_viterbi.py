@@ -210,3 +210,52 @@ class TestDeviceLattice:
         assert len(lat.arcs) == 0
         words, cost = lat.best_path()
         assert words == [] and not np.isfinite(cost)
+
+
+class TestEpsilonRemoval:
+    """remove_epsilons lets real (eps-carrying) HCLG graphs feed the
+    on-device decoders; must preserve best paths exactly."""
+
+    @staticmethod
+    def random_eps_graph(S=20, P=8, E=3, NEPS=12, seed=0):
+        rng = np.random.default_rng(seed)
+        s = [FstState() for _ in range(S)]
+        for i in range(S):
+            for d in rng.choice(S, size=E, replace=False):
+                s[i].arcs.append(FstArc(
+                    int(rng.integers(1, P + 1)), float(rng.uniform(0, 2)),
+                    int(d), olabel=int(rng.integers(0, 4))))
+            s[i].final = float(rng.uniform(0, 1))
+        for _ in range(NEPS):
+            a, b = rng.choice(S, size=2, replace=False)
+            s[int(a)].arcs.append(FstArc(
+                0, float(rng.uniform(0, 1)), int(b),
+                olabel=int(rng.integers(0, 4))))
+        return Fst(start=0, states=s)
+
+    def test_best_path_preserved(self):
+        from kaldi_fp16_tpu.decode.graph import remove_epsilons
+        from kaldi_fp16_tpu.decode.tpu_viterbi import SparseViterbiDecoder
+        for seed in (0, 1, 2, 3):
+            g = DecodingGraph.from_fst(self.random_eps_graph(seed=seed))
+            ge = remove_epsilons(g)
+            assert len(ge.eps_dst) == 0
+            host = ViterbiDecoder(g, DecodeOptions(beam=1e9,
+                                                   max_active=10 ** 9))
+            dev = SparseViterbiDecoder(ge)
+            rng = np.random.default_rng(seed + 100)
+            lls = rng.normal(size=(2, 7, 8)).astype(np.float32)
+            res = dev.decode_batch(lls)
+            for b in range(2):
+                hres = host.decode(lls[b])
+                np.testing.assert_allclose(res[b]["total_cost"],
+                                           hres.total_cost, atol=1e-4,
+                                           err_msg=f"seed={seed} b={b}")
+
+    def test_noop_on_eps_free(self):
+        from kaldi_fp16_tpu.decode.graph import remove_epsilons
+        g = DecodingGraph.from_fst(eps_free_graph())
+        ge = remove_epsilons(g)
+        assert len(ge.em_dst) == len(g.em_dst)
+        np.testing.assert_allclose(ge.em_weight, g.em_weight)
+        np.testing.assert_allclose(ge.final_cost, g.final_cost)

@@ -117,6 +117,11 @@ def main():
         # group is one [B, T, P] dispatch (no padding frames that would
         # alter paths).  Plain Viterbi unless lattices are needed.
         import numpy as _np
+        if len(graph.eps_dst):
+            from kaldi_fp16_tpu.decode.graph import remove_epsilons
+            print(f"epsilon-removing the graph for on-device decode "
+                  f"({len(graph.eps_dst)} eps arcs)")
+            graph = remove_epsilons(graph)
         want_lattice = bool(args.nbest or args.arpa_lm)
         if want_lattice:
             from kaldi_fp16_tpu.decode.tpu_viterbi import DeviceLatticeDecoder
