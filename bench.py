@@ -6,7 +6,7 @@ The metric is BASELINE.json's north star: audio-seconds/s/chip of full
 chain training (forward + LF-MMI numerator/denominator forward-backward +
 backward + SGD) at production scale — den.fst 7052 states / 113,380 arcs /
 3080 pdfs, 150-frame chunks, 128-sequence batch (the measured single-chip
-throughput sweet spot: 839 audio-sec/s vs 442 at B=64 and ~770 at B=256
+throughput sweet spot: 1120 audio-sec/s vs 442 at B=64
 with twice the latency), flagship CNN-TDNN
 (cnn1-6 + tdnnf7-21 + dual heads).
 
