@@ -6,8 +6,8 @@ The metric is BASELINE.json's north star: audio-seconds/s/chip of full
 chain training (forward + LF-MMI numerator/denominator forward-backward +
 backward + SGD) at production scale — den.fst 7052 states / 113,380 arcs /
 3080 pdfs, 150-frame chunks, 128-sequence batch (the measured single-chip
-throughput sweet spot: 1120 audio-sec/s vs 442 at B=64
-with twice the latency), flagship CNN-TDNN
+throughput sweet spot: 1120 audio-sec/s vs 442 at B=64; B=256 adds only
+~2% at twice the step latency), flagship CNN-TDNN
 (cnn1-6 + tdnnf7-21 + dual heads).
 
 Baseline: the reference's own numbers imply ~105 audio-sec/s on its

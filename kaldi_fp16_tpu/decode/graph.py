@@ -96,13 +96,18 @@ def remove_epsilons(g: DecodingGraph) -> DecodingGraph:
 
       * emitting arcs: (s -> d, il, w) exists iff s ->eps*-> u ->em-> d;
         new weight = dist(s, u) + w, best (min-cost) arc kept per
-        (dst, ilabel, olabel-of-best) with the FIRST eps-path olabel
-        folded in only when the emitting arc's olabel is 0 (word labels
-        on eps arcs are pushed onto the following emitting arc).
+        (dst, ilabel, olabel) with the winning eps route's olabel folded
+        in when the emitting arc's own olabel is 0 (HCLG pushes word
+        labels, so eps arcs rarely carry them).
       * finals: final'(s) = min_u dist(s, u) + final(u).
 
-    Exact for best-path/Viterbi decoding (tropical semiring); lattices
-    built from the result lack interior epsilon nodes by construction.
+    Exact for best-path/Viterbi COSTS (tropical semiring).  Word labels
+    are preserved except in three constructions a pushed graph avoids:
+    a winning eps route with >1 labeled eps arc, a labeled eps route
+    into an emitting arc that has its OWN olabel, and a labeled eps
+    route directly into a final state.  Each surviving-arc/final
+    occurrence is counted (per the WINNING route, not tentative
+    relaxations) and warned once.
     """
     import heapq
 
@@ -118,12 +123,15 @@ def remove_epsilons(g: DecodingGraph) -> DecodingGraph:
     em_ol: List[int] = []
     em_w: List[float] = []
     final = np.array(g.final_cost, dtype=np.float64)
-    dropped_olabels = [0]
+    dropped = 0
 
     for s in range(S):
-        # eps closure from s: dist + first olabel en route
+        # eps closure from s: dist + the WINNING route's first olabel and
+        # a flag for labels already lost along that route (flags follow
+        # the relaxation that wins, so they describe final routes only)
         dist = {s: 0.0}
         olab = {s: 0}
+        lost = {s: False}
         heap = [(0.0, s)]
         while heap:
             c, u = heapq.heappop(heap)
@@ -136,33 +144,41 @@ def remove_epsilons(g: DecodingGraph) -> DecodingGraph:
                     dist[d] = nc
                     o = olab[u]
                     eo = int(g.eps_olabel[a])
-                    if o and eo:
-                        dropped_olabels[0] += 1
                     olab[d] = o if o else eo
+                    lost[d] = lost[u] or bool(o and eo)
                     heapq.heappush(heap, (nc, d))
         best: Dict[tuple, tuple] = {}
         for u, du in dist.items():
-            final[s] = min(final[s], du + float(g.final_cost[u]))
+            fc = du + float(g.final_cost[u])
+            if fc < final[s]:
+                final[s] = fc
+                if olab[u] or lost[u]:
+                    dropped += 1    # labeled eps route into a final state
             for a in range(g.em_row_ptr[u], g.em_row_ptr[u + 1]):
                 d = int(g.em_dst[a])
                 il = int(g.em_ilabel[a])
-                ol = int(g.em_olabel[a]) or olab[u]
+                own = int(g.em_olabel[a])
+                ol = own or olab[u]
                 w = du + float(g.em_weight[a])
+                loses = lost[u] or bool(own and olab[u])
                 key = (d, il, ol)
                 if key not in best or w < best[key][0]:
-                    best[key] = (w, il, ol, d)
-        for w, il, ol, d in sorted(best.values(), key=lambda t: t[3]):
+                    best[key] = (w, il, ol, d, loses)
+        for w, il, ol, d, loses in sorted(best.values(), key=lambda t: t[3]):
             em_dst.append(d)
             em_il.append(il)
             em_ol.append(ol)
             em_w.append(w)
+            if loses:
+                dropped += 1
         em_rp.append(len(em_dst))
 
-    if dropped_olabels[0]:
+    if dropped:
         import sys
-        print(f"warning: remove_epsilons dropped {dropped_olabels[0]} "
-              "word labels from multi-word epsilon chains (costs stay "
-              "exact; push labels in the graph build to avoid this)",
+        print(f"warning: remove_epsilons lost word labels on {dropped} "
+              "surviving arcs/finals (multi-label eps routes or labeled "
+              "eps into labeled/final arcs; costs stay exact — push "
+              "labels in the graph build to avoid this)",
               file=sys.stderr)
     return DecodingGraph(
         num_states=S, start=g.start,

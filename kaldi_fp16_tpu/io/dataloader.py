@@ -278,31 +278,27 @@ class PrefetchLoader:
 
 
 class MultiPrefetchLoader:
-    """Multi-worker host ingestion: W parser threads over round-robin file
-    shards, merged round-robin (deterministic given a fixed file list).
+    """Multi-worker host ingestion: W PrefetchLoaders over round-robin
+    file shards, merged round-robin (deterministic given a fixed file
+    list) or first-ready (deterministic=False).
 
     Measured reality (tools/dltest.py --workers N): after the lazy
     index/state refactor a SINGLE thread parses ~578K frames/s at
-    production dims (~6.9 chips' worth) and extra threads add nothing —
+    production dims (~5 chips' worth) and extra threads add nothing —
     the residual cost is GIL-held numpy assembly, not the GIL-releasing
     native parse.  Use this loader for parse/step overlap and worker-
     style file sharding, not for parse scaling; if ingestion ever
     becomes the bottleneck again, the next lever is multi-PROCESS
     workers or moving batch assembly into cpp/cegs_parser.
 
-    Each worker owns a DataLoader over its file shard, so per-worker
-    batch streams are identical to a single loader over that shard;
-    `deterministic=False` switches to a shared queue (first-ready order,
-    slightly better tail throughput, nondeterministic order).
+    Composes the tested PrefetchLoader per worker (its producer thread,
+    error propagation, and drain-while-join close) instead of
+    duplicating that machinery.
     """
-
-    _DONE = object()
 
     def __init__(self, pattern_or_files, config: DataLoaderConfig,
                  workers: int = 4, depth: int = 2,
                  deterministic: bool = True, use_native: bool = True):
-        import queue as _queue
-        import threading
         if isinstance(pattern_or_files, str):
             files = sorted(globlib.glob(pattern_or_files))
         else:
@@ -312,82 +308,58 @@ class MultiPrefetchLoader:
         workers = max(1, min(workers, len(files)))
         self.workers = workers
         self.deterministic = deterministic
-        self._stop = False
-        self._errors: list = []
         self.loaders = [
             DataLoader(shard_files(files, w, workers), config,
                        use_native=use_native)
             for w in range(workers)
         ]
-        if deterministic:
-            self._queues = [_queue.Queue(maxsize=max(1, depth))
-                            for _ in range(workers)]
-        else:
-            shared = _queue.Queue(maxsize=max(1, depth * workers))
-            self._queues = [shared] * workers
-        self._threads = [
-            threading.Thread(target=self._produce, args=(w,), daemon=True)
-            for w in range(workers)
-        ]
-        for t in self._threads:
-            t.start()
-
-    def _produce(self, w: int) -> None:
-        q = self._queues[w]
-        try:
-            for batch in self.loaders[w]:
-                while not self._stop:
-                    try:
-                        q.put(batch, timeout=0.1)
-                        break
-                    except Exception:
-                        continue
-                if self._stop:
-                    return
-        except BaseException as e:  # noqa: BLE001 — re-raised at consumer
-            self._errors.append(e)
-        finally:
-            q.put(self._DONE)
+        self._prefetchers = [PrefetchLoader(ld, depth=depth)
+                             for ld in self.loaders]
 
     def __iter__(self):
+        iters = [iter(p) for p in self._prefetchers]
         if self.deterministic:
             live = list(range(self.workers))
             w = 0
             while live:
-                q = self._queues[live[w % len(live)]]
-                item = q.get()
-                if item is self._DONE:
-                    live.remove(live[w % len(live)])
-                    continue
-                yield item
-                w += 1
+                i = live[w % len(live)]
+                try:
+                    yield next(iters[i])
+                    w += 1
+                except StopIteration:
+                    live.remove(i)
         else:
-            done = 0
-            q = self._queues[0]
-            while done < self.workers:
-                item = q.get()
-                if item is self._DONE:
-                    done += 1
+            import queue as _queue
+            import threading
+            shared: _queue.Queue = _queue.Queue(
+                maxsize=max(1, 2 * self.workers))
+            done = [0]
+            lock = threading.Lock()
+
+            def pump(it):
+                try:
+                    for b in it:
+                        shared.put(b)
+                finally:
+                    with lock:
+                        done[0] += 1
+                    shared.put(None)
+
+            threads = [threading.Thread(target=pump, args=(it,), daemon=True)
+                       for it in iters]
+            for t in threads:
+                t.start()
+            finished = 0
+            while finished < self.workers:
+                item = shared.get()
+                if item is None:
+                    finished += 1
                     continue
                 yield item
-        if self._errors:
-            raise self._errors[0]
 
     def close(self, timeout: float = 5.0) -> None:
-        self._stop = True
-        seen = set()
-        for q in self._queues:
-            if id(q) in seen:
-                continue
-            seen.add(id(q))
-            try:
-                while True:
-                    q.get_nowait()
-            except Exception:
-                pass
-        for t in self._threads:
-            t.join(timeout=max(0.05, timeout / max(1, len(self._threads))))
+        for p in self._prefetchers:
+            p.close(timeout=max(0.05, timeout / max(1, self.workers)))
 
     def summary(self) -> str:
-        s = [ld.summary() for ld in self.loaders]
-        return " | ".join(s)
+        return " | ".join(ld.summary() for ld in self.loaders)

@@ -309,13 +309,19 @@ def _fwd_conv_relu_bn(spec: ConvReluBNSpec, p: dict, bn: dict, x: jnp.ndarray,
         # no preferred_element_type: its vjp mixes f32 cotangents with
         # bf16 operands and conv requires uniform dtypes; XLA TPU convs
         # accumulate in f32 internally regardless, so only the output
-        # rounding differs (bf16, same class as the rest of the net)
+        # rounding differs (bf16, same class as the rest of the net).
+        # HIGHEST for f32 compute: the TPU default would run bf16 passes
+        # and silently degrade the fp32 verification path (same guard as
+        # _matmul).
         out = jax.lax.conv_general_dilated(
             xs, kernel,
             window_strides=(1, sub),
             padding=((-min(t_offs), max(t_offs)), (pad_lo, pad_hi)),
             rhs_dilation=(dt, dh),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=(jax.lax.Precision.HIGHEST
+                       if dtype == jnp.float32
+                       else jax.lax.Precision.DEFAULT))
         out = (out[:, :T, :H_out].astype(jnp.float32)
                + p["b"].astype(jnp.float32))
     else:

@@ -259,3 +259,42 @@ class TestEpsilonRemoval:
         assert len(ge.em_dst) == len(g.em_dst)
         np.testing.assert_allclose(ge.em_weight, g.em_weight)
         np.testing.assert_allclose(ge.final_cost, g.final_cost)
+
+    def test_words_preserved_with_pushed_labels(self):
+        """With word labels pushed onto emitting arcs (eps arcs
+        unlabeled, the HCLG-pushed construction), WORDS must match the
+        host decoder on the original graph, not just costs."""
+        from kaldi_fp16_tpu.decode.graph import remove_epsilons
+        from kaldi_fp16_tpu.decode.tpu_viterbi import SparseViterbiDecoder
+        rng = np.random.default_rng(7)
+        for seed in (0, 1, 2):
+            fst = self.random_eps_graph(seed=seed)
+            for st in fst.states:           # strip eps olabels
+                for a in st.arcs:
+                    if a.label == 0:
+                        a.olabel = 0
+            g = DecodingGraph.from_fst(fst)
+            ge = remove_epsilons(g)
+            host = ViterbiDecoder(g, DecodeOptions(beam=1e9,
+                                                   max_active=10 ** 9))
+            dev = SparseViterbiDecoder(ge)
+            lls = rng.normal(size=(2, 6, 8)).astype(np.float32)
+            res = dev.decode_batch(lls)
+            for b in range(2):
+                hres = host.decode(lls[b])
+                assert res[b]["words"] == hres.words, (seed, b)
+                np.testing.assert_allclose(res[b]["total_cost"],
+                                           hres.total_cost, atol=1e-4)
+
+    def test_lossy_labels_warned(self, capsys):
+        """A labeled eps arc into a labeled emitting arc must be counted
+        and warned, not silently dropped."""
+        from kaldi_fp16_tpu.decode.graph import remove_epsilons
+        s = [FstState() for _ in range(3)]
+        s[0].arcs.append(FstArc(0, 0.1, 1, olabel=7))     # labeled eps
+        s[1].arcs.append(FstArc(2, 0.0, 2, olabel=9))     # labeled emitting
+        s[2].final = 0.0
+        g = DecodingGraph.from_fst(Fst(start=0, states=s))
+        remove_epsilons(g)
+        err = capsys.readouterr().err
+        assert "lost word labels" in err
