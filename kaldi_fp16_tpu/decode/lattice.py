@@ -48,14 +48,81 @@ class LatticeArc:
         return lm_scale * self.graph_cost + acoustic_scale * self.acoustic_cost
 
 
+class ArcArrays:
+    """Sequence of LatticeArc over parallel numpy arrays.  Same lazy-view
+    pattern as io/native.py LazyIndexList: building millions of
+    LatticeArc objects was the bottleneck of device-lattice assembly
+    (docs/PERFORMANCE.md decode table), and the hot lattice algorithms
+    (forward/backward costs, prune) only need the arrays."""
+
+    __slots__ = ("src", "dst", "ilabel", "olabel", "graph_cost",
+                 "acoustic_cost")
+
+    def __init__(self, src, dst, ilabel, olabel, graph_cost, acoustic_cost):
+        self.src = np.asarray(src, np.int64)
+        self.dst = np.asarray(dst, np.int64)
+        self.ilabel = np.asarray(ilabel, np.int32)
+        self.olabel = np.asarray(olabel, np.int32)
+        self.graph_cost = np.asarray(graph_cost, np.float64)
+        self.acoustic_cost = np.asarray(acoustic_cost, np.float64)
+
+    @classmethod
+    def from_arcs(cls, arcs) -> "ArcArrays":
+        if isinstance(arcs, cls):
+            return arcs
+        return cls([a.src for a in arcs], [a.dst for a in arcs],
+                   [a.ilabel for a in arcs], [a.olabel for a in arcs],
+                   [a.graph_cost for a in arcs],
+                   [a.acoustic_cost for a in arcs])
+
+    def costs(self, acoustic_scale: float, lm_scale: float) -> np.ndarray:
+        return (lm_scale * self.graph_cost
+                + acoustic_scale * self.acoustic_cost)
+
+    def __len__(self) -> int:
+        return len(self.src)
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            return [self[j] for j in range(*i.indices(len(self)))]
+        if i < 0:
+            i += len(self)
+        if not 0 <= i < len(self):
+            raise IndexError(i)
+        return LatticeArc(int(self.src[i]), int(self.dst[i]),
+                          int(self.ilabel[i]), int(self.olabel[i]),
+                          float(self.graph_cost[i]),
+                          float(self.acoustic_cost[i]))
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]
+
+    def __bool__(self) -> bool:
+        return len(self.src) > 0
+
+
 @dataclass
 class Lattice:
     """Nodes are topologically ordered (by frame).  Node 0 is the start;
-    `final_cost[n]` is +inf for non-final nodes."""
+    `final_cost[n]` is +inf for non-final nodes.  `arcs` may be a list of
+    LatticeArc or an ArcArrays view (the device decoders build the
+    latter; both support the full Sequence API)."""
     num_nodes: int
     arcs: List[LatticeArc]
     final_cost: np.ndarray          # [num_nodes]
     node_frame: np.ndarray          # [num_nodes] frame index of each node
+
+    def _arc_arrays(self) -> ArcArrays:
+        aa = getattr(self, "_aa", None)
+        if aa is None:
+            aa = ArcArrays.from_arcs(self.arcs)
+            object.__setattr__(self, "_aa", aa)
+        return aa
+
+    def _is_eps_free(self) -> bool:
+        aa = self._arc_arrays()
+        return bool((self.node_frame[aa.dst] > self.node_frame[aa.src]).all())
 
     # -- shortest path under given scales ------------------------------------
 
@@ -84,6 +151,12 @@ class Lattice:
 
     def _forward_costs(self, acoustic_scale: float, lm_scale: float
                        ) -> Tuple[np.ndarray, List[Optional[LatticeArc]]]:
+        if self._is_eps_free():
+            alpha, back_idx = self._forward_costs_vec(acoustic_scale,
+                                                      lm_scale)
+            aa = self._arc_arrays()
+            back = [None if i < 0 else aa[int(i)] for i in back_idx]
+            return alpha, back
         alpha = np.full(self.num_nodes, np.inf)
         alpha[0] = 0.0
         back: List[Optional[LatticeArc]] = [None] * self.num_nodes
@@ -95,8 +168,49 @@ class Lattice:
                 back[a.dst] = a
         return alpha, back
 
+    def _forward_costs_vec(self, acoustic_scale: float, lm_scale: float
+                           ) -> Tuple[np.ndarray, np.ndarray]:
+        """Frame-synchronous vectorized forward (eps-free lattices): arcs
+        grouped by source frame, per-frame scatter-min.  Returns
+        (alpha, best-incoming-arc-index per node, -1 = none)."""
+        aa = self._arc_arrays()
+        cost = aa.costs(acoustic_scale, lm_scale)
+        alpha = np.full(self.num_nodes, np.inf)
+        alpha[0] = 0.0
+        back_idx = np.full(self.num_nodes, -1, np.int64)
+        src_frame = self.node_frame[aa.src]
+        order = np.argsort(src_frame, kind="stable")
+        bounds = np.searchsorted(src_frame[order],
+                                 np.arange(src_frame.max() + 2
+                                           if len(order) else 1))
+        for f in range(len(bounds) - 1):
+            idx = order[bounds[f]:bounds[f + 1]]
+            if not len(idx):
+                continue
+            cand = alpha[aa.src[idx]] + cost[idx]
+            np.minimum.at(alpha, aa.dst[idx], cand)
+            win = cand <= alpha[aa.dst[idx]]
+            back_idx[aa.dst[idx][win]] = idx[win]
+        return alpha, back_idx
+
     def _backward_costs(self, acoustic_scale: float, lm_scale: float
                         ) -> np.ndarray:
+        if self._is_eps_free():
+            aa = self._arc_arrays()
+            cost = aa.costs(acoustic_scale, lm_scale)
+            beta = np.array(self.final_cost, dtype=np.float64)
+            src_frame = self.node_frame[aa.src]
+            order = np.argsort(src_frame, kind="stable")
+            bounds = np.searchsorted(src_frame[order],
+                                     np.arange(src_frame.max() + 2
+                                               if len(order) else 1))
+            for f in range(len(bounds) - 2, -1, -1):
+                idx = order[bounds[f]:bounds[f + 1]]
+                if not len(idx):
+                    continue
+                np.minimum.at(beta, aa.src[idx],
+                              cost[idx] + beta[aa.dst[idx]])
+            return beta
         beta = np.array(self.final_cost, dtype=np.float64)
         for i in reversed(self._arc_topo_order()):
             a = self.arcs[i]
@@ -131,10 +245,10 @@ class Lattice:
         best = float(np.min(alpha + self.final_cost))
         if not np.isfinite(best):
             return self  # no reachable final state: nothing to prune against
-        keep = [a for a in self.arcs
-                if (alpha[a.src] + a.cost(acoustic_scale, lm_scale)
-                    + beta[a.dst]) <= best + lattice_beam + 1e-6]
-        return _renumber(self, keep)
+        aa = self._arc_arrays()
+        mask = (alpha[aa.src] + aa.costs(acoustic_scale, lm_scale)
+                + beta[aa.dst]) <= best + lattice_beam + 1e-6
+        return _renumber_arrays(self, aa, mask)
 
     # -- n-best / oracle ------------------------------------------------------
 
@@ -186,6 +300,22 @@ class Lattice:
     def word_sequences(self) -> set:
         """All distinct word sequences (for small test lattices)."""
         return {tuple(w) for w, _ in self.n_best(1000)}
+
+
+def _renumber_arrays(lat: Lattice, aa: ArcArrays,
+                     mask: np.ndarray) -> Lattice:
+    """Vectorized renumber of the kept-arc subset (node 0 preserved)."""
+    src = aa.src[mask]
+    dst = aa.dst[mask]
+    used = np.unique(np.concatenate([[0], src, dst]))
+    remap = np.full(lat.num_nodes, -1, np.int64)
+    remap[used] = np.arange(len(used))
+    arcs = ArcArrays(remap[src], remap[dst], aa.ilabel[mask],
+                     aa.olabel[mask], aa.graph_cost[mask],
+                     aa.acoustic_cost[mask])
+    return Lattice(num_nodes=len(used), arcs=arcs,
+                   final_cost=lat.final_cost[used],
+                   node_frame=lat.node_frame[used])
 
 
 def _renumber(lat: Lattice, arcs: List[LatticeArc]) -> Lattice:

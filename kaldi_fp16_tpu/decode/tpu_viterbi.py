@@ -421,14 +421,10 @@ class DeviceLatticeDecoder:
             src_ids = inv[1:1 + k]
             dst_ids = inv[1 + k:]
             frames = (uniq // S).astype(np.int64)
-            il = a.ilabel[ais]
-            ol = a.olabel[ais]
-            gc = (-a.weight[ais]).astype(np.float64)
-            ac = (-lls[b, ts, a.pdf[ais]]).astype(np.float64)
-            arcs = [LatticeArc(int(src_ids[i]), int(dst_ids[i]),
-                               int(il[i]), int(ol[i]),
-                               float(gc[i]), float(ac[i]))
-                    for i in range(k)]
+            from kaldi_fp16_tpu.decode.lattice import ArcArrays
+            arcs = ArcArrays(src_ids, dst_ids, a.ilabel[ais], a.olabel[ais],
+                             (-a.weight[ais]).astype(np.float64),
+                             (-lls[b, ts, a.pdf[ais]]).astype(np.float64))
             final = np.full(n, np.inf)
             at_T = frames == T
             if at_T.any():

@@ -8,7 +8,8 @@ from kaldi_fp16_tpu.io.fst import Fst, FstArc, FstState
 from kaldi_fp16_tpu.decode.graph import DecodingGraph
 from kaldi_fp16_tpu.decode.viterbi import DecodeOptions, ViterbiDecoder
 from kaldi_fp16_tpu.decode.lattice import (
-    LatticeDecodeOptions, LatticeDecoder, NGramLM, rescore_with_lm,
+    Lattice, LatticeArc, LatticeDecodeOptions, LatticeDecoder, NGramLM,
+    rescore_with_lm,
 )
 from tests.test_decoder import loglikes_for, two_word_graph
 
@@ -205,3 +206,62 @@ ngram 2=3
         lm, syms2 = read_arpa(str(p), syms)
         assert syms2["one"] == 1 and syms2["two"] == 2
         assert syms2["<s>"] > 2  # fresh id past the table
+
+
+class TestArcArrays:
+    """Array-backed lattices: vectorized forward/backward/prune must
+    match the per-arc object path exactly."""
+
+    def _rand_eps_free_lattice(self, seed=0, T=6, S=5):
+        rng = np.random.default_rng(seed)
+        # nodes: (frame, slot) grid; arcs only frame f -> f+1
+        n_nodes = T * S + 1
+        frames = np.concatenate([[0], np.repeat(np.arange(1, T + 1), S)])
+        arcs = []
+        for f in range(T):
+            srcs = [0] if f == 0 else [1 + (f - 1) * S + s for s in range(S)]
+            for srcn in srcs:
+                for s2 in rng.choice(S, size=3, replace=False):
+                    arcs.append(LatticeArc(
+                        srcn, 1 + f * S + int(s2),
+                        int(rng.integers(1, 9)), int(rng.integers(0, 4)),
+                        float(rng.uniform(0, 2)), float(rng.uniform(-1, 1))))
+        final = np.full(n_nodes, np.inf)
+        final[1 + (T - 1) * S:] = rng.uniform(0, 1, S)
+        return Lattice(num_nodes=n_nodes, arcs=arcs, final_cost=final,
+                       node_frame=frames)
+
+    def test_vec_matches_object_path(self):
+        from kaldi_fp16_tpu.decode.lattice import ArcArrays
+        for seed in (0, 1, 2):
+            lat_obj = self._rand_eps_free_lattice(seed=seed)
+            lat_arr = Lattice(num_nodes=lat_obj.num_nodes,
+                              arcs=ArcArrays.from_arcs(lat_obj.arcs),
+                              final_cost=lat_obj.final_cost,
+                              node_frame=lat_obj.node_frame)
+            assert lat_arr._is_eps_free()
+            for scale in (1.0, 0.3):
+                w1, c1 = lat_obj.best_path(acoustic_scale=scale)
+                w2, c2 = lat_arr.best_path(acoustic_scale=scale)
+                assert abs(c1 - c2) < 1e-9 and w1 == w2, (seed, scale)
+                np.testing.assert_allclose(
+                    lat_obj._backward_costs(scale, 1.0),
+                    lat_arr._backward_costs(scale, 1.0), atol=1e-9)
+            p1 = lat_obj.prune(1.5)
+            p2 = lat_arr.prune(1.5)
+            s1 = {(a.src, a.dst, a.ilabel, a.olabel,
+                   round(a.graph_cost, 6)) for a in p1.arcs}
+            s2 = {(a.src, a.dst, a.ilabel, a.olabel,
+                   round(a.graph_cost, 6)) for a in p2.arcs}
+            assert s1 == s2, seed
+            assert p1.n_best(4) == p2.n_best(4), seed
+
+    def test_arcarrays_sequence_api(self):
+        from kaldi_fp16_tpu.decode.lattice import ArcArrays
+        lat = self._rand_eps_free_lattice()
+        aa = ArcArrays.from_arcs(lat.arcs)
+        assert len(aa) == len(lat.arcs)
+        assert aa[0] == lat.arcs[0]
+        assert aa[-1] == lat.arcs[-1]
+        assert list(aa[:2]) == lat.arcs[:2]
+        assert bool(aa)
