@@ -114,15 +114,34 @@ class Lattice:
     node_frame: np.ndarray          # [num_nodes] frame index of each node
 
     def _arc_arrays(self) -> ArcArrays:
-        aa = getattr(self, "_aa", None)
-        if aa is None:
-            aa = ArcArrays.from_arcs(self.arcs)
-            object.__setattr__(self, "_aa", aa)
+        # cache keyed on the arcs object identity: reassigning/replacing
+        # lat.arcs invalidates it (mutating a LIST of arcs in place after
+        # first use is still unsupported — arcs are treated as frozen
+        # once algorithms have run, like every array field here)
+        cached = getattr(self, "_aa", None)
+        if cached is not None and cached[0] == id(self.arcs):
+            return cached[1]
+        aa = ArcArrays.from_arcs(self.arcs)
+        object.__setattr__(self, "_aa", (id(self.arcs), aa))
         return aa
 
     def _is_eps_free(self) -> bool:
         aa = self._arc_arrays()
         return bool((self.node_frame[aa.dst] > self.node_frame[aa.src]).all())
+
+    def _frame_groups(self):
+        """(order, bounds) grouping arcs by source frame — shared by the
+        vectorized forward/backward/prune so the argsort runs once."""
+        cached = getattr(self, "_fg", None)
+        aa = self._arc_arrays()
+        if cached is not None and cached[0] is aa:
+            return cached[1], cached[2]
+        src_frame = self.node_frame[aa.src]
+        order = np.argsort(src_frame, kind="stable")
+        hi = int(src_frame.max()) + 2 if len(order) else 1
+        bounds = np.searchsorted(src_frame[order], np.arange(hi))
+        object.__setattr__(self, "_fg", (aa, order, bounds))
+        return order, bounds
 
     # -- shortest path under given scales ------------------------------------
 
@@ -155,6 +174,8 @@ class Lattice:
             alpha, back_idx = self._forward_costs_vec(acoustic_scale,
                                                       lm_scale)
             aa = self._arc_arrays()
+            # LatticeArc views materialize lazily, and only for nodes
+            # actually reached (back_idx >= 0)
             back = [None if i < 0 else aa[int(i)] for i in back_idx]
             return alpha, back
         alpha = np.full(self.num_nodes, np.inf)
@@ -168,42 +189,46 @@ class Lattice:
                 back[a.dst] = a
         return alpha, back
 
-    def _forward_costs_vec(self, acoustic_scale: float, lm_scale: float
-                           ) -> Tuple[np.ndarray, np.ndarray]:
+    def _forward_costs_vec(self, acoustic_scale: float, lm_scale: float,
+                           cost: Optional[np.ndarray] = None,
+                           with_back: bool = True
+                           ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
         """Frame-synchronous vectorized forward (eps-free lattices): arcs
         grouped by source frame, per-frame scatter-min.  Returns
-        (alpha, best-incoming-arc-index per node, -1 = none)."""
+        (alpha, best-incoming-arc-index per node, -1 = none).  Matches
+        the scalar path's semantics: only FINITE candidates set back
+        pointers, first-in-arc-order wins ties."""
         aa = self._arc_arrays()
-        cost = aa.costs(acoustic_scale, lm_scale)
+        if cost is None:
+            cost = aa.costs(acoustic_scale, lm_scale)
         alpha = np.full(self.num_nodes, np.inf)
         alpha[0] = 0.0
-        back_idx = np.full(self.num_nodes, -1, np.int64)
-        src_frame = self.node_frame[aa.src]
-        order = np.argsort(src_frame, kind="stable")
-        bounds = np.searchsorted(src_frame[order],
-                                 np.arange(src_frame.max() + 2
-                                           if len(order) else 1))
+        back_idx = np.full(self.num_nodes, -1, np.int64) if with_back \
+            else None
+        order, bounds = self._frame_groups()
         for f in range(len(bounds) - 1):
             idx = order[bounds[f]:bounds[f + 1]]
             if not len(idx):
                 continue
             cand = alpha[aa.src[idx]] + cost[idx]
             np.minimum.at(alpha, aa.dst[idx], cand)
-            win = cand <= alpha[aa.dst[idx]]
-            back_idx[aa.dst[idx][win]] = idx[win]
+            if with_back:
+                win = (cand == alpha[aa.dst[idx]]) & np.isfinite(cand)
+                # reversed write order => the FIRST tying arc (in arc
+                # order; `order` is a stable sort) lands last and wins,
+                # matching the scalar path's strict-< behavior
+                wsel = np.nonzero(win)[0][::-1]
+                back_idx[aa.dst[idx[wsel]]] = idx[wsel]
         return alpha, back_idx
 
-    def _backward_costs(self, acoustic_scale: float, lm_scale: float
-                        ) -> np.ndarray:
+    def _backward_costs(self, acoustic_scale: float, lm_scale: float,
+                        cost: Optional[np.ndarray] = None) -> np.ndarray:
         if self._is_eps_free():
             aa = self._arc_arrays()
-            cost = aa.costs(acoustic_scale, lm_scale)
+            if cost is None:
+                cost = aa.costs(acoustic_scale, lm_scale)
             beta = np.array(self.final_cost, dtype=np.float64)
-            src_frame = self.node_frame[aa.src]
-            order = np.argsort(src_frame, kind="stable")
-            bounds = np.searchsorted(src_frame[order],
-                                     np.arange(src_frame.max() + 2
-                                               if len(order) else 1))
+            order, bounds = self._frame_groups()
             for f in range(len(bounds) - 2, -1, -1):
                 idx = order[bounds[f]:bounds[f + 1]]
                 if not len(idx):
@@ -240,14 +265,24 @@ class Lattice:
               lm_scale: float = 1.0) -> "Lattice":
         """Keep arcs on paths within lattice_beam of the best path
         (forward + arc + backward pruning, Kaldi PruneLattice)."""
-        alpha, _ = self._forward_costs(acoustic_scale, lm_scale)
-        beta = self._backward_costs(acoustic_scale, lm_scale)
+        aa = self._arc_arrays()
+        if self._is_eps_free():
+            # alpha only (no back-pointer materialization) + one shared
+            # cost vector across forward/backward/mask
+            cost = aa.costs(acoustic_scale, lm_scale)
+            alpha, _ = self._forward_costs_vec(acoustic_scale, lm_scale,
+                                               cost=cost, with_back=False)
+            beta = self._backward_costs(acoustic_scale, lm_scale,
+                                        cost=cost)
+        else:
+            cost = aa.costs(acoustic_scale, lm_scale)
+            alpha, _ = self._forward_costs(acoustic_scale, lm_scale)
+            beta = self._backward_costs(acoustic_scale, lm_scale)
         best = float(np.min(alpha + self.final_cost))
         if not np.isfinite(best):
             return self  # no reachable final state: nothing to prune against
-        aa = self._arc_arrays()
-        mask = (alpha[aa.src] + aa.costs(acoustic_scale, lm_scale)
-                + beta[aa.dst]) <= best + lattice_beam + 1e-6
+        mask = (alpha[aa.src] + cost + beta[aa.dst]) <= \
+            best + lattice_beam + 1e-6
         return _renumber_arrays(self, aa, mask)
 
     # -- n-best / oracle ------------------------------------------------------

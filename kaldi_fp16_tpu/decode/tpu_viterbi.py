@@ -387,7 +387,7 @@ class DeviceLatticeDecoder:
 
     def decode_batch(self, loglikes) -> List["object"]:
         """loglikes [B, T, P] -> list of Lattice (already beam-pruned)."""
-        from kaldi_fp16_tpu.decode.lattice import Lattice, LatticeArc
+        from kaldi_fp16_tpu.decode.lattice import ArcArrays, Lattice
         ll = jnp.asarray(loglikes, dtype=jnp.float32)
         B, T, P = ll.shape
         packed, best = _lattice_masks(
@@ -421,7 +421,6 @@ class DeviceLatticeDecoder:
             src_ids = inv[1:1 + k]
             dst_ids = inv[1 + k:]
             frames = (uniq // S).astype(np.int64)
-            from kaldi_fp16_tpu.decode.lattice import ArcArrays
             arcs = ArcArrays(src_ids, dst_ids, a.ilabel[ais], a.olabel[ais],
                              (-a.weight[ais]).astype(np.float64),
                              (-lls[b, ts, a.pdf[ais]]).astype(np.float64))

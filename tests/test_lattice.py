@@ -232,9 +232,14 @@ class TestArcArrays:
                        node_frame=frames)
 
     def test_vec_matches_object_path(self):
+        import unittest.mock as mock
         from kaldi_fp16_tpu.decode.lattice import ArcArrays
         for seed in (0, 1, 2):
             lat_obj = self._rand_eps_free_lattice(seed=seed)
+            # FORCE the scalar per-arc path on the object side: both
+            # lattices are eps-free, so without this both would dispatch
+            # into the vectorized code and the test would be vacuous
+            lat_obj._is_eps_free = lambda: False
             lat_arr = Lattice(num_nodes=lat_obj.num_nodes,
                               arcs=ArcArrays.from_arcs(lat_obj.arcs),
                               final_cost=lat_obj.final_cost,
@@ -255,6 +260,24 @@ class TestArcArrays:
                    round(a.graph_cost, 6)) for a in p2.arcs}
             assert s1 == s2, seed
             assert p1.n_best(4) == p2.n_best(4), seed
+
+    def test_backpointer_semantics(self):
+        """Vectorized back-pointers: unreachable nodes stay None; ties go
+        to the first arc in arc order (scalar strict-< behavior)."""
+        # node 2 unreachable; nodes 1 and 3 reached; node 3 also has a
+        # tied second incoming arc that must NOT displace the first
+        frames = np.array([0, 1, 1, 2])
+        arcs = [LatticeArc(0, 1, 1, 0, 1.0, 0.0),
+                LatticeArc(2, 3, 2, 0, 1.0, 0.0),   # from unreachable
+                LatticeArc(1, 3, 3, 0, 1.0, 0.0),   # first reaching arc
+                LatticeArc(1, 3, 4, 0, 1.0, 0.0)]   # tied duplicate cost
+        final = np.array([np.inf, np.inf, np.inf, 0.0])
+        lat = Lattice(num_nodes=4, arcs=arcs, final_cost=final,
+                      node_frame=frames)
+        alpha, back = lat._forward_costs(1.0, 1.0)
+        assert back[2] is None                       # unreachable
+        assert back[3] is not None and back[3].ilabel == 3   # first wins
+        assert np.isinf(alpha[2])
 
     def test_arcarrays_sequence_api(self):
         from kaldi_fp16_tpu.decode.lattice import ArcArrays
