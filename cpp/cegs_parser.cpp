@@ -63,7 +63,7 @@ struct Reader {
 struct IoBlock {
   std::string name;
   int rows = 0, cols = 0;
-  int fmt = 0;  // 0=CM 1=CM2 2=CM3 3=FM (matrix codec of the source ark)
+  int fmt = 0;  // 0=CM 1=CM2 2=CM3 3=FM 4=SM (matrix codec of the source ark)
   std::vector<float> data;
   std::vector<int32_t> indexes;  // triples
 };
@@ -283,6 +283,56 @@ struct CegsParser {
     return true;
   }
 
+  // WriteBasicType<int32/float32>, tolerating one optional leading space:
+  // the reference's SM fixtures frame every basic type as ' '+size+payload
+  // (sm_parse_test.go) while real Kaldi writes size+payload only — 0x20 is
+  // not a valid size byte, so skipping it is unambiguous.
+  bool read_basic_i32_sp(int32_t *v) {
+    int b = get();
+    if (b == ' ') b = get();
+    if (b != 4) return false;
+    return r->read_i32(v);
+  }
+  bool read_basic_f32_sp(float *v) {
+    int b = get();
+    if (b == ' ') b = get();
+    if (b != 4) return false;
+    return r->read_f32(v);
+  }
+
+  // SM: num_rows, then per row "SV" + dim + num_elems + (index,value) pairs
+  // (ref: matrix.go:172-226).  Densified into row-major data like the
+  // other codecs; duplicate indices accumulate.
+  bool read_sm(IoBlock *io) {
+    int32_t num_rows;
+    if (!read_basic_i32_sp(&num_rows)) return false;
+    if (num_rows < 0 || num_rows > 100000) return false;
+    std::vector<std::vector<std::pair<int32_t, float>>> rows(num_rows);
+    int32_t cols = 0;
+    for (int32_t i = 0; i < num_rows; i++) {
+      int b1 = get(), b2 = get();
+      if (b1 != 'S' || b2 != 'V') return false;
+      int32_t dim, n;
+      if (!read_basic_i32_sp(&dim) || !read_basic_i32_sp(&n)) return false;
+      if (dim < 0 || dim > 10000 || n < 0 || n > dim) return false;
+      cols = std::max(cols, dim);
+      rows[i].reserve(n);
+      for (int32_t k = 0; k < n; k++) {
+        int32_t idx; float val;
+        if (!read_basic_i32_sp(&idx) || !read_basic_f32_sp(&val))
+          return false;
+        if (idx < 0 || idx >= dim) return false;
+        rows[i].emplace_back(idx, val);
+      }
+    }
+    io->rows = num_rows; io->cols = cols;
+    io->data.assign(size_t(num_rows) * cols, 0.0f);
+    for (int32_t i = 0; i < num_rows; i++)
+      for (auto &p : rows[i])
+        io->data[size_t(i) * cols + p.first] += p.second;
+    return true;
+  }
+
   bool read_fm(IoBlock *io) {
     int b = get();
     if (b != 4) return false;
@@ -426,7 +476,7 @@ struct CegsParser {
       int b = get();
       if (b < 0) { error = "unexpected EOF in example"; return false; }
 
-      if ((b == 'C' || b == 'F') && !current_name.empty()) {
+      if ((b == 'C' || b == 'F' || b == 'S') && !current_name.empty()) {
         int b2 = get();
         IoBlock io;
         bool got = false;
@@ -439,6 +489,10 @@ struct CegsParser {
         } else if (b == 'F' && b2 == 'M') {
           int b3 = get();
           if (b3 == ' ') { io.fmt = 3; got = read_fm(&io); }
+          else { unget(b3); continue; }
+        } else if (b == 'S' && b2 == 'M') {
+          int b3 = get();
+          if (b3 == ' ') { io.fmt = 4; got = read_sm(&io); }
           else { unget(b3); continue; }
         } else {
           if (b2 >= 0) unget(b2);

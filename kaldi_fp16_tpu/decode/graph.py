@@ -111,6 +111,17 @@ def remove_epsilons(g: DecodingGraph) -> DecodingGraph:
     """
     import heapq
 
+    # Dijkstra is only correct for non-negative arc weights; weight-pushed
+    # HCLG graphs can carry negative epsilon weights, which would yield
+    # silently non-shortest closure distances (wrong arc/final costs).
+    # Fail loudly instead.
+    if len(g.eps_weight) and float(np.min(g.eps_weight)) < 0.0:
+        raise ValueError(
+            "remove_epsilons: negative epsilon arc weight "
+            f"({float(np.min(g.eps_weight)):.6g}); Dijkstra closure would "
+            "be silently wrong. Push weights to non-negative epsilon arcs "
+            "first (e.g. fstpushspecial) or remove epsilons upstream.")
+
     S = g.num_states
     out_eps: List[List[int]] = [[] for _ in range(S)]
     for s in range(S):

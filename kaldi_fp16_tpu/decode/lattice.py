@@ -114,15 +114,17 @@ class Lattice:
     node_frame: np.ndarray          # [num_nodes] frame index of each node
 
     def _arc_arrays(self) -> ArcArrays:
-        # cache keyed on the arcs object identity: reassigning/replacing
-        # lat.arcs invalidates it (mutating a LIST of arcs in place after
-        # first use is still unsupported — arcs are treated as frozen
-        # once algorithms have run, like every array field here)
+        # cache keyed on the arcs object itself (held strongly, compared
+        # with `is`, so a garbage-collected list can never alias a new one
+        # the way an id() key could): reassigning/replacing lat.arcs
+        # invalidates it (mutating a LIST of arcs in place after first use
+        # is still unsupported — arcs are treated as frozen once
+        # algorithms have run, like every array field here)
         cached = getattr(self, "_aa", None)
-        if cached is not None and cached[0] == id(self.arcs):
+        if cached is not None and cached[0] is self.arcs:
             return cached[1]
         aa = ArcArrays.from_arcs(self.arcs)
-        object.__setattr__(self, "_aa", (id(self.arcs), aa))
+        object.__setattr__(self, "_aa", (self.arcs, aa))
         return aa
 
     def _is_eps_free(self) -> bool:
@@ -512,14 +514,22 @@ class NGramLM:
 
 
 def rescore_with_lm(lat: Lattice, lm: NGramLM, lm_weight: float = 1.0,
-                    old_lm_weight: float = 0.0) -> Lattice:
+                    old_lm_weight: float = 0.0,
+                    eos: Optional[int] = None) -> Lattice:
     """Compose the lattice with an n-gram LM over output labels.
 
     Expands lattice nodes into (node, lm_context) pairs; each word arc's
     graph cost becomes  old_lm_weight * graph_cost + lm_weight * lm_cost
     (old_lm_weight=0 replaces the graph LM scores entirely, =1 adds).
     Acoustic costs are untouched — that is the point of keeping them
-    separate (Kaldi lmrescore)."""
+    separate (Kaldi lmrescore).
+
+    `eos`: optional end-of-sentence symbol.  When given, each final node
+    additionally pays lm_weight * lm.cost(ctx, eos) in its final cost —
+    the </s> probability that G.fst's final weights carry in Kaldi
+    lmrescore.  Without it the sentence-final LM mass is dropped whenever
+    old_lm_weight == 0; callers that pre-fold </s> into sentence costs
+    should leave it None."""
     out_arcs: Dict[int, List[LatticeArc]] = {}
     for a in lat.arcs:
         out_arcs.setdefault(a.src, []).append(a)
@@ -536,7 +546,10 @@ def rescore_with_lm(lat: Lattice, lm: NGramLM, lm_weight: float = 1.0,
             nid = len(new_nodes)
             new_nodes[key] = nid
             new_frames.append(int(lat.node_frame[node]))
-            new_final.append(float(lat.final_cost[node]))
+            fc = float(lat.final_cost[node])
+            if eos is not None and np.isfinite(fc):
+                fc += lm_weight * lm.cost(ctx, eos)
+            new_final.append(fc)
         return nid
 
     new_arc_list: List[LatticeArc] = []

@@ -39,14 +39,17 @@ import numpy as np
 from kaldi_fp16_tpu.io.kaldi_io import BinaryReader, BinaryWriter
 from kaldi_fp16_tpu.io.fst import Fst, read_fst, write_fst_compact_acceptor
 from kaldi_fp16_tpu.io.matrix import (
+    SparseMatrix,
     read_compressed_matrix_cm,
     read_compressed_matrix_cm2,
     read_compressed_matrix_cm3,
     read_full_matrix,
+    read_sparse_matrix,
     write_compressed_matrix_cm,
     write_compressed_matrix_cm2,
     write_compressed_matrix_cm3,
     write_full_matrix,
+    write_sparse_matrix,
 )
 
 
@@ -62,8 +65,9 @@ class Index:
 class IoBlock:
     name: str
     indexes: List[Index]
-    data: np.ndarray          # [rows, cols] float32, decompressed
-    fmt: str = "CM"           # storage format used on write: CM/CM2/CM3/FM
+    data: np.ndarray          # [rows, cols] float32, decompressed/densified
+    fmt: str = "CM"           # storage format used on write: CM/CM2/CM3/FM/SM
+    sparse: Optional["SparseMatrix"] = None  # original SM pairs, if fmt="SM"
 
 
 @dataclass
@@ -271,12 +275,21 @@ def _parse_example(r: BinaryReader) -> Example:
     while True:
         b = r.read_byte()
 
-        # Matrix tokens appear bare (not inside <>): CM/CM2/CM3/FM
-        if b in (ord("C"), ord("F")) and current_name:
+        # Matrix tokens appear bare (not inside <>): CM/CM2/CM3/FM/SM
+        if b in (ord("C"), ord("F"), ord("S")) and current_name:
             b2 = r.try_read_byte()
             mat = None
             fmt = None
-            if b == ord("C") and b2 == ord("M"):
+            sparse = None
+            if b == ord("S") and b2 == ord("M"):
+                b3 = r.read_byte()
+                if b3 == 0x20:
+                    sparse = read_sparse_matrix(r)
+                    mat, fmt = sparse.to_dense(), "SM"
+                else:
+                    r.unread_byte(b3)
+                    continue
+            elif b == ord("C") and b2 == ord("M"):
                 b3 = r.read_byte()
                 if b3 == ord("2"):
                     r.read_byte()  # space
@@ -303,7 +316,7 @@ def _parse_example(r: BinaryReader) -> Example:
 
             if mat is not None:
                 ex.inputs.append(IoBlock(name=current_name, indexes=current_indexes,
-                                         data=mat, fmt=fmt))
+                                         data=mat, fmt=fmt, sparse=sparse))
                 current_name = ""
                 current_indexes = []
             continue
@@ -420,6 +433,7 @@ _MATRIX_WRITERS = {
     "CM2": write_compressed_matrix_cm2,
     "CM3": write_compressed_matrix_cm3,
     "FM": write_full_matrix,
+    "SM": write_sparse_matrix,
 }
 
 
@@ -463,7 +477,12 @@ def write_example(w: BinaryWriter, ex: Example) -> None:
         w.write_byte(4)
         w.write_int32(len(io.indexes))
         write_index_vector(w, io.indexes)
-        _MATRIX_WRITERS[io.fmt](w, io.data)
+        if io.fmt == "SM":
+            # preserve the original pairs (order/explicit zeros) if present
+            write_sparse_matrix(w, io.sparse if io.sparse is not None
+                                else io.data)
+        else:
+            _MATRIX_WRITERS[io.fmt](w, io.data)
         w.write_token("</NnetIo>")
 
     sup = ex.supervision

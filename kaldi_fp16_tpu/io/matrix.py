@@ -18,6 +18,14 @@ src/matrix/compressed-matrix.cc semantics):
       rows and cols — a latent deviation from Kaldi's WriteBasicType framing
       that never fired because FM does not occur in its dataset.  We follow
       real Kaldi: one size byte before EACH integer.)
+  SM  (sparse):    num_rows, then per row 'SV' + dim + num_elems +
+      (index, value) pairs (ref: matrix.go:172-226, sm_parse_test.go).
+      The reference reads a SPACE before every WriteBasicType payload (its
+      fixtures encode ' ' + size + data), while real Kaldi's WriteBasicType
+      emits no space — only tokens ('SM ', 'SV ') carry one.  Our reader is
+      tolerant: it skips one optional 0x20 before each size byte (0x20 is
+      not a valid size, so this is unambiguous) and therefore parses both
+      encodings; the writer emits real-Kaldi framing.
 
 Encoders exist so that tests can generate Kaldi-format files and verify the
 decoders by round-trip; they follow Kaldi's percentile-based compression
@@ -176,6 +184,113 @@ def read_full_matrix(r: BinaryReader) -> np.ndarray:
         raise ValueError(f"FM: bad dims {rows}x{cols}")
     raw = np.frombuffer(r.read_bytes(rows * cols * 4), dtype="<f4")
     return raw.reshape(rows, cols).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Sparse matrix (SM / SV)
+# ---------------------------------------------------------------------------
+
+class SparseMatrix:
+    """Kaldi SparseMatrix: one SparseVector per row.
+
+    rows: list of (dim, idx int32 [k], val float32 [k]) triples, preserving
+    the stored pair order (which real Kaldi keeps sorted by index but the
+    format does not require).
+    """
+
+    def __init__(self, rows):
+        self.rows = list(rows)
+
+    @property
+    def num_rows(self) -> int:
+        return len(self.rows)
+
+    @property
+    def num_cols(self) -> int:
+        return max((d for d, _, _ in self.rows), default=0)
+
+    def to_dense(self) -> np.ndarray:
+        out = np.zeros((self.num_rows, self.num_cols), np.float32)
+        for r, (_, idx, val) in enumerate(self.rows):
+            np.add.at(out[r], idx, val)   # duplicate indices accumulate
+        return out
+
+    @classmethod
+    def from_dense(cls, data: np.ndarray) -> "SparseMatrix":
+        data = np.asarray(data, np.float32)
+        rows = []
+        for r in range(data.shape[0]):
+            idx = np.nonzero(data[r])[0].astype(np.int32)
+            rows.append((data.shape[1], idx,
+                         data[r, idx].astype(np.float32)))
+        return cls(rows)
+
+
+def _read_basic_int32_sp(r: BinaryReader) -> int:
+    """WriteBasicType<int32>, tolerating one optional leading space (the
+    reference's space-padded framing AND real Kaldi's bare framing)."""
+    b = r.read_byte()
+    if b == 0x20:
+        b = r.read_byte()
+    if b != 4:
+        raise ValueError(f"sparse: bad int32 size byte {b}")
+    return r.read_int32()
+
+
+def _read_basic_float32_sp(r: BinaryReader) -> float:
+    b = r.read_byte()
+    if b == 0x20:
+        b = r.read_byte()
+    if b != 4:
+        raise ValueError(f"sparse: bad float32 size byte {b}")
+    return r.read_float32()
+
+
+def read_sparse_matrix(r: BinaryReader) -> SparseMatrix:
+    """Read SM payload (after the 'SM' token; the token's trailing space is
+    absorbed by the first tolerant basic read)."""
+    num_rows = _read_basic_int32_sp(r)
+    if num_rows < 0 or num_rows > 10_000_000:
+        raise ValueError(f"SM: bad num_rows {num_rows}")
+    rows = []
+    for _ in range(num_rows):
+        b1, b2 = r.read_byte(), r.read_byte()
+        if (b1, b2) != (ord("S"), ord("V")):
+            raise ValueError(
+                f"SM: expected 'SV' row token, got {bytes([b1, b2])!r}")
+        dim = _read_basic_int32_sp(r)
+        n = _read_basic_int32_sp(r)
+        if dim < 0 or n < 0 or n > dim:
+            raise ValueError(f"SV: bad dim/num_elems {dim}/{n}")
+        idx = np.empty(n, np.int32)
+        val = np.empty(n, np.float32)
+        for i in range(n):
+            idx[i] = _read_basic_int32_sp(r)
+            val[i] = _read_basic_float32_sp(r)
+        if n and (idx.min() < 0 or idx.max() >= dim):
+            raise ValueError("SV: pair index out of range")
+        rows.append((dim, idx, val))
+    return SparseMatrix(rows)
+
+
+def write_sparse_matrix(w: BinaryWriter, data) -> None:
+    """Emit 'SM ' + payload in real-Kaldi framing (no spaces before basic
+    types; tokens carry their usual trailing space)."""
+    sm = data if isinstance(data, SparseMatrix) else SparseMatrix.from_dense(data)
+    w.write_token("SM")
+    w.write_byte(4)
+    w.write_int32(sm.num_rows)
+    for dim, idx, val in sm.rows:
+        w.write_bytes(b"SV ")
+        w.write_byte(4)
+        w.write_int32(int(dim))
+        w.write_byte(4)
+        w.write_int32(len(idx))
+        for i, v in zip(idx, val):
+            w.write_byte(4)
+            w.write_int32(int(i))
+            w.write_byte(4)
+            w.write_float32(float(v))
 
 
 # ---------------------------------------------------------------------------

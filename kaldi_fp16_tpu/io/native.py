@@ -248,7 +248,7 @@ class NativeEgsReader:
                             np.float32).reshape(rows, cols)
             idx = _np_copy(lib.cegs_input_indexes(p, i),
                            lib.cegs_input_num_indexes(p, i) * 3, np.int32)
-            fmt = ("CM", "CM2", "CM3", "FM")[lib.cegs_input_fmt(p, i)]
+            fmt = ("CM", "CM2", "CM3", "FM", "SM")[lib.cegs_input_fmt(p, i)]
             inputs.append(IoBlock(name=lib.cegs_input_name(p, i).decode(),
                                   indexes=_indexes_from(idx), data=data,
                                   fmt=fmt))

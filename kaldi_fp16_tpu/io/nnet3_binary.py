@@ -491,33 +491,95 @@ def to_kaldi_components(model: Nnet3Model):
 
 
 def components_from_text(components: Dict) -> List[BinaryComponent]:
-    """Inverse bridge: text-parsed KaldiComponents -> binary components
-    (canonical tag spelling, float32)."""
+    """Inverse bridge: text-parsed KaldiComponents -> binary components.
+
+    Tags are emitted in Kaldi's canonical per-component Write() order for
+    the component families this framework models — affine/linear
+    (WriteUpdatableCommon prologue, then params, then natural-gradient
+    config with Kaldi defaults filled in) and BatchNormComponent (Dim /
+    BlockDim / Epsilon / TargetRms / TestMode / Count / stats, with
+    required tags present even when zero) — so real Kaldi's
+    ExpectToken-sequenced readers can consume the output, not just this
+    repo's tag-driven reader (ref: Kaldi nnet-simple-component.cc
+    Write() sequences).  Unknown component types fall back to a stable
+    attribute order readable by this framework only."""
     from kaldi_fp16_tpu.models.kaldi_loader import (
-        _FLOAT_TAGS, _INT_TAGS as _TXT_INT_TAGS, _MATRIX_TAGS,
+        _FLOAT_TAGS, _INT_TAGS as _TXT_INT_TAGS,
     )
     inv_f = {v: k for k, v in _FLOAT_TAGS.items()}
     inv_i = {v: k for k, v in _TXT_INT_TAGS.items()}
+
+    _AFFINE_TYPES = {
+        "NaturalGradientAffineComponent", "AffineComponent",
+        "FixedAffineComponent",
+    }
+    _LINEAR_TYPES = {"LinearComponent", "NaturalGradientLinearComponent"}
+
+    def updatable_prologue(bc, kc):
+        # WriteUpdatableCommon: optional <MaxChange> / <L2Regularize>
+        # (written only when nonzero, as Kaldi does), then <LearningRate>
+        # which is ALWAYS present — including 0.0.
+        if getattr(kc, "max_change", 0.0):
+            bc.set_float("<MaxChange>", kc.max_change)
+        if getattr(kc, "l2_regularize", 0.0):
+            bc.set_float("<L2Regularize>", kc.l2_regularize)
+        bc.set_float("<LearningRate>", getattr(kc, "learning_rate", 0.0))
+
     out: List[BinaryComponent] = []
     for name, kc in components.items():
         bc = BinaryComponent(name=name, type=kc.type)
-        for attr, tag in sorted(inv_i.items()):
-            v = getattr(kc, attr)
-            if v:
-                bc.set_int(tag, v)
-        for attr, tag in sorted(inv_f.items()):
-            v = getattr(kc, attr)
-            if v:
-                bc.set_float(tag, v)
-        if kc.linear_params is not None:
-            tag = ("<Params>" if kc.type == "TimeHeightConvolutionComponent"
-                   else "<LinearParams>")
-            bc.set_matrix(tag, kc.linear_params)
-        if kc.bias_params is not None:
-            bc.set_vector("<BiasParams>", kc.bias_params)
-        if kc.stats_mean is not None:
+        if kc.type in _AFFINE_TYPES and kc.linear_params is not None:
+            if kc.type != "FixedAffineComponent":
+                updatable_prologue(bc, kc)
+            bc.set_matrix("<LinearParams>", kc.linear_params)
+            bc.set_vector("<BiasParams>",
+                          kc.bias_params if kc.bias_params is not None
+                          else np.zeros(kc.linear_params.shape[0],
+                                        np.float32))
+            if kc.type == "NaturalGradientAffineComponent":
+                # NG config, Kaldi defaults (required by Kaldi's Read)
+                bc.set_int("<RankIn>", 20)
+                bc.set_int("<RankOut>", 80)
+                bc.set_int("<UpdatePeriod>", 4)
+                bc.set_float("<NumSamplesHistory>", 2000.0)
+                bc.set_float("<Alpha>", 4.0)
+        elif kc.type in _LINEAR_TYPES and kc.linear_params is not None:
+            updatable_prologue(bc, kc)
+            bc.set_matrix("<Params>", kc.linear_params)
+            bc.set_float("<OrthonormalConstraint>", 0.0)
+            bc.set_bool("<UseNaturalGradient>", True)
+        elif kc.type == "BatchNormComponent" and kc.stats_mean is not None:
+            dim = len(kc.stats_mean)
+            bc.set_int("<Dim>", dim)
+            bc.set_int("<BlockDim>", dim)
+            bc.set_float("<Epsilon>", kc.epsilon or 1.0e-3)
+            bc.set_float("<TargetRms>", kc.target_rms or 1.0)
+            bc.set_bool("<TestMode>", False)
+            bc.set_float("<Count>", kc.count)
             bc.set_vector("<StatsMean>", kc.stats_mean)
-        if kc.stats_var is not None:
-            bc.set_vector("<StatsVar>", kc.stats_var)
+            if kc.stats_var is not None:
+                bc.set_vector("<StatsVar>", kc.stats_var)
+        else:
+            # unknown type: stable attribute order, required scalars kept
+            # even when zero; readable by this repo's tag-driven reader
+            for attr, tag in sorted(inv_i.items()):
+                v = getattr(kc, attr)
+                if v:
+                    bc.set_int(tag, v)
+            for attr, tag in sorted(inv_f.items()):
+                v = getattr(kc, attr)
+                if v or attr in ("learning_rate", "count"):
+                    bc.set_float(tag, v)
+            if kc.linear_params is not None:
+                tag = ("<Params>"
+                       if kc.type == "TimeHeightConvolutionComponent"
+                       else "<LinearParams>")
+                bc.set_matrix(tag, kc.linear_params)
+            if kc.bias_params is not None:
+                bc.set_vector("<BiasParams>", kc.bias_params)
+            if kc.stats_mean is not None:
+                bc.set_vector("<StatsMean>", kc.stats_mean)
+            if kc.stats_var is not None:
+                bc.set_vector("<StatsVar>", kc.stats_var)
         out.append(bc)
     return out

@@ -98,6 +98,19 @@ class Trainer:
         return self._steps[key]
 
     def train_batch(self, batch: ChainBatch) -> TrainStepOutput:
+        # Validate the bucket geometry host-side BEFORE dispatch: inside the
+        # jitted step left_context feeds a dynamic_slice whose out-of-range
+        # start is silently CLAMPED by JAX, which would misalign supervision
+        # frames with labels instead of failing (advisor finding).
+        stride = self.config.frame_subsampling_factor
+        T_in = batch.features.shape[1]
+        need = int(batch.left_context) + (batch.frames_per_seq - 1) * stride + 1
+        if batch.left_context < 0 or need > T_in:
+            raise ValueError(
+                f"bad bucket geometry: left_context={batch.left_context} + "
+                f"(n_out={batch.frames_per_seq}-1)*stride={stride}+1 needs "
+                f"{need} input frames but features have T_in={T_in}; the "
+                "dynamic supervision slice would be silently clamped")
         step = self._step_fn(batch)
         self._key, sub = jax.random.split(self._key)
         lr = (self.lr_schedule(self.global_step) if self.lr_schedule

@@ -173,3 +173,45 @@ def test_count_examples_matches_reader(tmp_path):
     p = str(tmp_path / "c.ark")
     write_ark(p, exs)
     assert count_examples(p) == len(read_examples(p)) == 7
+
+
+class TestSparseInput:
+    """SM GeneralMatrix payloads embedded in an egs NnetIo block
+    (ref: matrix.go:172-226; parity closes the last codec hole)."""
+
+    def _sm_example(self):
+        ex = make_example(key="utt-sm-01")
+        rng = np.random.default_rng(7)
+        dense = np.where(rng.random((3, 100)) < 0.05,
+                         rng.normal(size=(3, 100)), 0.0).astype(np.float32)
+        dense[0, 0] = 1.0   # guarantee at least one nonzero
+        ex.inputs[1] = IoBlock("ivector", [Index(0, 0, 0)],
+                               dense[:1], "SM")
+        return ex, dense[:1]
+
+    def test_sm_roundtrip_in_ark(self, tmp_path):
+        ex, dense = self._sm_example()
+        path = str(tmp_path / "sm.ark")
+        write_ark(path, [ex, make_example(key="utt-plain-2")])
+        got = read_examples(path)
+        assert len(got) == 2
+        io = got[0].input_named("ivector")
+        assert io.fmt == "SM"
+        assert io.sparse is not None
+        np.testing.assert_array_equal(io.data, dense)
+        # second (non-SM) example unaffected
+        assert got[1].input_named("ivector").fmt == "CM2"
+
+    def test_sm_rewrite_preserves_bytes(self, tmp_path):
+        """read -> write of an SM-bearing ark reproduces the payload."""
+        ex, dense = self._sm_example()
+        p1 = str(tmp_path / "a.ark")
+        write_ark(p1, [ex])
+        got = read_examples(p1)
+        p2 = str(tmp_path / "b.ark")
+        write_ark(p2, got)
+        again = read_examples(p2)
+        np.testing.assert_array_equal(
+            again[0].input_named("ivector").data, dense)
+        with open(p1, "rb") as f1, open(p2, "rb") as f2:
+            assert f1.read() == f2.read()

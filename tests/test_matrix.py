@@ -145,3 +145,83 @@ class TestBadInput:
         w.write_bytes(b"\x00" * 3)  # needs 32
         with pytest.raises(EOFError):
             M.read_compressed_matrix_cm2(BinaryReader(w.getvalue()))
+
+
+class TestSparseMatrix:
+    """SM/SV sparse GeneralMatrix payloads (ref: matrix.go:172-226,
+    sm_parse_test.go:31-150)."""
+
+    @staticmethod
+    def _ref_basic_i32(v):
+        """The reference's space-padded WriteBasicType framing."""
+        import struct
+        return b" \x04" + struct.pack("<i", v)
+
+    @staticmethod
+    def _ref_basic_f32(v):
+        import struct
+        return b" \x04" + struct.pack("<f", v)
+
+    def test_reference_fixture_valid(self):
+        """Byte-for-byte the reference's TestReadSparseMatrix_Valid."""
+        data = self._ref_basic_i32(2)
+        data += b"SV" + self._ref_basic_i32(5) + self._ref_basic_i32(2)
+        data += self._ref_basic_i32(1) + self._ref_basic_f32(0.8)
+        data += self._ref_basic_i32(3) + self._ref_basic_f32(0.2)
+        data += b"SV" + self._ref_basic_i32(5) + self._ref_basic_i32(1)
+        data += self._ref_basic_i32(4) + self._ref_basic_f32(1.0)
+        sm = M.read_sparse_matrix(BinaryReader(data))
+        assert sm.num_rows == 2 and sm.num_cols == 5
+        d0, i0, v0 = sm.rows[0]
+        assert d0 == 5 and list(i0) == [1, 3]
+        np.testing.assert_allclose(v0, np.float32([0.8, 0.2]))
+        d1, i1, v1 = sm.rows[1]
+        assert d1 == 5 and list(i1) == [4] and v1[0] == 1.0
+        dense = sm.to_dense()
+        np.testing.assert_allclose(
+            dense, np.float32([[0, 0.8, 0, 0.2, 0], [0, 0, 0, 0, 1.0]]),
+            rtol=1e-6)
+
+    def test_reference_fixture_empty_row(self):
+        data = self._ref_basic_i32(1)
+        data += b"SV" + self._ref_basic_i32(10) + self._ref_basic_i32(0)
+        sm = M.read_sparse_matrix(BinaryReader(data))
+        assert sm.num_rows == 1 and sm.rows[0][0] == 10
+        assert len(sm.rows[0][1]) == 0
+
+    def test_reference_fixture_invalid_num_rows(self):
+        with pytest.raises(ValueError):
+            M.read_sparse_matrix(BinaryReader(self._ref_basic_i32(-1)))
+
+    def test_reference_fixture_bad_sv_token(self):
+        data = self._ref_basic_i32(1) + b"XY"
+        with pytest.raises(ValueError):
+            M.read_sparse_matrix(BinaryReader(data))
+
+    def test_num_elems_exceeds_dim(self):
+        data = self._ref_basic_i32(1)
+        data += b"SV" + self._ref_basic_i32(3) + self._ref_basic_i32(4)
+        with pytest.raises(ValueError):
+            M.read_sparse_matrix(BinaryReader(data))
+
+    def test_roundtrip_kaldi_framing(self):
+        """Our writer emits real-Kaldi framing (no space before basic
+        types); the tolerant reader must parse it identically."""
+        rng = np.random.default_rng(0)
+        dense = np.where(rng.random((6, 11)) < 0.25,
+                         rng.normal(size=(6, 11)), 0.0).astype(np.float32)
+        got = _roundtrip(M.write_sparse_matrix, M.read_sparse_matrix, dense)
+        np.testing.assert_array_equal(got.to_dense(), dense)
+
+    def test_roundtrip_preserves_pairs(self):
+        sm = M.SparseMatrix([(7, np.int32([2, 5]), np.float32([1.5, -2.0])),
+                             (7, np.int32([], ), np.float32([]))])
+        got = _roundtrip(M.write_sparse_matrix, M.read_sparse_matrix, sm)
+        assert got.num_rows == 2
+        assert list(got.rows[0][1]) == [2, 5]
+        np.testing.assert_array_equal(got.rows[0][2], sm.rows[0][2])
+
+    def test_duplicate_indices_accumulate(self):
+        sm = M.SparseMatrix([(4, np.int32([1, 1]), np.float32([0.5, 0.25]))])
+        np.testing.assert_allclose(sm.to_dense(),
+                                   np.float32([[0, 0.75, 0, 0]]))

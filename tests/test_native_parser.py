@@ -176,3 +176,28 @@ def test_multi_prefetch_loader(ark, tmp_path):
     got2 = [b.keys for b in multi2]
     multi2.close()
     assert [list(b) for b in got] == [list(b) for b in got2]
+
+
+def test_native_parses_sm_input(tmp_path):
+    """SM sparse GeneralMatrix inside an NnetIo block: native parser must
+    densify identically to the Python parser."""
+    from kaldi_fp16_tpu.io.egs import IoBlock, Index
+
+    ex = make_example(key="utt-sm-001")
+    rng = np.random.default_rng(11)
+    dense = np.where(rng.random((1, 100)) < 0.1,
+                     rng.normal(size=(1, 100)), 0.0).astype(np.float32)
+    dense[0, 0] = 2.5
+    ex.inputs[1] = IoBlock("ivector", [Index(0, 0, 0)], dense, "SM")
+    path = str(tmp_path / "sm.ark")
+    write_ark(path, [ex])
+
+    py = read_examples(path)
+    with NativeEgsReader(path) as r:
+        nat = list(r)
+    assert len(nat) == len(py) == 1
+    iv_n = nat[0].input_named("ivector")
+    iv_p = py[0].input_named("ivector")
+    assert iv_n.fmt == iv_p.fmt == "SM"
+    np.testing.assert_array_equal(iv_n.data, iv_p.data)
+    np.testing.assert_array_equal(iv_n.data, dense)
