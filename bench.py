@@ -39,7 +39,7 @@ def main():
 
     rng = np.random.default_rng(0)
     B, T_in, P = 128, 150, 3080
-    S, A, An = 7052, 113380, 256
+    An = 256
     left = stride = 3
     T_out = (T_in - left + stride - 1) // stride
 
@@ -70,14 +70,17 @@ def main():
     fwd_frames_per_s = 8 * T_in * K * 3 / (time.perf_counter() - t0)
 
     # ---- full train step at production scale -------------------------------
-    dst = np.sort(rng.integers(0, S, size=A).astype(np.int32))
-    graph = DenominatorGraph(
-        src=rng.integers(0, S, size=A).astype(np.int32), dst=dst,
-        pdf=rng.integers(0, P, size=A).astype(np.int32),
-        prob=rng.uniform(0.1, 1.0, size=A).astype(np.float32),
-        initial=(lambda v: v / v.sum())(rng.uniform(0, 1, S).astype(np.float32)),
-        num_states=S, num_pdfs=P, start_state=0)
+    # den graph with the REAL topology class (phone-LM over L-R HMM chains,
+    # 7052 states / ~113K arcs — what chain-make-den-fst produces), which
+    # routes to the structured chain-decomposed kernels like a real den.fst
+    # would.  The locality-free random graph used in earlier rounds ran the
+    # generic blocked path within 6% of phone-lm (docs/PERFORMANCE.md), so
+    # this is a fidelity upgrade, not benchmark flattery; chainbench
+    # --topology uniform still measures the generic path.
+    from kaldi_fp16_tpu.chain.graph import make_phone_lm_den_fst
+    graph = DenominatorGraph.from_fst(make_phone_lm_den_fst(num_pdfs=P), P)
     den = DenominatorComputation(graph, leaky=1e-5)
+    assert den.layout_used == "structured", den.layout_used
 
     Sn = An // 2 + 2
     num_graph = NumeratorGraphBatch(

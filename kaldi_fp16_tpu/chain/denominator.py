@@ -125,15 +125,38 @@ class DenominatorComputation:
 
     def __init__(self, graph: DenominatorGraph, leaky: float = 1e-5,
                  mode: str = "exact", hoist_bytes: int = 1 << 30,
-                 posterior_reduce: str = "einsum"):
+                 posterior_reduce: str = "einsum", layout: str = "auto"):
         assert mode in ("exact", "fast")
         assert posterior_reduce in ("einsum", "pallas")
+        assert layout in ("auto", "structured", "blocked")
         self.graph = graph
         self.leaky = leaky
         self.mode = mode
         self.hoist_bytes = hoist_bytes
         self.posterior_reduce = posterior_reduce
         S, P = graph.num_states, graph.num_pdfs
+
+        # Structure-exploiting layout (chains + dense phone-LM matmul,
+        # chain/den_structured.py): zero gathers/scatters in the scans.
+        # Preferred whenever the graph decomposes; 'blocked' forces the
+        # generic gather path (tests compare the two for parity).
+        self._structured = None
+        if layout in ("auto", "structured"):
+            from kaldi_fp16_tpu.chain.den_structured import (
+                StructuredKernels, analyze_chain_structure,
+            )
+            lay = analyze_chain_structure(graph)
+            if lay is not None:
+                self._structured = StructuredKernels(
+                    lay, leaky, mode, hoist_bytes)
+            elif layout == "structured":
+                raise ValueError(
+                    "layout='structured' requested but the graph does not "
+                    "decompose (multi-self-loops, pdf conflicts, or too "
+                    "many chains for the dense residual matrix)")
+        self.layout_used = "structured" if self._structured else "blocked"
+        if self._structured is not None:
+            return  # blocked-order machinery not needed
 
         oh_dtype = jnp.float32 if mode == "exact" else jnp.bfloat16
         self._precision = (jax.lax.Precision.HIGH if mode == "exact"
@@ -195,6 +218,9 @@ class DenominatorComputation:
     @functools.partial(jax.jit, static_argnames=("self", "compute_grad"))
     def _forward_backward(self, nnet_output, compute_grad: bool = True):
         """nnet_output [N, T, P] -> (log_prob [N], posteriors [N, T, P])."""
+        if self._structured is not None:
+            return self._structured.forward_backward(nnet_output,
+                                                     compute_grad)
         N, T, P = nnet_output.shape
         Sp = self._Sp
         leaky = jnp.float32(self.leaky)

@@ -153,3 +153,112 @@ class TestPhoneLmTopology:
             assert abs(float(logp[b]) - ref_logp) < 5e-4
             np.testing.assert_allclose(np.asarray(post[b]), ref_post,
                                        rtol=1e-4, atol=1e-5)
+
+
+class TestStructuredLayout:
+    """Chain-decomposed denominator (chain/den_structured.py): zero-gather
+    scans + dense residual matmul.  Must match the blocked path and the
+    fp64 oracle on every graph family it claims."""
+
+    def _check(self, fst, num_pdfs, leaky=1e-4, N=2, T=6, seed=0,
+               expect="structured"):
+        from kaldi_fp16_tpu.chain.graph import DenominatorGraph
+        g = DenominatorGraph.from_fst(fst, num_pdfs)
+        rng = np.random.default_rng(seed)
+        nnet = rng.normal(size=(N, T, num_pdfs)).astype(np.float32)
+        d = DenominatorComputation(g, leaky=leaky)
+        assert d.layout_used == expect
+        logp, post = d.forward_backward(jnp.asarray(nnet))
+        if expect == "structured":
+            db = DenominatorComputation(g, leaky=leaky, layout="blocked")
+            lb, pb = db.forward_backward(jnp.asarray(nnet))
+            np.testing.assert_allclose(np.asarray(logp), np.asarray(lb),
+                                       rtol=2e-5, atol=2e-6)
+            np.testing.assert_allclose(np.asarray(post), np.asarray(pb),
+                                       rtol=2e-4, atol=2e-6)
+        for n in range(N):
+            lr, pr = denominator_forward_backward_ref(g, nnet[n],
+                                                      leaky=leaky)
+            assert abs(float(logp[n]) - lr) < 5e-5
+            np.testing.assert_allclose(np.asarray(post[n]), pr,
+                                       rtol=1e-3, atol=5e-5)
+
+    def test_two_state_phones(self):
+        from kaldi_fp16_tpu.chain.graph import make_phone_lm_den_fst
+        self._check(make_phone_lm_den_fst(24, 13, 2, 4, seed=3), 24)
+
+    def test_one_state_phones_with_lm_self_transition(self):
+        """A phone-LM self-transition on a 1-state phone is a SECOND
+        self-loop: it must ride the dense diagonal, not bail."""
+        from kaldi_fp16_tpu.chain.graph import make_phone_lm_den_fst
+        self._check(make_phone_lm_den_fst(16, 9, 1, 3, seed=5), 16)
+
+    def test_three_state_phones(self):
+        from kaldi_fp16_tpu.chain.graph import make_phone_lm_den_fst
+        self._check(make_phone_lm_den_fst(30, 8, 3, 3, seed=7), 30)
+
+    def test_long_chain_split(self):
+        """Chains longer than max_len are split; cut arcs ride M."""
+        from kaldi_fp16_tpu.io.fst import Fst, FstArc, FstState
+        states = [FstState(final=0.0) for _ in range(20)]
+        for s in range(20):
+            states[s].arcs.append(FstArc((s % 6) + 1, 0.7, s))
+            if s < 19:
+                states[s].arcs.append(FstArc(((s + 1) % 6) + 1, 0.5, s + 1))
+        states[19].arcs.append(FstArc(1, 1.0, 0))
+        self._check(Fst(start=0, states=states), 6)
+
+    def test_pure_cycle_breaks_into_singletons(self):
+        from kaldi_fp16_tpu.io.fst import Fst, FstArc, FstState
+        states = [FstState(final=0.0) for _ in range(4)]
+        for s in range(4):
+            states[s].arcs.append(FstArc((s % 3) + 1, 0.4, (s + 1) % 4))
+        self._check(Fst(start=0, states=states), 3)
+
+    def test_chain_topology_distinct_selfloop_pdf(self):
+        """Kaldi chain topology: self-loop pdf != forward pdf on 1-state
+        phones — forward pdf determined by destination."""
+        from kaldi_fp16_tpu.io.fst import Fst, FstArc, FstState
+        rng = np.random.default_rng(2)
+        NP = 6
+        states = [FstState(final=0.0) for _ in range(NP)]
+        for ph in range(NP):
+            states[ph].arcs.append(FstArc(2 * ph + 1, 0.6, ph))
+            for q in rng.choice(NP, 3, replace=False):
+                states[ph].arcs.append(FstArc(2 * int(q) + 2, 1.1, int(q)))
+        self._check(Fst(start=0, states=states), 12)
+
+    def test_random_graph_falls_back(self):
+        """Locality-free random graphs exceed the structured conditions
+        (multi non-self out/in arcs everywhere but no chains -> F == S is
+        fine; conflicting dst pdfs trigger the fallback)."""
+        fst = make_simple_den_fst(8, num_states=5, seed=1, arcs_per_state=3)
+        g = DenominatorGraph.from_fst(fst, 8)
+        d = DenominatorComputation(g, leaky=1e-4)
+        assert d.layout_used == "blocked"
+
+    def test_forward_only_matches_structured(self):
+        from kaldi_fp16_tpu.chain.graph import make_phone_lm_den_fst
+        g = DenominatorGraph.from_fst(
+            make_phone_lm_den_fst(24, 13, 2, 4, seed=3), 24)
+        rng = np.random.default_rng(1)
+        nnet = jnp.asarray(rng.normal(size=(2, 5, 24)).astype(np.float32))
+        d = DenominatorComputation(g, leaky=1e-4)
+        assert d.layout_used == "structured"
+        l1 = d.forward(nnet)
+        l2, _ = d.forward_backward(nnet)
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                                   rtol=1e-6)
+
+    def test_fast_mode_structured_close(self):
+        from kaldi_fp16_tpu.chain.graph import make_phone_lm_den_fst
+        g = DenominatorGraph.from_fst(
+            make_phone_lm_den_fst(24, 13, 2, 4, seed=3), 24)
+        rng = np.random.default_rng(1)
+        nnet = jnp.asarray(rng.normal(size=(2, 5, 24)).astype(np.float32))
+        de = DenominatorComputation(g, leaky=1e-4, mode="exact")
+        df = DenominatorComputation(g, leaky=1e-4, mode="fast")
+        le, pe = de.forward_backward(nnet)
+        lf, pf = df.forward_backward(nnet)
+        np.testing.assert_allclose(np.asarray(le), np.asarray(lf), rtol=2e-2)
+        assert np.max(np.abs(np.asarray(pe) - np.asarray(pf))) < 2e-2

@@ -33,6 +33,11 @@ def main():
                     choices=["random", "phone-lm"],
                     help="random = locality-free worst case; phone-lm = "
                          "realistic den.fst structure")
+    ap.add_argument("--layout", default="auto",
+                    choices=["auto", "structured", "blocked"],
+                    help="denominator kernel layout: auto routes phone-lm "
+                         "to the chain-decomposed kernels; blocked forces "
+                         "the generic gather path for comparison")
     args = ap.parse_args()
 
     import jax
@@ -66,7 +71,7 @@ def main():
             initial=(lambda v: v / v.sum())(
                 rng.uniform(0, 1, S).astype(np.float32)),
             num_states=S, num_pdfs=P, start_state=0)
-    den = DenominatorComputation(graph, leaky=1e-5)
+    den = DenominatorComputation(graph, leaky=1e-5, layout=args.layout)
 
     # synthetic numerator batch at typical scale (~200 states/arcs per utt)
     Sn, An = args.num_states, args.num_arcs
@@ -110,7 +115,8 @@ def main():
         "value": round(per_seq, 3),
         "unit": "ms/seq",
         "vs_baseline": round(11.375 / per_seq, 3),  # >1 = faster than reference
-        "detail": {**results, "batch_total_ms": round(total, 2)},
+        "detail": {**results, "batch_total_ms": round(total, 2),
+                   "den_layout": den.layout_used},
         "config": {"B": B, "T": T, "P": P, "den_states": S, "den_arcs": A},
     }))
 

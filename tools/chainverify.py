@@ -34,6 +34,10 @@ def main():
     # ~1e-4..1e-3 relative — same magnitude the reference accepted between
     # its atomic and deterministic CUDA kernels, cmd/chainbench)
     ap.add_argument("--tol", type=float, default=2e-3)
+    ap.add_argument("--topology", default="random",
+                    choices=["random", "phone-lm"],
+                    help="synthetic den graph shape: phone-lm routes to "
+                         "the structured chain-decomposed kernels")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -68,11 +72,19 @@ def main():
     if args.den_fst:
         fst = read_fst_file(args.den_fst)
         den_graph = DenominatorGraph.from_fst(fst, args.pdfs)
+    elif args.topology == "phone-lm":
+        from kaldi_fp16_tpu.chain.graph import make_phone_lm_den_fst
+        den_graph = DenominatorGraph.from_fst(
+            make_phone_lm_den_fst(num_pdfs=P, num_phones=6,
+                                  states_per_phone=2, branching=3, seed=1),
+            P)
     else:
         den_graph = DenominatorGraph.from_fst(
             make_simple_den_fst(num_pdfs=P, num_states=8, seed=1), P)
     den = DenominatorComputation(den_graph, leaky=1e-5)
     den_fast = DenominatorComputation(den_graph, leaky=1e-5, mode="fast")
+    print(f"den graph: {den_graph.num_states} states, "
+          f"{den_graph.num_transitions} arcs, layout={den.layout_used}")
 
     if args.egs:
         from kaldi_fp16_tpu.io.egs import read_examples
