@@ -79,6 +79,45 @@ class DecodingGraph:
         )
 
     @classmethod
+    def from_arrays(cls, num_states: int, start: int,
+                    src: np.ndarray, dst: np.ndarray, ilabel: np.ndarray,
+                    olabel: np.ndarray, weight: np.ndarray,
+                    final_cost: np.ndarray,
+                    ilabel_to_pdf: Optional[np.ndarray] = None
+                    ) -> "DecodingGraph":
+        """Vectorized construction from flat arc arrays (no Python
+        per-arc objects — required at HCLG scale, where 100K+ states /
+        400K+ arcs make the Fst-object path minutes-slow)."""
+        src = np.asarray(src, np.int64)
+        dst = np.asarray(dst, np.int32)
+        ilabel = np.asarray(ilabel, np.int32)
+        olabel = np.asarray(olabel, np.int32)
+        weight = np.asarray(weight, np.float64)
+        S = int(num_states)
+
+        def csr(mask):
+            order = np.argsort(src[mask], kind="stable")
+            rp = np.zeros(S + 1, np.int64)
+            np.add.at(rp, src[mask] + 1, 1)
+            return np.cumsum(rp), order
+
+        em = ilabel > 0
+        ep = ~em
+        em_rp, em_o = csr(em)
+        eps_rp, eps_o = csr(ep)
+        return cls(
+            num_states=S, start=int(start),
+            em_row_ptr=em_rp,
+            em_dst=dst[em][em_o], em_ilabel=ilabel[em][em_o],
+            em_olabel=olabel[em][em_o], em_weight=weight[em][em_o],
+            eps_row_ptr=eps_rp,
+            eps_dst=dst[ep][eps_o], eps_olabel=olabel[ep][eps_o],
+            eps_weight=weight[ep][eps_o],
+            final_cost=np.asarray(final_cost, np.float64),
+            ilabel_to_pdf=ilabel_to_pdf,
+        )
+
+    @classmethod
     def from_file(cls, path: str, **kw) -> "DecodingGraph":
         fst = read_fst_file(path)
         if fst is None:

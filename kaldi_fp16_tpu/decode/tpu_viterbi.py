@@ -189,6 +189,146 @@ class ArcGraph:
                    final=final, start=g.start, num_states=S)
 
 
+# ---------------------------------------------------------------------------
+# ELL (padded in-arc) layout — the scatter-free production kernel.
+#
+# The segment-reduce kernels below (`_arc_viterbi`) pay XLA's scatter
+# lowering for segment_max/segment_min every frame: measured ~0.46 ms/frame
+# at A=16K and ~10 ms/frame at A=390K — an effective ~4 GB/s, 60x below
+# the gather engine (docs/PERFORMANCE.md decode table).  The same lesson as
+# the chain denominator (scatters never win on TPU) applies: group each
+# state's IN-arcs into a padded [S_b, D_b] table (buckets by
+# next-pow2(in-degree) bound the padding waste at 2x), so the per-frame
+# update is gathers + an axis-max — no scatter anywhere:
+#
+#     cand[s, i] = score[src[s, i]] + w[s, i] + scale * ll[pdf[s, i]]
+#     nxt[s]     = max_i cand[s, i];  bp[s] = arc[s, argmax_i cand[s, i]]
+#
+# Outputs from the buckets are concatenated (states permuted by bucket) and
+# un-permuted with one [S, B] gather.  Tie-breaking matches the segment
+# kernel: ELL columns hold a state's in-arcs in ascending arc-id order and
+# argmax returns the first maximum, i.e. the smallest winning arc id.
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class EllGraph:
+    """Degree-bucketed padded adjacency of an ArcGraph.
+
+    Each bucket b holds the states whose degree rounds up to the same
+    power of two D_b, as [S_b, D_b] tables.  `src` entries are ORIGINAL
+    state ids (scores stay in original numbering; only the concatenated
+    bucket OUTPUT is permuted, undone by the `new_of_old` gather).  `arc`
+    entries are ArcGraph arc indices (len(arcs) == pad sentinel).
+    Padding: src=0, pdf=0, weight=NEG_INF (max-plus: never wins)."""
+    src: Tuple[np.ndarray, ...]     # [S_b, D_b] int32 each
+    pdf: Tuple[np.ndarray, ...]
+    weight: Tuple[np.ndarray, ...]  # max-plus (-cost), NEG_INF pad
+    arc: Tuple[np.ndarray, ...]
+    new_of_old: np.ndarray          # [S] int32: orig state -> bucket row
+    num_states: int
+    num_arcs: int
+
+    @classmethod
+    def from_arcs(cls, a: "ArcGraph", direction: str = "in") -> "EllGraph":
+        """direction='in': rows are destination states, `src` holds arc
+        sources (forward/Viterbi).  direction='out': rows are source
+        states, `src` holds arc destinations (beta recursion)."""
+        A = len(a.src)
+        S = a.num_states
+        if direction == "in":
+            order = np.arange(A, dtype=np.int64)   # already dst-sorted
+            key, other = a.dst, a.src
+        else:
+            order = np.argsort(a.src, kind="stable").astype(np.int64)
+            key, other = a.src[order], a.dst[order]
+        deg = np.bincount(key, minlength=S).astype(np.int64)
+        row_ptr = np.concatenate([[0], np.cumsum(deg)])
+        d_of = np.where(deg <= 1, 1,
+                        2 ** np.ceil(np.log2(np.maximum(deg, 1))
+                                     ).astype(np.int64))
+        srcs, pdfs, ws, arcs = [], [], [], []
+        state_order = []
+        for D in sorted(set(d_of.tolist())):
+            st = np.nonzero(d_of == D)[0]
+            state_order.append(st)
+            idx = row_ptr[st][:, None] + np.arange(D)[None, :]
+            valid = np.arange(D)[None, :] < deg[st][:, None]
+            pos = order[np.minimum(idx, max(A - 1, 0))]   # ArcGraph index
+            srcs.append(np.where(valid, other[np.minimum(idx, max(A - 1, 0))],
+                                 0).astype(np.int32))
+            pdfs.append(np.where(valid, a.pdf[pos], 0).astype(np.int32))
+            ws.append(np.where(valid, a.weight[pos],
+                               NEG_INF).astype(np.float32))
+            arcs.append(np.where(valid, pos, A).astype(np.int32))
+        perm = np.concatenate(state_order) if state_order else \
+            np.zeros(0, np.int64)
+        new_of_old = np.empty(S, np.int32)
+        new_of_old[perm] = np.arange(S, dtype=np.int32)
+        return cls(src=tuple(srcs), pdf=tuple(pdfs), weight=tuple(ws),
+                   arc=tuple(arcs), new_of_old=new_of_old,
+                   num_states=S, num_arcs=A)
+
+    def device_arrays(self):
+        return (tuple(jnp.asarray(x) for x in self.src),
+                tuple(jnp.asarray(x) for x in self.pdf),
+                tuple(jnp.asarray(x) for x in self.weight),
+                tuple(jnp.asarray(x) for x in self.arc),
+                jnp.asarray(self.new_of_old))
+
+
+def _ell_gather(table, rows_flat, shape_b):
+    return jnp.take(table, rows_flat, axis=0).reshape(shape_b)
+
+
+@functools.partial(jax.jit, static_argnames=("num_states",))
+def _ell_viterbi(bsrc, bpdf, bw, barc, new_of_old, src_of_arc, final,
+                 start, loglikes, acoustic_scale, num_states: int):
+    """loglikes [B, T, P] -> (best [B], last [B], arcs_taken [T, B]);
+    scatter-free ELL forward + on-device traceback."""
+    B, T, P = loglikes.shape
+    S = num_states
+    A = src_of_arc.shape[0]
+    ll_tpb = jnp.transpose(loglikes, (1, 2, 0))          # [T, P, B]
+
+    score0 = jnp.full((S, B), NEG_INF, dtype=jnp.float32)
+    score0 = score0.at[start, :].set(0.0)
+
+    def step(score, ll_t):
+        outs, bps = [], []
+        for src_b, pdf_b, w_b, arc_b in zip(bsrc, bpdf, bw, barc):
+            sb = src_b.shape + (B,)
+            cand = (_ell_gather(score, src_b.reshape(-1), sb)
+                    + w_b[..., None]
+                    + acoustic_scale
+                    * _ell_gather(ll_t, pdf_b.reshape(-1), sb))  # [Sb,Db,B]
+            outs.append(cand.max(axis=1))
+            arg = cand.argmax(axis=1).astype(jnp.int32)          # [Sb, B]
+            # bp = arc_b[row, arg] as one flat gather (take_along_axis
+            # over a broadcast [Sb,Db,B] tensor produced a pathological
+            # XLA program at HCLG scale)
+            rows = jnp.arange(arc_b.shape[0], dtype=jnp.int32)[:, None]
+            bps.append(jnp.take(arc_b.reshape(-1),
+                                rows * arc_b.shape[1] + arg))
+        nxt = jnp.take(jnp.concatenate(outs, axis=0), new_of_old, axis=0)
+        bp = jnp.take(jnp.concatenate(bps, axis=0), new_of_old, axis=0)
+        return nxt, bp
+
+    final_score, bps = jax.lax.scan(step, score0, ll_tpb)
+    total = final_score + final[:, None]
+    best = total.max(axis=0)
+    last = total.argmax(axis=0).astype(jnp.int32)
+
+    def back_step(state, bp_t):
+        arc = jnp.take_along_axis(bp_t, state[None, :], axis=0)[0]
+        safe = jnp.clip(arc, 0, A - 1)
+        prev = jnp.where(arc < A, jnp.take(src_of_arc, safe), state)
+        return prev, arc
+
+    _, arcs_taken = jax.lax.scan(back_step, last, bps, reverse=True)
+    return best, last, arcs_taken
+
+
 @functools.partial(jax.jit, static_argnames=("num_states",))
 def _arc_viterbi(src, dst, pdf, weight, final, start, loglikes,
                  acoustic_scale, num_states: int):
@@ -241,14 +381,26 @@ def _arc_viterbi(src, dst, pdf, weight, final, start, loglikes,
 class SparseViterbiDecoder:
     """Exact batched Viterbi over an epsilon-free graph, arc-parallel on
     device with on-device traceback (same results as DenseViterbiDecoder,
-    bench-scale graphs decode ~60x faster — tools/decodebench.py)."""
+    bench-scale graphs decode ~60x faster — tools/decodebench.py).
 
-    def __init__(self, graph: DecodingGraph, acoustic_scale: float = 1.0):
+    layout='segment' (default) uses the segment-reduce kernel — measured
+    faster end to end (610 audio-sec/s at S=2048; see
+    docs/PERFORMANCE.md).  layout='ell' is the scatter-free
+    degree-bucketed kernel: exact-parity (tests/test_tpu_viterbi.py
+    TestEllLayout) but currently slower on wide-degree graphs and
+    compile-pathological at S=100K on the tunneled backend — kept as an
+    opt-in experiment."""
+
+    def __init__(self, graph: DecodingGraph, acoustic_scale: float = 1.0,
+                 layout: str = "segment"):
         self.arcs = ArcGraph.from_graph(graph)
         self.acoustic_scale = acoustic_scale
+        self.layout = layout
         a = self.arcs
         self._dev = tuple(jnp.asarray(v) for v in
                           (a.src, a.dst, a.pdf, a.weight, a.final))
+        if layout == "ell":
+            self._ell_dev = EllGraph.from_arcs(a, "in").device_arrays()
         # scalars uploaded once: each per-call transfer costs a full
         # dispatch round trip on tunneled backends
         self._start_j = jnp.asarray(a.start, jnp.int32)
@@ -258,25 +410,32 @@ class SparseViterbiDecoder:
         """loglikes [B, T, P] -> list of {words, alignment, total_cost}."""
         ll = jnp.asarray(loglikes, dtype=jnp.float32)
         src, dst, pdf, weight, final = self._dev
-        best, last, arcs_taken = _arc_viterbi(
-            src, dst, pdf, weight, final, self._start_j, ll, self._scale_j,
-            num_states=self.arcs.num_states)
+        if self.layout == "ell":
+            bsrc, bpdf, bw, barc, new_of_old = self._ell_dev
+            best, last, arcs_taken = _ell_viterbi(
+                bsrc, bpdf, bw, barc, new_of_old, src, final,
+                self._start_j, ll, self._scale_j,
+                num_states=self.arcs.num_states)
+        else:
+            best, last, arcs_taken = _arc_viterbi(
+                src, dst, pdf, weight, final, self._start_j, ll,
+                self._scale_j, num_states=self.arcs.num_states)
         best = np.asarray(best)
         arcs_taken = np.asarray(arcs_taken)                       # [T, B]
         A = len(self.arcs.src)
         B = ll.shape[0]
+        # vectorized label lookup for the whole batch (a per-arc Python
+        # loop costs more than the device scan at production B*T)
+        oks = (best > NEG_INF / 2) & (arcs_taken < A).all(axis=0)
+        safe = np.minimum(arcs_taken, A - 1)
+        il = self.arcs.ilabel[safe]                               # [T, B]
+        ol = self.arcs.olabel[safe]
         results = []
         for b in range(B):
-            path = arcs_taken[:, b]
-            ok = bool(best[b] > NEG_INF / 2) and bool((path < A).all())
-            words, align = [], []
-            if ok:
-                for arc in path:
-                    align.append(int(self.arcs.ilabel[arc]))
-                    ol = int(self.arcs.olabel[arc])
-                    if ol > 0:
-                        words.append(ol)
-            results.append({"words": words, "alignment": align,
+            ok = bool(oks[b])
+            words = ol[:, b][ol[:, b] > 0].tolist() if ok else []
+            results.append({"words": words,
+                            "alignment": il[:, b].tolist() if ok else [],
                             "total_cost": -float(best[b]),
                             "final_reached": ok})
         return results
@@ -333,49 +492,110 @@ def _lattice_masks(src, dst, pdf, graph_cost, final_cost, start, loglikes,
 
     betaT = jnp.broadcast_to(final_cost[:, None], (S, B))
 
-    # beta recursion reduces into SOURCE states; arcs are dst-sorted, so
-    # use segment_min over the unsorted src ids (correct; the sorted-id
-    # fast path only applies to the dst-grouped forward)
-    def bwd_step(beta_next, ll_t):
-        cand = arc_costs(ll_t) + jnp.take(beta_next, dst, axis=0)
-        beta = jnp.minimum(
-            jax.ops.segment_min(cand, src, num_segments=S), INF)
-        return beta, beta_next
-
-    _, beta_hist = jax.lax.scan(bwd_step, betaT, ac_cost, reverse=True)
-    # beta_hist[t] = beta at time t+1 (the carry INPUT emitted per step)
-
     # no reachable final state => keep NOTHING: with best ~ INF, fp32
     # saturation would otherwise make `tot <= best + beam` true for every
     # arc with one finite endpoint (the host path has the same guard in
     # Lattice.prune via np.isfinite(best))
     thr = jnp.where(best > INF / 2, -INF, best + lattice_beam)    # [B]
+    pad = (-A) % 8
 
-    def mask_step(carry, inp):
-        alpha_t, beta_t1, ll_t = inp
-        tot = (jnp.take(alpha_t, src, axis=0) + arc_costs(ll_t)
-               + jnp.take(beta_t1, dst, axis=0))          # [A, B]
-        keep = tot <= thr[None, :]
-        pad = (-A) % 8
-        kp = jnp.pad(keep, ((0, pad), (0, 0)))
+    # beta recursion reduces into SOURCE states; arcs are dst-sorted, so
+    # use segment_min over the unsorted src ids (correct; the sorted-id
+    # fast path only applies to the dst-grouped forward).  The keep-mask
+    # is emitted IN this scan: tot = alpha_t[src] + cand, with `cand`
+    # already holding arc_cost + beta_{t+1}[dst] — one scan and one set
+    # of arc gathers fewer than a separate mask pass, and no [T, S, B]
+    # beta history ever hits HBM.
+    def bwd_step(beta_next, inp):
+        alpha_t, ll_t = inp
+        cand = arc_costs(ll_t) + jnp.take(beta_next, dst, axis=0)
+        beta = jnp.minimum(
+            jax.ops.segment_min(cand, src, num_segments=S), INF)
+        tot = jnp.take(alpha_t, src, axis=0) + cand       # [A, B]
+        kp = jnp.pad(tot <= thr[None, :], ((0, pad), (0, 0)))
         packed = jnp.packbits(kp.astype(jnp.uint8), axis=0)
-        return carry, packed
+        return beta, packed
 
-    _, packed = jax.lax.scan(mask_step, 0,
-                             (alpha_hist, beta_hist, ac_cost))
+    _, packed = jax.lax.scan(bwd_step, betaT, (alpha_hist, ac_cost),
+                             reverse=True)
+    return packed, best
+
+
+@functools.partial(jax.jit, static_argnames=("num_states",))
+def _lattice_masks_ell(in_src, in_pdf, in_w, in_perm,
+                       out_dst, out_pdf, out_w, out_perm,
+                       src, dst, pdf, graph_cost, final_cost, start,
+                       loglikes, acoustic_scale, lattice_beam,
+                       num_states: int):
+    """Scatter-free variant of _lattice_masks: the alpha (by-dst) and
+    beta (by-src) min-plus reductions run on ELL degree buckets (gathers
+    + axis-min); the keep-mask pass is unchanged.  ELL pads carry
+    weight=NEG_INF, i.e. cost +1e30 — they never win a min."""
+    B, T, P = loglikes.shape
+    S = num_states
+    A = src.shape[0]
+    INF = jnp.float32(-NEG_INF)
+    ac_cost = -jnp.transpose(loglikes, (1, 2, 0))        # [T, P, B]
+
+    alpha0 = jnp.full((S, B), INF).at[start, :].set(0.0)
+
+    def ell_min(vals, ll_t, bstate, bpdf, bw, perm):
+        outs = []
+        for st_b, pdf_b, w_b in zip(bstate, bpdf, bw):
+            sb = st_b.shape + (B,)
+            cand = (_ell_gather(vals, st_b.reshape(-1), sb)
+                    + (-w_b)[..., None]
+                    + acoustic_scale
+                    * _ell_gather(ll_t, pdf_b.reshape(-1), sb))
+            outs.append(cand.min(axis=1))
+        return jnp.minimum(
+            jnp.take(jnp.concatenate(outs, axis=0), perm, axis=0), INF)
+
+    def fwd(alpha, ll_t):
+        nxt = ell_min(alpha, ll_t, in_src, in_pdf, in_w, in_perm)
+        return nxt, alpha
+
+    alpha_T, alpha_hist = jax.lax.scan(fwd, alpha0, ac_cost)
+    total = alpha_T + final_cost[:, None]
+    best = total.min(axis=0)                              # [B]
+
+    betaT = jnp.broadcast_to(final_cost[:, None], (S, B))
+    thr = jnp.where(best > INF / 2, -INF, best + lattice_beam)    # [B]
+    pad = (-A) % 8
+
+    def arc_costs(ll_t):
+        return (graph_cost[:, None]
+                + acoustic_scale * jnp.take(ll_t, pdf, axis=0))   # [A, B]
+
+    # mask emitted inside the beta scan (see _lattice_masks); the ELL
+    # reduction gives beta, the mask still reads per-arc endpoints
+    def bwd_step(beta_next, inp):
+        alpha_t, ll_t = inp
+        beta = ell_min(beta_next, ll_t, out_dst, out_pdf, out_w, out_perm)
+        tot = (jnp.take(alpha_t, src, axis=0) + arc_costs(ll_t)
+               + jnp.take(beta_next, dst, axis=0))        # [A, B]
+        kp = jnp.pad(tot <= thr[None, :], ((0, pad), (0, 0)))
+        packed = jnp.packbits(kp.astype(jnp.uint8), axis=0)
+        return beta, packed
+
+    _, packed = jax.lax.scan(bwd_step, betaT, (alpha_hist, ac_cost),
+                             reverse=True)
     return packed, best
 
 
 class DeviceLatticeDecoder:
     """Exact beam-pruned lattice generation on device for epsilon-free
-    graphs; host assembly into decode.lattice.Lattice objects."""
+    graphs; host assembly into decode.lattice.Lattice objects.
+    layout='segment' (default); layout='ell' runs the alpha/beta scans
+    scatter-free (exact-parity opt-in, see SparseViterbiDecoder)."""
 
     def __init__(self, graph: DecodingGraph, acoustic_scale: float = 1.0,
-                 lattice_beam: float = 8.0):
+                 lattice_beam: float = 8.0, layout: str = "segment"):
         self.graph = graph
         self.arcs = ArcGraph.from_graph(graph)
         self.acoustic_scale = acoustic_scale
         self.lattice_beam = lattice_beam
+        self.layout = layout
         a = self.arcs
         self._src = jnp.asarray(a.src)
         self._dst = jnp.asarray(a.dst)
@@ -384,18 +604,33 @@ class DeviceLatticeDecoder:
         fc = np.where(a.final > NEG_INF / 2, -a.final, -NEG_INF)
         self._fcost = jnp.asarray(fc.astype(np.float32))
         self._start = jnp.asarray(a.start, jnp.int32)
+        if layout == "ell":
+            ein = EllGraph.from_arcs(a, "in").device_arrays()
+            eout = EllGraph.from_arcs(a, "out").device_arrays()
+            # (src, pdf, w, arc, perm); the lattice scans don't need arcs
+            self._ell_in = (ein[0], ein[1], ein[2], ein[4])
+            self._ell_out = (eout[0], eout[1], eout[2], eout[4])
 
     def decode_batch(self, loglikes) -> List["object"]:
         """loglikes [B, T, P] -> list of Lattice (already beam-pruned)."""
         from kaldi_fp16_tpu.decode.lattice import ArcArrays, Lattice
         ll = jnp.asarray(loglikes, dtype=jnp.float32)
         B, T, P = ll.shape
-        packed, best = _lattice_masks(
-            self._src, self._dst, self._pdf, self._gcost, self._fcost,
-            self._start, ll,
-            jnp.asarray(self.acoustic_scale, jnp.float32),
-            jnp.asarray(self.lattice_beam, jnp.float32),
-            num_states=self.arcs.num_states)
+        if self.layout == "ell":
+            packed, best = _lattice_masks_ell(
+                *self._ell_in, *self._ell_out,
+                self._src, self._dst, self._pdf, self._gcost, self._fcost,
+                self._start, ll,
+                jnp.asarray(self.acoustic_scale, jnp.float32),
+                jnp.asarray(self.lattice_beam, jnp.float32),
+                num_states=self.arcs.num_states)
+        else:
+            packed, best = _lattice_masks(
+                self._src, self._dst, self._pdf, self._gcost, self._fcost,
+                self._start, ll,
+                jnp.asarray(self.acoustic_scale, jnp.float32),
+                jnp.asarray(self.lattice_beam, jnp.float32),
+                num_states=self.arcs.num_states)
         packed = np.asarray(packed)                   # [T, A8, B]
         best = np.asarray(best)
         a = self.arcs

@@ -298,3 +298,92 @@ class TestEpsilonRemoval:
         remove_epsilons(g)
         err = capsys.readouterr().err
         assert "lost word labels" in err
+
+
+class TestEllLayout:
+    """The scatter-free ELL kernels must reproduce the segment-reduce
+    kernels EXACTLY — costs, words, alignments (incl. smallest-arc-id
+    tie-breaking) and lattice arc sets."""
+
+    def test_viterbi_ell_matches_segment(self):
+        from kaldi_fp16_tpu.decode.tpu_viterbi import SparseViterbiDecoder
+        for seed in (3, 4, 5):
+            g = DecodingGraph.from_fst(random_eps_free_graph(seed=seed))
+            ell = SparseViterbiDecoder(g, layout="ell")
+            seg = SparseViterbiDecoder(g, layout="segment")
+            rng = np.random.default_rng(seed + 100)
+            lls = rng.normal(size=(3, 9, 12)).astype(np.float32)
+            eres = ell.decode_batch(lls)
+            sres = seg.decode_batch(lls)
+            for b in range(3):
+                np.testing.assert_allclose(
+                    eres[b]["total_cost"], sres[b]["total_cost"], atol=1e-4)
+                assert eres[b]["words"] == sres[b]["words"], (seed, b)
+                assert eres[b]["alignment"] == sres[b]["alignment"], (seed, b)
+                assert eres[b]["final_reached"] == sres[b]["final_reached"]
+
+    def test_tie_breaking_matches(self):
+        """Two arcs with IDENTICAL candidate scores into one state: both
+        layouts must pick the same (smallest) arc id."""
+        from kaldi_fp16_tpu.decode.tpu_viterbi import SparseViterbiDecoder
+        s = [FstState() for _ in range(3)]
+        # two arcs 0->1 with the same weight/pdf but different olabels
+        s[0].arcs.append(FstArc(1, 0.5, 1, olabel=7))
+        s[0].arcs.append(FstArc(1, 0.5, 1, olabel=8))
+        s[1].arcs.append(FstArc(2, 0.0, 2, olabel=0))
+        s[2].final = 0.0
+        g = DecodingGraph.from_fst(Fst(start=0, states=s))
+        ll = np.zeros((1, 2, 3), np.float32)
+        eres = SparseViterbiDecoder(g, layout="ell").decode_batch(ll)
+        sres = SparseViterbiDecoder(g, layout="segment").decode_batch(ll)
+        assert eres[0]["words"] == sres[0]["words"] == [7]
+
+    def test_high_fanin_buckets(self):
+        """Non-power-of-two fan-in lands in a padded bucket; decode must
+        still be exact vs the dense reference."""
+        from kaldi_fp16_tpu.decode.tpu_viterbi import (
+            ArcGraph, EllGraph, SparseViterbiDecoder)
+        rng = np.random.default_rng(0)
+        n = 37
+        s = [FstState() for _ in range(n + 2)]
+        sink = n + 1
+        for i in range(1, n + 1):
+            s[0].arcs.append(FstArc(int(rng.integers(1, 6)),
+                                    float(rng.uniform(0, 2)), i,
+                                    olabel=i))
+            s[i].arcs.append(FstArc(int(rng.integers(1, 6)),
+                                    float(rng.uniform(0, 2)), sink,
+                                    olabel=0))
+        s[sink].final = 0.0
+        g = DecodingGraph.from_fst(Fst(start=0, states=s))
+        ell = EllGraph.from_arcs(ArcGraph.from_graph(g), "in")
+        assert max(a.shape[1] for a in ell.src) >= 37  # sink's bucket
+        total = sum(a.size for a in ell.src)
+        assert total <= 2 * ell.num_arcs + ell.num_states + 64  # bounded pad
+        ll = rng.normal(size=(2, 2, 5)).astype(np.float32)
+        eres = SparseViterbiDecoder(g, layout="ell").decode_batch(ll)
+        dres = DenseViterbiDecoder(g).decode_batch(ll)
+        for b in range(2):
+            np.testing.assert_allclose(eres[b]["total_cost"],
+                                       dres[b]["total_cost"], atol=1e-4)
+            assert eres[b]["words"] == dres[b]["words"]
+
+    def test_lattice_ell_matches_segment(self):
+        from kaldi_fp16_tpu.decode.tpu_viterbi import DeviceLatticeDecoder
+        for seed in (0, 1, 2):
+            g = DecodingGraph.from_fst(random_eps_free_graph(seed=seed))
+            rng = np.random.default_rng(seed + 10)
+            lls = rng.normal(size=(2, 7, 12)).astype(np.float32)
+            for beam in (2.0, 6.0):
+                el = DeviceLatticeDecoder(g, lattice_beam=beam,
+                                          layout="ell").decode_batch(lls)
+                sl = DeviceLatticeDecoder(g, lattice_beam=beam,
+                                          layout="segment").decode_batch(lls)
+                for b in range(2):
+                    ea = {(int(el[b].node_frame[a.src]), a.ilabel, a.olabel,
+                           round(a.graph_cost, 4), round(a.acoustic_cost, 4))
+                          for a in el[b].arcs}
+                    sa = {(int(sl[b].node_frame[a.src]), a.ilabel, a.olabel,
+                           round(a.graph_cost, 4), round(a.acoustic_cost, 4))
+                          for a in sl[b].arcs}
+                    assert ea == sa, (seed, beam, b)

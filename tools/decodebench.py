@@ -41,6 +41,54 @@ def synth_graph(S: int, P: int, E: int, seed: int = 0):
     return Fst(start=0, states=states)
 
 
+def synth_hclg_graph(S: int, P: int, seed: int = 0, word_len: int = 10,
+                     lm_branching: int = 20):
+    """HCLG-shaped epsilon-free graph at arbitrary scale, built directly
+    as flat arrays (no per-arc Python objects): W = S/word_len word HMM
+    chains (self-loop + advance per state), word-end states fan out to
+    lm_branching word-start states with the word's olabel on the exit
+    arc.  This reproduces a real decoding graph's structure class —
+    locality inside words, sparse long-range LM fan-out — the way
+    make_phone_lm_den_fst does for den.fst."""
+    from kaldi_fp16_tpu.decode.graph import DecodingGraph
+
+    rng = np.random.default_rng(seed)
+    W = max(1, S // word_len)
+    S = W * word_len
+    sid = np.arange(S, dtype=np.int64)
+    k = sid % word_len
+    word = sid // word_len
+    pdf_of_state = (sid % P).astype(np.int64) + 1      # ilabel = pdf+1
+
+    srcs, dsts, ils, ols, ws = [], [], [], [], []
+    # self-loops
+    srcs.append(sid); dsts.append(sid); ils.append(pdf_of_state)
+    ols.append(np.zeros(S, np.int64))
+    ws.append(rng.uniform(0.2, 1.0, S))
+    # in-word advance
+    adv = sid[k < word_len - 1]
+    srcs.append(adv); dsts.append(adv + 1); ils.append(pdf_of_state[adv + 1])
+    ols.append(np.zeros(len(adv), np.int64))
+    ws.append(rng.uniform(0.2, 1.0, len(adv)))
+    # word-end LM fan-out (emitting into next word's first state, carrying
+    # THIS word's olabel)
+    ends = sid[k == word_len - 1]
+    succ = rng.integers(0, W, size=(len(ends), lm_branching))
+    fan_src = np.repeat(ends, lm_branching)
+    fan_dst = succ.reshape(-1) * word_len
+    srcs.append(fan_src); dsts.append(fan_dst)
+    ils.append(pdf_of_state[fan_dst])
+    ols.append(np.repeat(word[ends] + 1, lm_branching))
+    ws.append(rng.uniform(0.5, 4.0, len(fan_src)))
+
+    return DecodingGraph.from_arrays(
+        num_states=S, start=0,
+        src=np.concatenate(srcs), dst=np.concatenate(dsts),
+        ilabel=np.concatenate(ils), olabel=np.concatenate(ols),
+        weight=np.concatenate(ws),
+        final_cost=rng.uniform(0.0, 1.0, S))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--states", type=int, default=2048)
@@ -49,6 +97,18 @@ def main():
     ap.add_argument("--frames", type=int, default=500)
     ap.add_argument("--arcs-per-state", type=int, default=8)
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--hclg", action="store_true",
+                    help="HCLG-shaped graph (word chains + LM fan-out) "
+                         "built as flat arrays; use for --states >= 10K")
+    ap.add_argument("--on-device-ll", action="store_true",
+                    help="generate loglikes on device (production shape: "
+                         "the acoustic model's output is already "
+                         "device-resident; excludes the host->device "
+                         "feature upload from the measurement)")
+    ap.add_argument("--layout", default="segment",
+                    choices=["segment", "ell"],
+                    help="sparse-kernel layout (ell = experimental "
+                         "scatter-free degree buckets)")
     ap.add_argument("--dense", action="store_true",
                     help="use the dense [S,S] decoder (measured ~23x "
                          "slower at the default scale)")
@@ -66,18 +126,32 @@ def main():
 
     S, P, B, T = args.states, args.pdfs, args.batch, args.frames
     t0 = time.perf_counter()
-    graph = DecodingGraph.from_fst(
-        synth_graph(S, P, args.arcs_per_state))
+    if args.hclg:
+        graph = synth_hclg_graph(S, P)
+        S = graph.num_states
+    else:
+        graph = DecodingGraph.from_fst(
+            synth_graph(S, P, args.arcs_per_state))
     if args.lattice:
         dec = DeviceLatticeDecoder(graph, acoustic_scale=1.0,
-                                   lattice_beam=args.lattice_beam)
+                                   lattice_beam=args.lattice_beam,
+                                   layout=args.layout)
+    elif args.dense:
+        dec = DenseViterbiDecoder(graph, acoustic_scale=1.0)
     else:
-        cls = DenseViterbiDecoder if args.dense else SparseViterbiDecoder
-        dec = cls(graph, acoustic_scale=1.0)
+        dec = SparseViterbiDecoder(graph, acoustic_scale=1.0,
+                                   layout=args.layout)
     build_s = time.perf_counter() - t0
 
-    rng = np.random.default_rng(1)
-    ll = rng.normal(size=(B, T, P)).astype(np.float32)
+    if args.on_device_ll:
+        import jax
+        import jax.numpy as jnp
+        ll = jax.random.normal(jax.random.PRNGKey(1), (B, T, P),
+                               dtype=jnp.float32)
+        ll.block_until_ready()
+    else:
+        rng = np.random.default_rng(1)
+        ll = rng.normal(size=(B, T, P)).astype(np.float32)
 
     # warm (compile)
     res = dec.decode_batch(ll)
