@@ -130,6 +130,13 @@ class DenominatorComputation:
         assert posterior_reduce in ("einsum", "pallas")
         assert layout in ("auto", "structured", "blocked")
         self.graph = graph
+        # the blocked orders / structured layout below are derived from
+        # the graph ONCE; freeze its arrays so a later in-place mutation
+        # raises instead of silently serving stale derived state (the
+        # functional-wrapper cache also keys on graph identity)
+        for arr in (graph.src, graph.dst, graph.pdf, graph.prob,
+                    graph.initial):
+            arr.flags.writeable = False
         self.leaky = leaky
         self.mode = mode
         self.hoist_bytes = hoist_bytes

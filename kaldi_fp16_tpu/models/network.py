@@ -170,9 +170,25 @@ def _matmul(x: jnp.ndarray, w: jnp.ndarray, dtype) -> jnp.ndarray:
                    preferred_element_type=jnp.float32, precision=precision)
 
 
+# Experiment knob (docs/PERFORMANCE.md "MFU nudge"): when True, batchnorm
+# normalizes in the compute dtype (bf16) with fp32-ACCUMULATED reductions
+# instead of materializing an fp32 upcast of the activation tensor — the
+# saved residuals for the BN backward then stay bf16, halving that layer's
+# HBM traffic.  Running statistics stay fp32 either way.  Toggle with
+# set_bn_lowp_stats() BEFORE tracing (it is read at trace time).
+_BN_LOWP_STATS = False
+
+
+def set_bn_lowp_stats(enabled: bool) -> None:
+    global _BN_LOWP_STATS
+    _BN_LOWP_STATS = bool(enabled)
+
+
 def _batchnorm(x: jnp.ndarray, bn_state: dict, target_rms: float,
                epsilon: float, train: bool) -> Tuple[jnp.ndarray, dict]:
     """Kaldi BatchNormComponent: stats over (batch, time), target-rms scale."""
+    if _BN_LOWP_STATS and x.dtype != jnp.float32:
+        return _batchnorm_lowp(x, bn_state, target_rms, epsilon, train)
     xf = x.astype(jnp.float32)
     if train:
         mean = xf.mean(axis=(0, 1))
@@ -196,6 +212,32 @@ def _batchnorm(x: jnp.ndarray, bn_state: dict, target_rms: float,
     scale = target_rms * jax.lax.rsqrt(var + epsilon)
     out = (xf - mean) * scale
     return out.astype(x.dtype), new_state
+
+
+def _batchnorm_lowp(x: jnp.ndarray, bn_state: dict, target_rms: float,
+                    epsilon: float, train: bool) -> Tuple[jnp.ndarray, dict]:
+    """bf16-traffic batchnorm: reductions accumulate in fp32 (jnp dtype=
+    argument) but no fp32 copy of x is ever materialized and the
+    normalization itself runs in x.dtype.  Running-stat merge identical
+    to the exact path (fp32 scalars)."""
+    if train:
+        mean = jnp.mean(x, axis=(0, 1), dtype=jnp.float32)
+        ex2 = jnp.mean(jnp.square(x), axis=(0, 1), dtype=jnp.float32)
+        var = jnp.maximum(ex2 - mean * mean, 0.0)
+        n = jnp.asarray(x.shape[0] * x.shape[1], jnp.float32)
+        count = bn_state["count"] + n
+        delta = mean - bn_state["mean"]
+        new_mean = bn_state["mean"] + delta * (n / count)
+        old_n = bn_state["count"]
+        new_var = (old_n * bn_state["var"] + n * var
+                   + delta * delta * old_n * n / count) / count
+        new_state = {"count": count, "mean": new_mean, "var": new_var}
+    else:
+        mean, var = bn_state["mean"], bn_state["var"]
+        new_state = bn_state
+    scale = (target_rms * jax.lax.rsqrt(var + epsilon))
+    out = (x - mean.astype(x.dtype)) * scale.astype(x.dtype)
+    return out, new_state
 
 
 def _shift_time(x: jnp.ndarray, offset: int, mode: str) -> jnp.ndarray:

@@ -86,6 +86,36 @@ class TestPrimitives:
         np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
         assert new_st is st
 
+    def test_batchnorm_lowp_matches_exact(self, rng):
+        """bf16-stats batchnorm must agree with the exact path to bf16
+        tolerance (activations AND running statistics)."""
+        from kaldi_fp16_tpu.models.network import (
+            _batchnorm_lowp, set_bn_lowp_stats)
+        x32 = jnp.asarray(rng.normal(loc=1.0, scale=2.0, size=(4, 10, 8))
+                          .astype(np.float32))
+        x16 = x32.astype(jnp.bfloat16)
+        st = {"count": jnp.asarray(40.0), "mean": jnp.full(8, 0.5),
+              "var": jnp.full(8, 2.0)}
+        ref, ref_st = _batchnorm(x32, st, 1.0, 1e-3, train=True)
+        low, low_st = _batchnorm_lowp(x16, st, 1.0, 1e-3, train=True)
+        assert low.dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(low, np.float32),
+                                   np.asarray(ref), atol=0.05)
+        for k in ("count", "mean", "var"):
+            np.testing.assert_allclose(np.asarray(low_st[k]),
+                                       np.asarray(ref_st[k]),
+                                       rtol=0.02, atol=0.02)
+        # the module switch routes bf16 inputs only (fp32 path unchanged)
+        set_bn_lowp_stats(True)
+        try:
+            sw, _ = _batchnorm(x16, st, 1.0, 1e-3, train=True)
+            np.testing.assert_allclose(np.asarray(sw, np.float32),
+                                       np.asarray(low, np.float32))
+            ex, _ = _batchnorm(x32, st, 1.0, 1e-3, train=True)
+            np.testing.assert_allclose(np.asarray(ex), np.asarray(ref))
+        finally:
+            set_bn_lowp_stats(False)
+
     def test_idct_matrix_values(self):
         m = make_idct_matrix(4, 0.0)
         # cepstral index 0 row: sqrt(1/4) everywhere (x @ M orientation:

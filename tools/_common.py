@@ -10,3 +10,21 @@ def force_cpu():
     """Run a tool on CPU regardless of the ambient TPU platform pin."""
     import jax
     jax.config.update("jax_platforms", "cpu")
+
+
+def enable_compile_cache(path: str = "/root/.cache/kaldi_fp16_tpu_xla"):
+    """Persistent XLA compilation cache shared across tool processes.
+
+    The flagship train step costs minutes to compile; every CLI
+    invocation is a fresh process, so without this each run repays the
+    full compile.  Serialized executables are keyed on HLO + compile
+    options, so correctness is unaffected.  Safe to call before any
+    backend is initialized (config only)."""
+    import jax
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+
+# Every tool pays compile on each invocation; cache unconditionally.
+enable_compile_cache()

@@ -62,6 +62,10 @@ def main():
     ap.add_argument("--feat-dim", type=int, default=40)
     ap.add_argument("--ivector-dim", type=int, default=100)
     ap.add_argument("--den-states", type=int, default=32)
+    ap.add_argument("--den-topology", default="random",
+                    choices=["random", "phone-lm"],
+                    help="phone-lm = realistic den.fst structure (routes "
+                         "to the structured denominator kernels)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -90,8 +94,16 @@ def main():
         total += len(exs)
         print(f"wrote {path}: {len(exs)} examples")
 
-    den = make_simple_den_fst(num_pdfs=args.pdfs, num_states=args.den_states,
-                              seed=args.seed, arcs_per_state=4)
+    if args.den_topology == "phone-lm":
+        from kaldi_fp16_tpu.chain.graph import make_phone_lm_den_fst
+        den = make_phone_lm_den_fst(
+            num_pdfs=args.pdfs, num_phones=max(2, args.den_states // 2),
+            states_per_phone=2,
+            branching=min(8, max(2, args.den_states // 4)), seed=args.seed)
+    else:
+        den = make_simple_den_fst(num_pdfs=args.pdfs,
+                                  num_states=args.den_states,
+                                  seed=args.seed, arcs_per_state=4)
     den_path = os.path.join(args.outdir, "den.fst")
     write_fst_file(den_path, den, fmt="vector")
     print(f"wrote {den_path}: {den.num_states} states, {den.num_arcs} arcs")

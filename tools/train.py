@@ -46,6 +46,10 @@ def main():
                     help="Kaldi NG-SGD: precondition affine grads with "
                          "online low-rank Fisher estimates")
     ap.add_argument("--leaky-hmm", type=float, default=1e-5)
+    ap.add_argument("--den-mode", default="exact", choices=["exact", "fast"],
+                    help="denominator numerics: exact (bf16x3 parity "
+                         "class) or fast (single-pass bf16, ~1e-3 drift "
+                         "— see docs/PERFORMANCE.md A/B)")
     ap.add_argument("--frame-subsampling", type=int, default=3)
     ap.add_argument("--shuffle-buffer", type=int, default=1024)
     ap.add_argument("--prefetch", type=int, default=2,
@@ -84,7 +88,8 @@ def main():
     den_fst = read_fst_file(args.den_fst)
     print(f"den.fst: {den_fst.num_states} states, {den_fst.num_arcs} arcs")
     den_graph = DenominatorGraph.from_fst(den_fst, args.pdfs)
-    den = DenominatorComputation(den_graph, leaky=args.leaky_hmm)
+    den = DenominatorComputation(den_graph, leaky=args.leaky_hmm,
+                                 mode=args.den_mode)
 
     # estimate total steps for the lr schedule from a cheap marker scan
     # (a full decoding pass over a production dataset would double

@@ -36,6 +36,9 @@ def main():
     ap.add_argument("--remat", action="store_true",
                     help="jax.checkpoint the network forward (trade FLOPs "
                          "for activation HBM traffic)")
+    ap.add_argument("--bn-lowp", action="store_true",
+                    help="batchnorm in bf16 with fp32-accumulated stats "
+                         "(no fp32 activation upcast; MFU experiment)")
     args = ap.parse_args()
 
     import jax
@@ -58,6 +61,9 @@ def main():
     T_out = (T_in - left + stride - 1) // stride
 
     model = build_model(args.xconfig)
+    if args.bn_lowp:
+        from kaldi_fp16_tpu.models.network import set_bn_lowp_stats
+        set_bn_lowp_stats(True)
     dst = np.sort(rng.integers(0, S, size=A).astype(np.int32))
     graph = DenominatorGraph(
         src=rng.integers(0, S, size=A).astype(np.int32), dst=dst,
@@ -122,6 +128,7 @@ def main():
                    "frames_in": T_in, "frames_out": T_out,
                    "natural_gradient": args.natural_gradient,
                    "den_mode": args.mode, "remat": args.remat,
+                   "bn_lowp": args.bn_lowp,
                    "loss": float(out.loss)},
     }))
 
