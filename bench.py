@@ -137,5 +137,32 @@ def main():
     }))
 
 
+def _wait_for_backend(max_wait_s: float = 1800.0) -> None:
+    """The tunneled TPU backend has transient UNAVAILABLE windows
+    (observed: tens of minutes, and init can HANG rather than raise).
+    Probe in a subprocess with a hard timeout so a wedged tunnel is
+    waited out instead of recording a failed round."""
+    import subprocess
+    import sys
+    probe = ("import jax, jax.numpy as jnp; x = jnp.ones((128, 128)); "
+             "(x @ x).block_until_ready()")
+    deadline = time.time() + max_wait_s
+    while True:
+        try:
+            r = subprocess.run([sys.executable, "-c", probe],
+                               timeout=150, capture_output=True)
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() > deadline:
+            print("# backend still unavailable; attempting bench anyway",
+                  flush=True)
+            return
+        print("# backend unavailable; retrying in 60s", flush=True)
+        time.sleep(60.0)
+
+
 if __name__ == "__main__":
+    _wait_for_backend()
     main()

@@ -378,6 +378,37 @@ def _arc_viterbi(src, dst, pdf, weight, final, start, loglikes,
     return best, last, arcs_taken
 
 
+class _DataSharding:
+    """Batch-axis GSPMD sharding for the device decoders (no-op without
+    a mesh).  Graph arrays replicate; [B, ...] inputs shard over the
+    data axis; every downstream [.., B] tensor inherits the sharding."""
+
+    def __init__(self, mesh=None, axis: str = "data"):
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            self._rep = NamedSharding(mesh, PartitionSpec())
+            self._batch = NamedSharding(
+                mesh, PartitionSpec(axis, None, None))
+            self.n = mesh.shape[axis]
+
+    @classmethod
+    def build(cls, mesh, axis: str) -> "_DataSharding":
+        return cls(mesh, axis)
+
+    def replicate(self, x):
+        x = jnp.asarray(x)
+        return x if self.mesh is None else jax.device_put(x, self._rep)
+
+    def shard_batch(self, ll):
+        if self.mesh is None:
+            return ll
+        if ll.shape[0] % self.n:
+            raise ValueError(f"batch {ll.shape[0]} not divisible by "
+                             f"data-axis size {self.n}")
+        return jax.device_put(ll, self._batch)
+
+
 class SparseViterbiDecoder:
     """Exact batched Viterbi over an epsilon-free graph, arc-parallel on
     device with on-device traceback (same results as DenseViterbiDecoder,
@@ -389,26 +420,37 @@ class SparseViterbiDecoder:
     degree-bucketed kernel: exact-parity (tests/test_tpu_viterbi.py
     TestEllLayout) but currently slower on wide-degree graphs and
     compile-pathological at S=100K on the tunneled backend — kept as an
-    opt-in experiment."""
+    opt-in experiment.
+
+    `mesh`: decode data-parallel over the mesh's `data_axis` — the graph
+    arrays replicate to every device and the batch shards, so inference
+    scales over chips exactly like training does (decode is
+    embarrassingly parallel over utterances: GSPMD partitions every
+    [.., B] tensor in the scans with zero collectives).  B must divide
+    by the axis size."""
 
     def __init__(self, graph: DecodingGraph, acoustic_scale: float = 1.0,
-                 layout: str = "segment"):
+                 layout: str = "segment", mesh=None, data_axis: str = "data"):
         self.arcs = ArcGraph.from_graph(graph)
         self.acoustic_scale = acoustic_scale
         self.layout = layout
+        self._shard = _DataSharding.build(mesh, data_axis)
         a = self.arcs
-        self._dev = tuple(jnp.asarray(v) for v in
+        self._dev = tuple(self._shard.replicate(np.asarray(v)) for v in
                           (a.src, a.dst, a.pdf, a.weight, a.final))
         if layout == "ell":
-            self._ell_dev = EllGraph.from_arcs(a, "in").device_arrays()
+            self._ell_dev = jax.tree.map(self._shard.replicate,
+                                         EllGraph.from_arcs(
+                                             a, "in").device_arrays())
         # scalars uploaded once: each per-call transfer costs a full
         # dispatch round trip on tunneled backends
-        self._start_j = jnp.asarray(a.start, jnp.int32)
-        self._scale_j = jnp.asarray(acoustic_scale, jnp.float32)
+        self._start_j = self._shard.replicate(np.int32(a.start))
+        self._scale_j = self._shard.replicate(np.float32(acoustic_scale))
 
     def decode_batch(self, loglikes) -> List[dict]:
         """loglikes [B, T, P] -> list of {words, alignment, total_cost}."""
-        ll = jnp.asarray(loglikes, dtype=jnp.float32)
+        ll = self._shard.shard_batch(
+            jnp.asarray(loglikes, dtype=jnp.float32))
         src, dst, pdf, weight, final = self._dev
         if self.layout == "ell":
             bsrc, bpdf, bw, barc, new_of_old = self._ell_dev
@@ -587,26 +629,33 @@ class DeviceLatticeDecoder:
     """Exact beam-pruned lattice generation on device for epsilon-free
     graphs; host assembly into decode.lattice.Lattice objects.
     layout='segment' (default); layout='ell' runs the alpha/beta scans
-    scatter-free (exact-parity opt-in, see SparseViterbiDecoder)."""
+    scatter-free (exact-parity opt-in, see SparseViterbiDecoder).
+    `mesh`/`data_axis`: batch-shard the decode over a device mesh
+    (see SparseViterbiDecoder)."""
 
     def __init__(self, graph: DecodingGraph, acoustic_scale: float = 1.0,
-                 lattice_beam: float = 8.0, layout: str = "segment"):
+                 lattice_beam: float = 8.0, layout: str = "segment",
+                 mesh=None, data_axis: str = "data"):
         self.graph = graph
         self.arcs = ArcGraph.from_graph(graph)
         self.acoustic_scale = acoustic_scale
         self.lattice_beam = lattice_beam
         self.layout = layout
+        self._shard = _DataSharding.build(mesh, data_axis)
+        rep = self._shard.replicate
         a = self.arcs
-        self._src = jnp.asarray(a.src)
-        self._dst = jnp.asarray(a.dst)
-        self._pdf = jnp.asarray(a.pdf)
-        self._gcost = jnp.asarray(-a.weight)          # back to tropical cost
+        self._src = rep(a.src)
+        self._dst = rep(a.dst)
+        self._pdf = rep(a.pdf)
+        self._gcost = rep(-a.weight)                  # back to tropical cost
         fc = np.where(a.final > NEG_INF / 2, -a.final, -NEG_INF)
-        self._fcost = jnp.asarray(fc.astype(np.float32))
-        self._start = jnp.asarray(a.start, jnp.int32)
+        self._fcost = rep(fc.astype(np.float32))
+        self._start = rep(np.int32(a.start))
         if layout == "ell":
-            ein = EllGraph.from_arcs(a, "in").device_arrays()
-            eout = EllGraph.from_arcs(a, "out").device_arrays()
+            ein = jax.tree.map(rep, EllGraph.from_arcs(a, "in")
+                               .device_arrays())
+            eout = jax.tree.map(rep, EllGraph.from_arcs(a, "out")
+                                .device_arrays())
             # (src, pdf, w, arc, perm); the lattice scans don't need arcs
             self._ell_in = (ein[0], ein[1], ein[2], ein[4])
             self._ell_out = (eout[0], eout[1], eout[2], eout[4])
@@ -614,7 +663,8 @@ class DeviceLatticeDecoder:
     def decode_batch(self, loglikes) -> List["object"]:
         """loglikes [B, T, P] -> list of Lattice (already beam-pruned)."""
         from kaldi_fp16_tpu.decode.lattice import ArcArrays, Lattice
-        ll = jnp.asarray(loglikes, dtype=jnp.float32)
+        ll = self._shard.shard_batch(
+            jnp.asarray(loglikes, dtype=jnp.float32))
         B, T, P = ll.shape
         if self.layout == "ell":
             packed, best = _lattice_masks_ell(

@@ -202,3 +202,43 @@ class TestPrefetchLoader:
         pl.close()
         _time.sleep(0.1)
         assert not pl._thread.is_alive()
+
+
+class TestProcessLoader:
+    def test_same_batches_as_direct(self, tmp_path):
+        from kaldi_fp16_tpu.io.dataloader import (
+            DataLoader, DataLoaderConfig, ProcessLoader,
+        )
+        files = _write_arks(tmp_path, n_files=4, per_file=6)
+        cfg = DataLoaderConfig(batch_size=3)
+        direct_keys = [b.keys for b in DataLoader(files, cfg)]
+        pl = ProcessLoader(files, cfg, workers=2)
+        got = list(pl)
+        pl.close()
+        # deterministic round-robin merge over 2 file shards: same
+        # multiset of batches, same per-shard order as MultiPrefetch
+        assert sorted(map(tuple, (b.keys for b in got))) == \
+            sorted(map(tuple, direct_keys))
+        for b in got:
+            assert np.isfinite(b.features).all()
+
+    def test_worker_error_propagates(self):
+        """Corrupt/missing FILES are skip-with-reason by design, so the
+        error path is a genuine crash: the worker body must capture it
+        as an ('error', ...) message and the parent must re-raise."""
+        import multiprocessing as mp
+        from kaldi_fp16_tpu.io.dataloader import (
+            DataLoaderConfig, ProcessLoader, _process_worker_main,
+        )
+        q = mp.get_context("spawn").Queue()
+        _process_worker_main([], DataLoaderConfig(batch_size=2), True, q)
+        kind, payload = q.get(timeout=5)
+        assert kind == "error" and "no ark files" in payload
+
+        pl = ProcessLoader.__new__(ProcessLoader)
+        pl.workers = 1
+        q2 = mp.get_context("spawn").Queue()
+        q2.put(("error", "boom"))
+        pl._queues, pl._procs, pl._summaries = [q2], [], []
+        with pytest.raises(RuntimeError, match="worker 0 failed: boom"):
+            list(pl)

@@ -190,3 +190,66 @@ def test_sharded_with_natural_gradient():
     np.testing.assert_allclose(np.asarray(os1["ng"][site]["in"].v),
                                np.asarray(os2["ng"][site]["in"].v),
                                rtol=1e-4, atol=1e-5)
+
+
+class TestDataParallelDecode:
+    """Meshed decoding: graph replicated, batch sharded over 'data' —
+    results must be IDENTICAL to the unsharded decoder."""
+
+    def _graph(self, seed=5):
+        from kaldi_fp16_tpu.decode.graph import DecodingGraph
+        from kaldi_fp16_tpu.io.fst import Fst, FstArc, FstState
+        rng = np.random.default_rng(seed)
+        n, P_ = 30, 12
+        states = [FstState() for _ in range(n)]
+        for s in range(n):
+            for _ in range(3):
+                states[s].arcs.append(FstArc(
+                    int(rng.integers(1, P_ + 1)),
+                    float(rng.uniform(0, 2)),
+                    int(rng.integers(0, n)),
+                    olabel=int(rng.integers(0, 5))))
+            if rng.uniform() < 0.4:
+                states[s].final = float(rng.uniform(0, 1))
+        states[0].final = 0.0
+        return DecodingGraph.from_fst(Fst(start=0, states=states)), P_
+
+    def test_viterbi_sharded_matches_unsharded(self):
+        from kaldi_fp16_tpu.decode.tpu_viterbi import SparseViterbiDecoder
+        g, P_ = self._graph()
+        mesh = make_mesh(MeshConfig(data=8))
+        rng = np.random.default_rng(33)
+        ll = rng.normal(size=(8, 11, P_)).astype(np.float32)
+        ref = SparseViterbiDecoder(g).decode_batch(ll)
+        got = SparseViterbiDecoder(g, mesh=mesh).decode_batch(ll)
+        for r, s in zip(ref, got):
+            assert r["words"] == s["words"]
+            assert r["alignment"] == s["alignment"]
+            np.testing.assert_allclose(r["total_cost"], s["total_cost"],
+                                       atol=1e-4)
+
+    def test_viterbi_bad_batch_raises(self):
+        from kaldi_fp16_tpu.decode.tpu_viterbi import SparseViterbiDecoder
+        g, P_ = self._graph()
+        mesh = make_mesh(MeshConfig(data=8))
+        dec = SparseViterbiDecoder(g, mesh=mesh)
+        with pytest.raises(ValueError, match="divisible"):
+            dec.decode_batch(np.zeros((3, 5, P_), np.float32))
+
+    def test_lattice_sharded_matches_unsharded(self):
+        from kaldi_fp16_tpu.decode.tpu_viterbi import DeviceLatticeDecoder
+        g, P_ = self._graph(seed=6)
+        mesh = make_mesh(MeshConfig(data=8))
+        rng = np.random.default_rng(44)
+        ll = rng.normal(size=(8, 9, P_)).astype(np.float32)
+        ref = DeviceLatticeDecoder(g, lattice_beam=5.0).decode_batch(ll)
+        got = DeviceLatticeDecoder(g, lattice_beam=5.0,
+                                   mesh=mesh).decode_batch(ll)
+        for r, s in zip(ref, got):
+            ra = {(int(r.node_frame[a.src]), a.ilabel, a.olabel,
+                   round(a.graph_cost, 4), round(a.acoustic_cost, 4))
+                  for a in r.arcs}
+            sa = {(int(s.node_frame[a.src]), a.ilabel, a.olabel,
+                   round(a.graph_cost, 4), round(a.acoustic_cost, 4))
+                  for a in s.arcs}
+            assert ra == sa

@@ -21,8 +21,10 @@ import json
 import os
 import sys
 
-# CPU platform with 2 local devices per process, BEFORE importing jax
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# CPU platform with 2 local devices per process, BEFORE importing jax.
+# Hard assignment, not setdefault: the ambient environment pins the
+# tunneled TPU platform, and this worker is defined to run on CPU.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
