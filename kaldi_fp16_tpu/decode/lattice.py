@@ -338,6 +338,100 @@ class Lattice:
         """All distinct word sequences (for small test lattices)."""
         return {tuple(w) for w, _ in self.n_best(1000)}
 
+    def arc_posteriors(self, acoustic_scale: float = 1.0,
+                       lm_scale: float = 1.0) -> np.ndarray:
+        """Per-arc posterior probability under the log semiring:
+        gamma[a] = exp(alpha[src] + logp(a) + beta[dst] - total), with
+        alpha/beta log-sum forward/backward over the lattice (the
+        sum-over-paths analog of _forward/_backward_costs' min-plus).
+        For an eps-free lattice the posteriors of the arcs leaving any
+        frame cut sum to 1 (tested).  Kaldi analog: the gamma of
+        lattice-arc-post / confidence tooling."""
+        aa = self._arc_arrays()
+        lp = -aa.costs(acoustic_scale, lm_scale)      # log path score
+        alpha = np.full(self.num_nodes, -np.inf)
+        alpha[0] = 0.0
+        beta = np.where(np.isfinite(self.final_cost),
+                        -self.final_cost.astype(np.float64), -np.inf)
+        if self._is_eps_free():
+            order, bounds = self._frame_groups()
+            for f in range(len(bounds) - 1):
+                idx = order[bounds[f]:bounds[f + 1]]
+                if len(idx):
+                    np.logaddexp.at(alpha, aa.dst[idx],
+                                    alpha[aa.src[idx]] + lp[idx])
+            for f in range(len(bounds) - 2, -1, -1):
+                idx = order[bounds[f]:bounds[f + 1]]
+                if len(idx):
+                    np.logaddexp.at(beta, aa.src[idx],
+                                    lp[idx] + beta[aa.dst[idx]])
+        else:
+            topo = self._arc_topo_order()
+            for i in topo:
+                a = self.arcs[i]
+                alpha[a.dst] = np.logaddexp(
+                    alpha[a.dst],
+                    alpha[a.src] - a.cost(acoustic_scale, lm_scale))
+            for i in reversed(topo):
+                a = self.arcs[i]
+                beta[a.src] = np.logaddexp(
+                    beta[a.src],
+                    -a.cost(acoustic_scale, lm_scale) + beta[a.dst])
+        # total over paths = logsumexp of alpha at final nodes
+        fin = np.isfinite(self.final_cost)
+        if not fin.any():
+            return np.zeros(len(aa))
+        total = np.logaddexp.reduce(
+            alpha[fin] - self.final_cost[fin].astype(np.float64))
+        with np.errstate(invalid="ignore"):
+            g = alpha[aa.src] + lp + beta[aa.dst] - total
+        return np.where(np.isfinite(g), np.exp(np.minimum(g, 0.0)), 0.0)
+
+    def to_ctm(self, frame_shift: float = 0.03,
+               acoustic_scale: float = 1.0, lm_scale: float = 1.0,
+               with_confidence: bool = True
+               ) -> List[Tuple[float, float, int, float]]:
+        """Best path as CTM rows (start_s, dur_s, word_id, confidence).
+
+        Word timing: a word starts at its emitting arc's source frame
+        and runs until the next word's start (last word: to the final
+        frame) — the standard approximation without word-boundary info
+        (Kaldi nbest-to-ctm on a word-aligned lattice is exact; HCLG
+        olabel placement makes this approximate either way).
+        Confidence: total posterior mass of arcs carrying the same
+        word label that overlap the word's frame span (a lightweight
+        lattice-confidence analog, not full MBR)."""
+        alpha, back = self._forward_costs(acoustic_scale, lm_scale)
+        total = alpha + self.final_cost
+        end = int(np.argmin(total))
+        if not np.isfinite(total[end]):
+            return []
+        path: List[LatticeArc] = []
+        node = end
+        while back[node] is not None:
+            path.append(back[node])
+            node = back[node].src
+        path.reverse()
+        T_end = int(self.node_frame[end])
+        starts = [(int(self.node_frame[a.src]), a.olabel)
+                  for a in path if a.olabel > 0]
+        gamma = self.arc_posteriors(acoustic_scale, lm_scale) \
+            if with_confidence else None
+        aa = self._arc_arrays() if with_confidence else None
+        rows = []
+        for i, (f0, w) in enumerate(starts):
+            f1 = starts[i + 1][0] if i + 1 < len(starts) else max(T_end, f0 + 1)
+            f1 = max(f1, f0 + 1)
+            conf = 1.0
+            if with_confidence:
+                sel = ((aa.olabel == w)
+                       & (self.node_frame[aa.src] < f1)
+                       & (self.node_frame[aa.dst] > f0))
+                conf = float(min(1.0, gamma[sel].sum()))
+            rows.append((round(f0 * frame_shift, 3),
+                         round((f1 - f0) * frame_shift, 3), int(w), conf))
+        return rows
+
 
 def _renumber_arrays(lat: Lattice, aa: ArcArrays,
                      mask: np.ndarray) -> Lattice:

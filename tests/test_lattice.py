@@ -288,3 +288,49 @@ class TestArcArrays:
         assert aa[-1] == lat.arcs[-1]
         assert list(aa[:2]) == lat.arcs[:2]
         assert bool(aa)
+
+
+class TestPosteriorsAndCTM:
+    def test_posteriors_two_path(self, graph):
+        """Two competing single-word paths: per-arc posteriors must
+        match the softmax of the two path scores, and arcs crossing any
+        frame boundary must sum to 1."""
+        lat = LatticeDecoder(graph).decode(ambiguous_loglikes())
+        g = lat.arc_posteriors()
+        aa = lat._arc_arrays()
+        # path scores: -(sum ll) + graph costs; softmax over 2 paths
+        s1 = 1.5 + 1.5   # word-1 acoustics
+        s2 = 1.0 + 1.0
+        p1 = np.exp(s1) / (np.exp(s1) + np.exp(s2))
+        for f in range(2):
+            cross = ((lat.node_frame[aa.src] <= f)
+                     & (lat.node_frame[aa.dst] > f))
+            np.testing.assert_allclose(g[cross].sum(), 1.0, atol=1e-9)
+        word1_arcs = aa.olabel == 1
+        np.testing.assert_allclose(g[word1_arcs].sum(), p1, atol=1e-9)
+
+    def test_posteriors_single_path_all_one(self, graph):
+        lat = LatticeDecoder(graph).decode(loglikes_for([1, 2]))
+        lat = lat.prune(0.5)
+        g = lat.arc_posteriors()
+        np.testing.assert_allclose(g, np.ones(len(g)), atol=1e-9)
+
+    def test_ctm_rows(self, graph):
+        ll = loglikes_for([1, 2, 3, 4])
+        lat = LatticeDecoder(graph).decode(ll)
+        rows = lat.to_ctm(frame_shift=0.03)
+        words = [r[2] for r in rows]
+        assert words == [1, 2]
+        starts = [r[0] for r in rows]
+        assert starts == sorted(starts)
+        for start, dur, w, conf in rows:
+            assert dur > 0 and 0.0 <= conf <= 1.0
+        # unambiguous acoustics => confident words
+        assert all(r[3] > 0.95 for r in rows)
+
+    def test_ctm_confidence_reflects_ambiguity(self, graph):
+        lat = LatticeDecoder(graph).decode(ambiguous_loglikes(tilt=0.2))
+        rows = lat.to_ctm()
+        assert len(rows) == 1 and rows[0][2] == 1
+        s1, s2 = np.exp(1.2 + 1.2), np.exp(1.0 + 1.0)
+        np.testing.assert_allclose(rows[0][3], s1 / (s1 + s2), atol=1e-6)

@@ -40,6 +40,12 @@ def main():
     ap.add_argument("--lm-weight", type=float, default=1.0)
     ap.add_argument("--old-lm-weight", type=float, default=0.0,
                     help="weight on the graph's own scores when rescoring")
+    ap.add_argument("--ctm", help="write best-path word timings + "
+                    "confidences (lattice posteriors) as CTM to this "
+                    "path (lattice modes only)")
+    ap.add_argument("--frame-shift", type=float, default=0.03,
+                    help="seconds per OUTPUT frame for CTM times "
+                         "(0.01 input shift x subsampling 3)")
     ap.add_argument("--on-device", action="store_true",
                     help="batched exact decode on the TPU (arc-parallel, "
                          "epsilon-free graphs); with --nbest/--arpa-lm the "
@@ -112,6 +118,17 @@ def main():
         print(f"ARPA LM loaded: order {lm.order}, {len(lm.ngrams)} n-grams")
 
     hyps, ref_list, hyp_list = {}, [], []
+    ctm_f = open(args.ctm, "w") if args.ctm else None
+
+    def emit_ctm(key, lat):
+        """Kaldi-format CTM: key channel start dur word [conf]."""
+        if ctm_f is None:
+            return
+        for start, dur, w, conf in lat.to_ctm(
+                frame_shift=args.frame_shift,
+                acoustic_scale=args.acoustic_scale):
+            ctm_f.write(f"{key} 1 {start:.3f} {dur:.3f} {w} {conf:.3f}\n")
+
     if args.on_device:
         # batched exact decode on device, grouped by frame count so every
         # group is one [B, T, P] dispatch (no padding frames that would
@@ -122,7 +139,7 @@ def main():
             print(f"epsilon-removing the graph for on-device decode "
                   f"({len(graph.eps_dst)} eps arcs)")
             graph = remove_epsilons(graph)
-        want_lattice = bool(args.nbest or args.arpa_lm)
+        want_lattice = bool(args.nbest or args.arpa_lm or args.ctm)
         if want_lattice:
             from kaldi_fp16_tpu.decode.tpu_viterbi import DeviceLatticeDecoder
             ddec = DeviceLatticeDecoder(graph,
@@ -150,6 +167,7 @@ def main():
                     words, cost = lat.best_path(
                         acoustic_scale=args.acoustic_scale)
                     hyps[key] = words
+                    emit_ctm(key, lat)
                     extra = ""
                     if args.nbest:
                         nb = lat.n_best(args.nbest,
@@ -174,6 +192,9 @@ def main():
         if ref_list:
             report = wer(ref_list, hyp_list)
             print("WER: " + " ".join(f"{k}={v}" for k, v in report.items()))
+        if ctm_f:
+            ctm_f.close()
+            print(f"wrote CTM: {args.ctm}")
         return
 
     dec = LatticeDecoder(graph, LatticeDecodeOptions(
@@ -187,6 +208,7 @@ def main():
                                   old_lm_weight=args.old_lm_weight)
         words, cost = lat.best_path(acoustic_scale=args.acoustic_scale)
         hyps[key] = words
+        emit_ctm(key, lat)
         extra = ""
         if args.nbest:
             nb = lat.n_best(args.nbest, acoustic_scale=args.acoustic_scale)
@@ -200,6 +222,9 @@ def main():
     if ref_list:
         report = wer(ref_list, hyp_list)
         print("WER: " + " ".join(f"{k}={v}" for k, v in report.items()))
+    if ctm_f:
+        ctm_f.close()
+        print(f"wrote CTM: {args.ctm}")
 
 
 if __name__ == "__main__":
