@@ -57,6 +57,10 @@ def main():
     ap.add_argument("--per-file", type=int, default=32)
     ap.add_argument("--den-states", type=int, default=96)
     ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--cpu", action="store_true",
+                    help="run both trainings on the CPU backend (the A/B "
+                         "is a NUMERICS comparison, valid on any backend; "
+                         "use during TPU-tunnel outages)")
     ap.add_argument("--xconfig", default=None,
                     help="default: a small tdnnf recipe written into "
                          "workdir")
@@ -102,7 +106,7 @@ output-layer name=output dim={args.pdfs} include-log-softmax=false
              "--epochs", str(args.epochs), "--batch", str(args.batch),
              "--lr", str(args.lr), "--momentum", "0.5",
              "--den-mode", mode, "--metrics", metrics,
-             "--seed", "0"],
+             "--seed", "0"] + (["--cpu"] if args.cpu else []),
             os.path.join(args.workdir, f"train_{mode}.log"))
         rows = [r for r in read_metrics(metrics) if "objf_per_frame" in r]
         result["runs"][mode] = {

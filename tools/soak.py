@@ -58,6 +58,10 @@ def main():
                          "many steps (mid-epoch)")
     ap.add_argument("--ckpt-every", type=int, default=10)
     ap.add_argument("--xconfig", default="configs/cnn_tdnn.xconfig")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (kill/resume continuity "
+                         "is backend-independent; use during TPU-tunnel "
+                         "outages — pair with a small --xconfig/--pdfs)")
     args = ap.parse_args()
 
     os.makedirs(args.workdir, exist_ok=True)
@@ -90,7 +94,7 @@ def main():
         "--metrics", metrics, "--ckpt-dir", ckpt,
         "--ckpt-every", str(args.ckpt_every), "--log-every", "5",
         "--seed", "0",
-    ]
+    ] + (["--cpu"] if args.cpu else [])
 
     # ---- run 1: train until kill-after-steps, then SIGKILL ---------------
     if os.path.exists(metrics):

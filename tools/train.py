@@ -64,8 +64,13 @@ def main():
     ap.add_argument("--fst-pad-states", type=int, default=256)
     ap.add_argument("--fst-pad-arcs", type=int, default=512)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (numerics work during "
+                         "TPU-tunnel outages; perf numbers meaningless)")
     args = ap.parse_args()
 
+    if args.cpu:
+        _common.force_cpu()
     import jax
     from kaldi_fp16_tpu.chain.denominator import DenominatorComputation
     from kaldi_fp16_tpu.chain.graph import DenominatorGraph
