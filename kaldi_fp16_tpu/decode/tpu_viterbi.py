@@ -236,6 +236,15 @@ class EllGraph:
         states, `src` holds arc destinations (beta recursion)."""
         A = len(a.src)
         S = a.num_states
+        if A == 0:
+            # degenerate graph (states, no emitting arcs): one all-pad
+            # bucket so the kernels still trace; nothing ever wins a max
+            return cls(src=(np.zeros((S, 1), np.int32),),
+                       pdf=(np.zeros((S, 1), np.int32),),
+                       weight=(np.full((S, 1), NEG_INF, np.float32),),
+                       arc=(np.zeros((S, 1), np.int32),),
+                       new_of_old=np.arange(S, dtype=np.int32),
+                       num_states=S, num_arcs=0)
         if direction == "in":
             order = np.arange(A, dtype=np.int64)   # already dst-sorted
             key, other = a.dst, a.src
@@ -392,10 +401,6 @@ class _DataSharding:
                 mesh, PartitionSpec(axis, None, None))
             self.n = mesh.shape[axis]
 
-    @classmethod
-    def build(cls, mesh, axis: str) -> "_DataSharding":
-        return cls(mesh, axis)
-
     def replicate(self, x):
         x = jnp.asarray(x)
         return x if self.mesh is None else jax.device_put(x, self._rep)
@@ -434,7 +439,7 @@ class SparseViterbiDecoder:
         self.arcs = ArcGraph.from_graph(graph)
         self.acoustic_scale = acoustic_scale
         self.layout = layout
-        self._shard = _DataSharding.build(mesh, data_axis)
+        self._shard = _DataSharding(mesh, data_axis)
         a = self.arcs
         self._dev = tuple(self._shard.replicate(np.asarray(v)) for v in
                           (a.src, a.dst, a.pdf, a.weight, a.final))
@@ -449,6 +454,12 @@ class SparseViterbiDecoder:
 
     def decode_batch(self, loglikes) -> List[dict]:
         """loglikes [B, T, P] -> list of {words, alignment, total_cost}."""
+        if len(self.arcs.src) == 0:
+            # no emitting arcs: with T >= 1 frames no path exists (the
+            # device kernels cannot take() from empty arc arrays)
+            return [{"words": [], "alignment": [],
+                     "total_cost": -NEG_INF, "final_reached": False}
+                    for _ in range(np.shape(loglikes)[0])]
         ll = self._shard.shard_batch(
             jnp.asarray(loglikes, dtype=jnp.float32))
         src, dst, pdf, weight, final = self._dev
@@ -641,7 +652,7 @@ class DeviceLatticeDecoder:
         self.acoustic_scale = acoustic_scale
         self.lattice_beam = lattice_beam
         self.layout = layout
-        self._shard = _DataSharding.build(mesh, data_axis)
+        self._shard = _DataSharding(mesh, data_axis)
         rep = self._shard.replicate
         a = self.arcs
         self._src = rep(a.src)
@@ -651,6 +662,9 @@ class DeviceLatticeDecoder:
         fc = np.where(a.final > NEG_INF / 2, -a.final, -NEG_INF)
         self._fcost = rep(fc.astype(np.float32))
         self._start = rep(np.int32(a.start))
+        # scalars uploaded once (per-call transfer = one dispatch RTT)
+        self._scale_j = rep(np.float32(acoustic_scale))
+        self._beam_j = rep(np.float32(lattice_beam))
         if layout == "ell":
             ein = jax.tree.map(rep, EllGraph.from_arcs(a, "in")
                                .device_arrays())
@@ -663,6 +677,11 @@ class DeviceLatticeDecoder:
     def decode_batch(self, loglikes) -> List["object"]:
         """loglikes [B, T, P] -> list of Lattice (already beam-pruned)."""
         from kaldi_fp16_tpu.decode.lattice import ArcArrays, Lattice
+        if len(self.arcs.src) == 0:
+            return [Lattice(num_nodes=1, arcs=[],
+                            final_cost=np.array([np.inf]),
+                            node_frame=np.zeros(1, np.int64))
+                    for _ in range(np.shape(loglikes)[0])]
         ll = self._shard.shard_batch(
             jnp.asarray(loglikes, dtype=jnp.float32))
         B, T, P = ll.shape
@@ -670,16 +689,12 @@ class DeviceLatticeDecoder:
             packed, best = _lattice_masks_ell(
                 *self._ell_in, *self._ell_out,
                 self._src, self._dst, self._pdf, self._gcost, self._fcost,
-                self._start, ll,
-                jnp.asarray(self.acoustic_scale, jnp.float32),
-                jnp.asarray(self.lattice_beam, jnp.float32),
+                self._start, ll, self._scale_j, self._beam_j,
                 num_states=self.arcs.num_states)
         else:
             packed, best = _lattice_masks(
                 self._src, self._dst, self._pdf, self._gcost, self._fcost,
-                self._start, ll,
-                jnp.asarray(self.acoustic_scale, jnp.float32),
-                jnp.asarray(self.lattice_beam, jnp.float32),
+                self._start, ll, self._scale_j, self._beam_j,
                 num_states=self.arcs.num_states)
         packed = np.asarray(packed)                   # [T, A8, B]
         best = np.asarray(best)

@@ -424,11 +424,24 @@ class ProcessLoader:
         self._summaries: List[str] = []
 
     def __iter__(self) -> Iterator[ChainBatch]:
+        import queue as _queue
         live = list(range(self.workers))
         w = 0
         while live:
             i = live[w % len(live)]
-            kind, payload = self._queues[i].get()
+            try:
+                kind, payload = self._queues[i].get(timeout=10.0)
+            except _queue.Empty:
+                # a worker that died without a sentinel (segfault in the
+                # native parser, OOM-kill) must not hang the feeder
+                if i < len(self._procs) and not self._procs[i].is_alive():
+                    code = self._procs[i].exitcode
+                    self.close()
+                    raise RuntimeError(
+                        f"loader worker {i} died without a message "
+                        f"(exit code {code}) — native-parser crash or "
+                        f"OOM kill") from None
+                continue
             if kind == "batch":
                 w += 1
                 yield payload

@@ -222,8 +222,14 @@ def _batchnorm_lowp(x: jnp.ndarray, bn_state: dict, target_rms: float,
     to the exact path (fp32 scalars)."""
     if train:
         mean = jnp.mean(x, axis=(0, 1), dtype=jnp.float32)
-        ex2 = jnp.mean(jnp.square(x), axis=(0, 1), dtype=jnp.float32)
-        var = jnp.maximum(ex2 - mean * mean, 0.0)
+        # two-pass variance: the E[x^2]-mean^2 form cancels
+        # catastrophically when |mean| >> std (fp32 resolution ~1e-3 at
+        # mean~1e2); centering in the compute dtype first keeps the
+        # reduction stable while still never materializing an fp32 copy
+        centered = x - mean.astype(x.dtype)
+        var = jnp.maximum(
+            jnp.mean(jnp.square(centered), axis=(0, 1),
+                     dtype=jnp.float32), 0.0)
         n = jnp.asarray(x.shape[0] * x.shape[1], jnp.float32)
         count = bn_state["count"] + n
         delta = mean - bn_state["mean"]

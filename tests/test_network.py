@@ -105,6 +105,23 @@ class TestPrimitives:
             np.testing.assert_allclose(np.asarray(low_st[k]),
                                        np.asarray(ref_st[k]),
                                        rtol=0.02, atol=0.02)
+        # ill-conditioned REDUCTION case: |mean| >> std cancels
+        # catastrophically under the E[x^2]-mean^2 form (fp32 resolution
+        # ~1e-3 at 1e4); the two-pass centered form must track the exact
+        # path tightly.  fp32 input isolates the reduction from bf16
+        # input quantization.
+        x_ill = jnp.asarray(
+            (100.0 + 0.1 * rng.normal(size=(4, 10, 8)))
+            .astype(np.float32))
+        ref_i, ref_st_i = _batchnorm(x_ill, st, 1.0, 1e-3, train=True)
+        low_i, low_st_i = _batchnorm_lowp(x_ill, st, 1.0, 1e-3,
+                                          train=True)
+        np.testing.assert_allclose(np.asarray(low_i, np.float32),
+                                   np.asarray(ref_i), atol=1e-2)
+        np.testing.assert_allclose(np.asarray(low_st_i["var"]),
+                                   np.asarray(ref_st_i["var"]),
+                                   rtol=1e-3)
+
         # the module switch routes bf16 inputs only (fp32 path unchanged)
         set_bn_lowp_stats(True)
         try:

@@ -253,3 +253,43 @@ class TestDataParallelDecode:
                    round(a.graph_cost, 4), round(a.acoustic_cost, 4))
                   for a in s.arcs}
             assert ra == sa
+
+
+def test_sharded_structured_denominator():
+    """The STRUCTURED denominator (the production path for phone-LM
+    graphs) must produce identical numbers under dp sharding — its
+    chain-layout transforms, [F, F] matmul, and posterior reduction all
+    have to partition cleanly along the batch axis."""
+    from kaldi_fp16_tpu.chain.graph import make_phone_lm_den_fst
+    model, _, num_graph, batch, config = _setup()
+    den_graph = DenominatorGraph.from_fst(
+        make_phone_lm_den_fst(num_pdfs=NUM_PDFS, num_phones=4,
+                              states_per_phone=2, branching=3, seed=2),
+        NUM_PDFS)
+    den = DenominatorComputation(den_graph, leaky=1e-4)
+    assert den._structured is not None, \
+        "phone-LM graph must route to the structured kernels"
+    opts = ChainTrainingOpts()
+
+    step1 = make_train_step(model, den, num_graph, opts, config,
+                            num_frames_out=T_OUT, donate=False)
+    params, net_state, opt_state, scale_state = init_train_state(
+        model, jax.random.PRNGKey(0), config)
+    rng = jax.random.PRNGKey(5)
+    _, _, _, _, out1 = step1(params, net_state, opt_state, scale_state,
+                             batch, rng)
+
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+    pure = make_train_step(model, den, num_graph, opts, config,
+                           num_frames_out=T_OUT, donate=False, jit=False)
+    params2, net_state2, opt_state2, scale_state2 = init_train_state(
+        model, jax.random.PRNGKey(0), config)
+    sbatch = shard_batch(batch, mesh)
+    sstep, placed = make_sharded_train_step(
+        pure, mesh, model, params2, net_state2, opt_state2, scale_state2,
+        sbatch)
+    _, _, _, _, out2 = sstep(*placed, sbatch, rng)
+    np.testing.assert_allclose(float(out1.loss), float(out2.loss),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(out1.den_logprob),
+                               float(out2.den_logprob), rtol=1e-5)

@@ -12,18 +12,43 @@ def force_cpu():
     jax.config.update("jax_platforms", "cpu")
 
 
-def enable_compile_cache(path: str = "/root/.cache/kaldi_fp16_tpu_xla"):
+def enable_compile_cache(path: str = None):
     """Persistent XLA compilation cache shared across tool processes.
 
     The flagship train step costs minutes to compile; every CLI
     invocation is a fresh process, so without this each run repays the
     full compile.  Serialized executables are keyed on HLO + compile
     options, so correctness is unaffected.  Safe to call before any
-    backend is initialized (config only)."""
-    import jax
-    os.makedirs(path, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", path)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    backend is initialized (config only); failures (read-only home,
+    no jax) degrade to no cache rather than crashing numpy-only tools."""
+    try:
+        import jax
+        if path is None:
+            path = os.path.join(os.path.expanduser("~"), ".cache",
+                                "kaldi_fp16_tpu_xla")
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:  # noqa: BLE001 — cache is an optimization only
+        pass
+
+
+def read_metrics(path):
+    """Rows of a metrics JSONL file; tolerates a torn tail line (a
+    killed training run tears its last write)."""
+    import json
+    rows = []
+    if not os.path.exists(path):
+        return rows
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                try:
+                    rows.append(json.loads(line))
+                except json.JSONDecodeError:
+                    pass
+    return rows
 
 
 # Every tool pays compile on each invocation; cache unconditionally.

@@ -11,7 +11,7 @@ cmd/chainbench — drift quantified, then the fast path promoted), applied
 at the training-trajectory level.
 
 Usage: python tools/abtest.py [--workdir /tmp/abtest] [--epochs 6]
-           [--batch 16] [--pdfs 96] [--steps-per-epoch 0]
+           [--batch 16] [--pdfs 96] [--cpu]
 Writes WORKDIR/ab_result.json and prints a markdown table.
 """
 
@@ -23,6 +23,7 @@ import sys
 import time
 
 import _common  # noqa: F401
+from _common import read_metrics
 
 
 def run(cmd, log_path):
@@ -35,16 +36,6 @@ def run(cmd, log_path):
         raise SystemExit(f"command failed: {' '.join(cmd)}\n"
                          + "\n".join(tail))
     return time.perf_counter() - t0
-
-
-def read_metrics(path):
-    rows = []
-    with open(path) as f:
-        for line in f:
-            line = line.strip()
-            if line:
-                rows.append(json.loads(line))
-    return rows
 
 
 def main():

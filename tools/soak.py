@@ -27,22 +27,8 @@ import sys
 import time
 
 import _common  # noqa: F401
+from _common import read_metrics
 import numpy as np
-
-
-def read_metrics(path):
-    rows = []
-    if not os.path.exists(path):
-        return rows
-    with open(path) as f:
-        for line in f:
-            line = line.strip()
-            if line:
-                try:
-                    rows.append(json.loads(line))
-                except json.JSONDecodeError:
-                    pass  # torn tail line from the kill
-    return rows
 
 
 def main():
@@ -143,6 +129,13 @@ def main():
     lr_ok = all(abs(r["lr"] - lr_pre.get(r["step"], r["lr"])) < 1e-9
                 for r in rows2 if r["step"] in lr_pre)
 
+    # a resume that silently RESTARTED from scratch would re-log steps
+    # 1..last_ckpt (deterministic seed makes every other check pass);
+    # a true resume replays only steps > last_ckpt_step
+    n_old_1 = sum(1 for r in rows1 if r["step"] <= last_ckpt_step)
+    n_old_2 = sum(1 for r in rows2 if r["step"] <= last_ckpt_step)
+    no_restart = n_old_1 == n_old_2
+
     lo = min(pre_tail) - 3.0 * (max(pre_tail) - min(pre_tail) + 0.02)
     hi = max(pre_tail) + 3.0 * (max(pre_tail) - min(pre_tail) + 0.02)
     continuity = (all(lo <= v <= hi for v in post_head)
@@ -154,6 +147,7 @@ def main():
         "last_ckpt_step": last_ckpt_step,
         "resumed_at_step": resumed_from,
         "resume_ok": 0 < resumed_from <= len(rows1) + 1,
+        "no_restart": bool(no_restart),
         "pre_kill_tail_objf": pre_tail,
         "post_resume_head_objf": post_head,
         "continuity_band": [lo, hi],
@@ -166,7 +160,7 @@ def main():
     with open(out, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result))
-    ok = result["resume_ok"] and continuity and lr_ok
+    ok = result["resume_ok"] and continuity and lr_ok and no_restart
     print("SOAK " + ("PASS" if ok else "FAIL"))
     return 0 if ok else 1
 
