@@ -39,6 +39,11 @@ def main():
     ap.add_argument("--bn-lowp", action="store_true",
                     help="batchnorm in bf16 with fp32-accumulated stats "
                          "(no fp32 activation upcast; MFU experiment)")
+    ap.add_argument("--topology", default="phone-lm",
+                    choices=["phone-lm", "random"],
+                    help="den graph: phone-lm (real topology class, "
+                         "routes to the structured kernels — matches "
+                         "bench.py) or random (generic blocked path)")
     args = ap.parse_args()
 
     import jax
@@ -64,13 +69,24 @@ def main():
     if args.bn_lowp:
         from kaldi_fp16_tpu.models.network import set_bn_lowp_stats
         set_bn_lowp_stats(True)
-    dst = np.sort(rng.integers(0, S, size=A).astype(np.int32))
-    graph = DenominatorGraph(
-        src=rng.integers(0, S, size=A).astype(np.int32), dst=dst,
-        pdf=rng.integers(0, P, size=A).astype(np.int32),
-        prob=rng.uniform(0.1, 1.0, size=A).astype(np.float32),
-        initial=(lambda v: v / v.sum())(rng.uniform(0, 1, S).astype(np.float32)),
-        num_states=S, num_pdfs=P, start_state=0)
+    if args.topology == "phone-lm":
+        from kaldi_fp16_tpu.chain.graph import make_phone_lm_den_fst
+        # defaults are the production shape (3526 phones / 7052 states);
+        # scale the topology down with --pdfs for small smokes
+        kw = {} if P >= 3080 else dict(
+            num_phones=max(2, P // 2), states_per_phone=2,
+            branching=min(8, max(2, P // 4)))
+        graph = DenominatorGraph.from_fst(
+            make_phone_lm_den_fst(num_pdfs=P, **kw), P)
+    else:
+        dst = np.sort(rng.integers(0, S, size=A).astype(np.int32))
+        graph = DenominatorGraph(
+            src=rng.integers(0, S, size=A).astype(np.int32), dst=dst,
+            pdf=rng.integers(0, P, size=A).astype(np.int32),
+            prob=rng.uniform(0.1, 1.0, size=A).astype(np.float32),
+            initial=(lambda v: v / v.sum())(
+                rng.uniform(0, 1, S).astype(np.float32)),
+            num_states=S, num_pdfs=P, start_state=0)
     den = DenominatorComputation(graph, leaky=1e-5, mode=args.mode)
 
     An, Sn = args.num_arcs, args.num_arcs // 2 + 2
@@ -129,6 +145,8 @@ def main():
                    "natural_gradient": args.natural_gradient,
                    "den_mode": args.mode, "remat": args.remat,
                    "bn_lowp": args.bn_lowp,
+                   "den_topology": args.topology,
+                   "den_layout": den.layout_used,
                    "loss": float(out.loss)},
     }))
 
