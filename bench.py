@@ -82,10 +82,16 @@ def main():
     den = DenominatorComputation(graph, leaky=1e-5)
     assert den.layout_used == "structured", den.layout_used
 
-    Sn = An // 2 + 2
+    # linear supervision chain of exactly T_out arcs (every chain arc
+    # consumes one frame), tiled with parallel alternative-pdf arcs up to
+    # An: the final state is REACHED in T_out steps, so the numerator is
+    # finite and the bench exercises the real objective path, not the
+    # NaN-containment fallback (which an unreachable final would trigger
+    # every step, hiding genuine numerator breakage)
+    Sn = T_out + 1
     num_graph = NumeratorGraphBatch(
-        arc_src=np.tile(np.arange(An, dtype=np.int32) % (Sn - 1), (B, 1)),
-        arc_dst=np.tile(np.arange(An, dtype=np.int32) % (Sn - 1) + 1, (B, 1)),
+        arc_src=np.tile(np.arange(An, dtype=np.int32) % T_out, (B, 1)),
+        arc_dst=np.tile(np.arange(An, dtype=np.int32) % T_out + 1, (B, 1)),
         arc_pdf=rng.integers(0, P, size=(B, An)).astype(np.int32),
         arc_logw=np.zeros((B, An), np.float32),
         arc_mask=np.ones((B, An), np.float32),
@@ -120,6 +126,14 @@ def main():
             params, net_state, opt_state, scale_state, batch, sub)
     jax.block_until_ready(out.loss)
     dt = (time.perf_counter() - t0) / iters
+    # the containment fallback (objf := -10wT on NaN/-inf) leaves loss
+    # FINITE — detect it via the numerator logprob, which goes to
+    # LOG_ZERO when the supervision path is broken; benching the
+    # fallback would hide genuine numerator breakage
+    loss = float(out.loss)
+    num_lp = float(out.num_logprob)
+    assert np.isfinite(loss) and num_lp > -1e20, \
+        f"bench step hit containment (loss={loss}, num_logprob={num_lp})"
 
     audio_per_s = B * T_in / 100.0 / dt
     baseline = 105.0

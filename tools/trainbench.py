@@ -89,10 +89,12 @@ def main():
             num_states=S, num_pdfs=P, start_state=0)
     den = DenominatorComputation(graph, leaky=1e-5, mode=args.mode)
 
-    An, Sn = args.num_arcs, args.num_arcs // 2 + 2
+    # reachable linear chain of T_out arcs + parallel alternatives (see
+    # bench.py: an unreachable final would run the containment path)
+    An, Sn = args.num_arcs, T_out + 1
     num_graph = NumeratorGraphBatch(
-        arc_src=np.tile(np.arange(An, dtype=np.int32) % (Sn - 1), (B, 1)),
-        arc_dst=np.tile(np.arange(An, dtype=np.int32) % (Sn - 1) + 1, (B, 1)),
+        arc_src=np.tile(np.arange(An, dtype=np.int32) % T_out, (B, 1)),
+        arc_dst=np.tile(np.arange(An, dtype=np.int32) % T_out + 1, (B, 1)),
         arc_pdf=rng.integers(0, P, size=(B, An)).astype(np.int32),
         arc_logw=np.zeros((B, An), np.float32),
         arc_mask=np.ones((B, An), np.float32),
