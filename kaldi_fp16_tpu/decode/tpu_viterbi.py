@@ -574,6 +574,77 @@ def _lattice_masks(src, dst, pdf, graph_cost, final_cost, start, loglikes,
     return packed, best
 
 
+@functools.partial(jax.jit, static_argnames=("num_states", "chunk"))
+def _lattice_masks_ckpt(src, dst, pdf, graph_cost, final_cost, start,
+                        loglikes, acoustic_scale, lattice_beam,
+                        num_states: int, chunk: int):
+    """_lattice_masks with CHECKPOINTED alpha: the plain kernel
+    materializes alpha_hist [T, S, B] (3.2 TB at S=100K, B=16, T=500 —
+    HCLG-scale lattices are impossible that way).  Here the forward
+    saves alpha only at chunk boundaries [T/chunk, S, B]; the reverse
+    sweep recomputes each chunk's alphas ([chunk, S, B] live) before
+    running beta+mask — the classic O(sqrt(T)) rematerialization trade:
+    one extra forward pass of compute for a T/chunk memory reduction.
+    Requires T % chunk == 0 (caller picks a divisor)."""
+    B, T, P = loglikes.shape
+    S = num_states
+    A = src.shape[0]
+    nc = T // chunk
+    INF = jnp.float32(-NEG_INF)
+    ac_cost = (-jnp.transpose(loglikes, (1, 2, 0))
+               ).reshape(nc, chunk, P, B)
+
+    alpha0 = jnp.full((S, B), INF).at[start, :].set(0.0)
+
+    def arc_costs(ll_t):
+        return (graph_cost[:, None]
+                + acoustic_scale * jnp.take(ll_t, pdf, axis=0))  # [A, B]
+
+    def fwd_frame(alpha, ll_t):
+        cand = jnp.take(alpha, src, axis=0) + arc_costs(ll_t)
+        nxt = jnp.minimum(
+            -jax.ops.segment_max(-cand, dst, num_segments=S,
+                                 indices_are_sorted=True), INF)
+        return nxt, None
+
+    def fwd_chunk(alpha, ll_c):
+        alpha_end, _ = jax.lax.scan(fwd_frame, alpha, ll_c)
+        return alpha_end, alpha            # checkpoint = chunk-START alpha
+
+    alpha_T, alpha_ckpt = jax.lax.scan(fwd_chunk, alpha0, ac_cost)
+    total = alpha_T + final_cost[:, None]
+    best = total.min(axis=0)                              # [B]
+
+    betaT = jnp.broadcast_to(final_cost[:, None], (S, B))
+    thr = jnp.where(best > INF / 2, -INF, best + lattice_beam)    # [B]
+    pad = (-A) % 8
+
+    def fwd_emit(alpha, ll_t):
+        nxt, _ = fwd_frame(alpha, ll_t)
+        return nxt, alpha                  # alpha BEFORE consuming frame
+
+    def bwd_frame(beta_next, inp):
+        alpha_t, ll_t = inp
+        cand = arc_costs(ll_t) + jnp.take(beta_next, dst, axis=0)
+        beta = jnp.minimum(
+            jax.ops.segment_min(cand, src, num_segments=S), INF)
+        tot = jnp.take(alpha_t, src, axis=0) + cand       # [A, B]
+        kp = jnp.pad(tot <= thr[None, :], ((0, pad), (0, 0)))
+        packed = jnp.packbits(kp.astype(jnp.uint8), axis=0)
+        return beta, packed
+
+    def bwd_chunk(beta_next, inp):
+        alpha_c0, ll_c = inp
+        _, alphas = jax.lax.scan(fwd_emit, alpha_c0, ll_c)  # [chunk, S, B]
+        beta0, packed_c = jax.lax.scan(bwd_frame, beta_next,
+                                       (alphas, ll_c), reverse=True)
+        return beta0, packed_c
+
+    _, packed = jax.lax.scan(bwd_chunk, betaT, (alpha_ckpt, ac_cost),
+                             reverse=True)
+    return packed.reshape(T, packed.shape[-2], B), best
+
+
 @functools.partial(jax.jit, static_argnames=("num_states",))
 def _lattice_masks_ell(in_src, in_pdf, in_w, in_perm,
                        out_dst, out_pdf, out_w, out_perm,
@@ -652,6 +723,9 @@ class DeviceLatticeDecoder:
         self.acoustic_scale = acoustic_scale
         self.lattice_beam = lattice_beam
         self.layout = layout
+        # above this, decode_batch switches to the checkpointed-alpha
+        # kernel (rematerialized forward; enables HCLG-scale lattices)
+        self.alpha_hist_limit = 1 << 30
         self._shard = _DataSharding(mesh, data_axis)
         rep = self._shard.replicate
         a = self.arcs
@@ -685,12 +759,27 @@ class DeviceLatticeDecoder:
         ll = self._shard.shard_batch(
             jnp.asarray(loglikes, dtype=jnp.float32))
         B, T, P = ll.shape
+        S = self.arcs.num_states
+        hist_bytes = T * S * B * 4
         if self.layout == "ell":
             packed, best = _lattice_masks_ell(
                 *self._ell_in, *self._ell_out,
                 self._src, self._dst, self._pdf, self._gcost, self._fcost,
                 self._start, ll, self._scale_j, self._beam_j,
                 num_states=self.arcs.num_states)
+        elif hist_bytes > self.alpha_hist_limit:
+            # HCLG scale: alpha_hist [T, S, B] would not fit (3.2 TB at
+            # S=100K/B=16/T=500); checkpointed-alpha kernel instead.
+            # chunk = largest divisor of T whose [chunk, S, B] live
+            # alpha block stays within the limit
+            chunk = 1
+            for c in range(1, T + 1):
+                if T % c == 0 and c * S * B * 4 <= self.alpha_hist_limit:
+                    chunk = c
+            packed, best = _lattice_masks_ckpt(
+                self._src, self._dst, self._pdf, self._gcost, self._fcost,
+                self._start, ll, self._scale_j, self._beam_j,
+                num_states=self.arcs.num_states, chunk=chunk)
         else:
             packed, best = _lattice_masks(
                 self._src, self._dst, self._pdf, self._gcost, self._fcost,

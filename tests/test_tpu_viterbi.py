@@ -387,3 +387,37 @@ class TestEllLayout:
                            round(a.graph_cost, 4), round(a.acoustic_cost, 4))
                           for a in sl[b].arcs}
                     assert ea == sa, (seed, beam, b)
+
+
+class TestCheckpointedLattice:
+    def test_ckpt_matches_plain(self):
+        """The checkpointed-alpha kernel must produce the IDENTICAL
+        packed mask set as the plain kernel (same arcs kept)."""
+        from kaldi_fp16_tpu.decode.tpu_viterbi import DeviceLatticeDecoder
+        g = DecodingGraph.from_fst(random_eps_free_graph(seed=9))
+        rng = np.random.default_rng(7)
+        ll = rng.normal(size=(2, 12, 12)).astype(np.float32)
+        ref = DeviceLatticeDecoder(g, lattice_beam=5.0)
+        ck = DeviceLatticeDecoder(g, lattice_beam=5.0)
+        ck.alpha_hist_limit = 12 * g.num_states * 2 * 4 // 3  # force ckpt
+        rl = ref.decode_batch(ll)
+        cl = ck.decode_batch(ll)
+        for b in range(2):
+            ra = {(int(rl[b].node_frame[a.src]), a.ilabel, a.olabel,
+                   round(a.graph_cost, 4), round(a.acoustic_cost, 4))
+                  for a in rl[b].arcs}
+            ca = {(int(cl[b].node_frame[a.src]), a.ilabel, a.olabel,
+                   round(a.graph_cost, 4), round(a.acoustic_cost, 4))
+                  for a in cl[b].arcs}
+            assert ra == ca, b
+
+    def test_ckpt_chunk_choice(self):
+        """chunk must divide T and respect the live-block limit."""
+        from kaldi_fp16_tpu.decode.tpu_viterbi import DeviceLatticeDecoder
+        g = DecodingGraph.from_fst(random_eps_free_graph(seed=3))
+        dec = DeviceLatticeDecoder(g, lattice_beam=4.0)
+        dec.alpha_hist_limit = 1  # everything over limit -> chunk=1
+        ll = np.random.default_rng(0).normal(size=(1, 6, 12)) \
+            .astype(np.float32)
+        lats = dec.decode_batch(ll)       # chunk=1 still exact
+        assert lats[0].num_nodes >= 1

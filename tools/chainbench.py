@@ -73,8 +73,11 @@ def main():
             num_states=S, num_pdfs=P, start_state=0)
     den = DenominatorComputation(graph, leaky=1e-5, layout=args.layout)
 
-    # synthetic numerator batch at typical scale (~200 states/arcs per utt)
-    Sn, An = args.num_states, args.num_arcs
+    # synthetic numerator batch at typical scale (~200 states/arcs per
+    # utt).  The chain must be REACHABLE in T frames (each arc consumes
+    # one frame): cap the path length at min(states-1, T) so the bench
+    # measures the real recursion, not the -inf/containment path.
+    Sn, An = min(args.num_states, T + 1), args.num_arcs
     num_graph = NumeratorGraphBatch(
         arc_src=np.tile(np.arange(An, dtype=np.int32) % (Sn - 1), (B, 1)),
         arc_dst=np.tile(np.arange(An, dtype=np.int32) % (Sn - 1) + 1, (B, 1)),
