@@ -63,7 +63,8 @@ class Trainer:
                  chain_opts: ChainTrainingOpts = ChainTrainingOpts(),
                  lr_schedule: Optional[Callable[[int], float]] = None,
                  seed: int = 0,
-                 fst_pad_states: int = 256, fst_pad_arcs: int = 512):
+                 fst_pad_states: int = 256, fst_pad_arcs: int = 512,
+                 mesh=None):
         self.model = model
         self.den = den
         self.config = config
@@ -78,6 +79,33 @@ class Trainer:
          self.scale_state) = init_train_state(model, jax.random.PRNGKey(seed),
                                               config)
         self.global_step = 0
+        self.mesh = mesh
+        if mesh is not None:
+            # dp+tp GSPMD: params take the tensor-parallel shardings
+            # (wide heads split over 'model'), batch/graph arrays shard
+            # over 'data' at dispatch; the jitted steps inherit layouts
+            # from these COMMITTED inputs, so no per-bucket in_shardings
+            # plumbing is needed and output layouts stay step-stable.
+            from jax.sharding import NamedSharding, PartitionSpec
+            from kaldi_fp16_tpu.parallel.data_parallel import (
+                param_shardings, _repl_like,
+            )
+            p_shard = param_shardings(model, mesh, self.params)
+            repl = _repl_like
+            self.params = jax.device_put(self.params, p_shard)
+            self.net_state = jax.device_put(self.net_state,
+                                            repl(self.net_state, mesh))
+            self.opt_state = {
+                k: jax.device_put(v, p_shard if k == "velocity"
+                                  else repl(v, mesh))
+                for k, v in self.opt_state.items()}
+            self.scale_state = jax.device_put(
+                self.scale_state, repl(self.scale_state, mesh))
+            self._data_n = mesh.shape["data"]
+            self._dp = lambda v: jax.device_put(
+                jnp.asarray(v), NamedSharding(
+                    mesh, PartitionSpec("data",
+                                        *([None] * (np.ndim(v) - 1)))))
 
     def _step_fn(self, batch: ChainBatch):
         """One compiled step per bucket geometry.
@@ -111,22 +139,27 @@ class Trainer:
                 f"(n_out={batch.frames_per_seq}-1)*stride={stride}+1 needs "
                 f"{need} input frames but features have T_in={T_in}; the "
                 "dynamic supervision slice would be silently clamped")
+        if self.mesh is not None and batch.batch_size % self._data_n:
+            raise ValueError(
+                f"batch {batch.batch_size} not divisible by data-axis "
+                f"size {self._data_n} (pad or drop the remainder batch)")
         step = self._step_fn(batch)
         self._key, sub = jax.random.split(self._key)
         lr = (self.lr_schedule(self.global_step) if self.lr_schedule
               else self.config.learning_rate)
         g = batch.num_graph
-        arrays = {k: jnp.asarray(v) for k, v in batch.arrays().items()}
+        put = self._dp if self.mesh is not None else jnp.asarray
+        arrays = {k: put(v) for k, v in batch.arrays().items()}
         if batch.deriv_weights is not None:
-            arrays["deriv_weights"] = jnp.asarray(batch.deriv_weights)
+            arrays["deriv_weights"] = put(batch.deriv_weights)
         t0 = time.perf_counter()
         (self.params, self.net_state, self.opt_state, self.scale_state,
          out) = step(self.params, self.net_state, self.opt_state,
                      self.scale_state, arrays,
-                     jnp.asarray(g.arc_src), jnp.asarray(g.arc_dst),
-                     jnp.asarray(g.arc_pdf), jnp.asarray(g.arc_logw),
-                     jnp.asarray(g.arc_mask), jnp.asarray(g.start),
-                     jnp.asarray(g.final_logw),
+                     put(g.arc_src), put(g.arc_dst),
+                     put(g.arc_pdf), put(g.arc_logw),
+                     put(g.arc_mask), put(g.start),
+                     put(g.final_logw),
                      sub, jnp.asarray(lr, jnp.float32),
                      jnp.asarray(batch.left_context, jnp.int32))
         dt = time.perf_counter() - t0

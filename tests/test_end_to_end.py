@@ -184,3 +184,58 @@ class TestCheckpoint:
         with pytest.raises(FileNotFoundError):
             mgr.restore(None, {}, {}, {}, {})
         mgr.close()
+
+
+class TestDataParallelTrainer:
+    def test_meshed_trainer_matches_single_device(self, ark_dir):
+        """Trainer(mesh=...) over the 8-device CPU mesh must reproduce
+        the single-device trajectory (params placed dp+tp, batch and
+        numerator-graph arrays committed to the data axis)."""
+        from kaldi_fp16_tpu.parallel.mesh import MeshConfig, make_mesh
+        mesh = make_mesh(MeshConfig(data=4))
+
+        def run(mesh_arg):
+            model = build_model_from_string(XCONFIG)
+            den_graph = DenominatorGraph.from_fst(
+                make_simple_den_fst(num_pdfs=NUM_PDFS, num_states=6,
+                                    seed=2), NUM_PDFS)
+            den = DenominatorComputation(den_graph, leaky=1e-4)
+            config = TrainConfig(learning_rate=0.03, momentum=0.5,
+                                 frame_subsampling_factor=STRIDE,
+                                 xent_regularize=0.0,
+                                 compute_dtype="float32")
+            tr = Trainer(model, den, config, ChainTrainingOpts(),
+                         fst_pad_states=16, fst_pad_arcs=32,
+                         mesh=mesh_arg)
+            objfs = []
+            for batch in _loader(ark_dir):
+                out = tr.train_batch(batch)
+                objfs.append(float(out.objf_per_frame))
+            return objfs, tr.params
+
+        ref_objfs, ref_params = run(None)
+        dp_objfs, dp_params = run(mesh)
+        np.testing.assert_allclose(dp_objfs, ref_objfs, rtol=1e-5,
+                                   atol=1e-6)
+        for lname in ref_params:
+            for pname in ref_params[lname]:
+                np.testing.assert_allclose(
+                    np.asarray(dp_params[lname][pname]),
+                    np.asarray(ref_params[lname][pname]),
+                    rtol=2e-5, atol=1e-6, err_msg=f"{lname}/{pname}")
+
+    def test_meshed_trainer_rejects_ragged_batch(self, ark_dir):
+        from kaldi_fp16_tpu.parallel.mesh import MeshConfig, make_mesh
+        mesh = make_mesh(MeshConfig(data=8))
+        model = build_model_from_string(XCONFIG)
+        den_graph = DenominatorGraph.from_fst(
+            make_simple_den_fst(num_pdfs=NUM_PDFS, num_states=6, seed=2),
+            NUM_PDFS)
+        den = DenominatorComputation(den_graph, leaky=1e-4)
+        tr = Trainer(model, den,
+                     TrainConfig(frame_subsampling_factor=STRIDE),
+                     ChainTrainingOpts(), fst_pad_states=16,
+                     fst_pad_arcs=32, mesh=mesh)
+        batch = next(iter(_loader(ark_dir, batch_size=3)))
+        with pytest.raises(ValueError, match="divisible"):
+            tr.train_batch(batch)

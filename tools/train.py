@@ -67,6 +67,12 @@ def main():
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (numerics work during "
                          "TPU-tunnel outages; perf numbers meaningless)")
+    ap.add_argument("--data-parallel", type=int, default=0,
+                    help="shard training over N devices (data axis; "
+                         "0 = single device, -1 = all local devices). "
+                         "Batch must divide by N.  Tensor-parallel wide "
+                         "heads engage automatically when the mesh has "
+                         "a model axis (see parallel/mesh.py)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -126,9 +132,19 @@ def main():
     chain_opts = ChainTrainingOpts(l2_regularize=args.l2_regularize,
                                    leaky_hmm_coefficient=args.leaky_hmm,
                                    xent_regularize=args.xent_regularize)
+    mesh = None
+    if args.data_parallel:
+        from kaldi_fp16_tpu.parallel.mesh import MeshConfig, make_mesh
+        n = (len(jax.devices()) if args.data_parallel < 0
+             else args.data_parallel)
+        mesh = make_mesh(MeshConfig(data=n))
+        if args.batch % n:
+            raise SystemExit(f"--batch {args.batch} must divide by "
+                             f"--data-parallel {n}")
+        print(f"data-parallel over {n} devices: {dict(mesh.shape)}")
     trainer = Trainer(model, den, config, chain_opts, lr_schedule=schedule,
                       seed=args.seed, fst_pad_states=args.fst_pad_states,
-                      fst_pad_arcs=args.fst_pad_arcs)
+                      fst_pad_arcs=args.fst_pad_arcs, mesh=mesh)
 
     mgr = CheckpointManager(args.ckpt_dir) if args.ckpt_dir else None
     start_epoch = 0
