@@ -81,31 +81,38 @@ class Trainer:
         self.global_step = 0
         self.mesh = mesh
         if mesh is not None:
-            # dp+tp GSPMD: params take the tensor-parallel shardings
-            # (wide heads split over 'model'), batch/graph arrays shard
-            # over 'data' at dispatch; the jitted steps inherit layouts
-            # from these COMMITTED inputs, so no per-bucket in_shardings
-            # plumbing is needed and output layouts stay step-stable.
             from jax.sharding import NamedSharding, PartitionSpec
-            from kaldi_fp16_tpu.parallel.data_parallel import (
-                param_shardings, _repl_like,
-            )
-            p_shard = param_shardings(model, mesh, self.params)
-            repl = _repl_like
-            self.params = jax.device_put(self.params, p_shard)
-            self.net_state = jax.device_put(self.net_state,
-                                            repl(self.net_state, mesh))
-            self.opt_state = {
-                k: jax.device_put(v, p_shard if k == "velocity"
-                                  else repl(v, mesh))
-                for k, v in self.opt_state.items()}
-            self.scale_state = jax.device_put(
-                self.scale_state, repl(self.scale_state, mesh))
             self._data_n = mesh.shape["data"]
             self._dp = lambda v: jax.device_put(
                 jnp.asarray(v), NamedSharding(
                     mesh, PartitionSpec("data",
                                         *([None] * (np.ndim(v) - 1)))))
+            self.place_states()
+
+    def place_states(self) -> None:
+        """Commit params/states to their dp+tp mesh shardings (wide
+        heads split over 'model', everything else replicated).  Called
+        at construction and MUST be re-called after assigning restored
+        checkpoint arrays (which arrive host-resident and would
+        otherwise silently train single-device layouts).  The jitted
+        steps inherit layouts from these COMMITTED inputs, so the
+        graph-in-args path needs no per-bucket in_shardings plumbing."""
+        if self.mesh is None:
+            return
+        from kaldi_fp16_tpu.parallel.data_parallel import (
+            param_shardings, _repl_like,
+        )
+        mesh = self.mesh
+        p_shard = param_shardings(self.model, mesh, self.params)
+        self.params = jax.device_put(self.params, p_shard)
+        self.net_state = jax.device_put(self.net_state,
+                                        _repl_like(self.net_state, mesh))
+        self.opt_state = {
+            k: jax.device_put(v, p_shard if k == "velocity"
+                              else _repl_like(v, mesh))
+            for k, v in self.opt_state.items()}
+        self.scale_state = jax.device_put(
+            self.scale_state, _repl_like(self.scale_state, mesh))
 
     def _step_fn(self, batch: ChainBatch):
         """One compiled step per bucket geometry.

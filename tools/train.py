@@ -155,6 +155,7 @@ def main():
             trainer.scale_state)
         trainer.global_step = step
         start_epoch = pos.epoch
+        trainer.place_states()   # restored arrays arrive host-resident;
         print(f"resumed from step {step} (epoch {pos.epoch})")
 
     metrics = MetricsLogger(args.metrics, echo=False) if args.metrics else None
