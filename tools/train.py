@@ -54,6 +54,11 @@ def main():
     ap.add_argument("--shuffle-buffer", type=int, default=1024)
     ap.add_argument("--prefetch", type=int, default=2,
                     help="background prefetch depth (0 = synchronous)")
+    ap.add_argument("--loader-workers", type=int, default=0,
+                    help="ingestion workers: N>0 = N OS processes "
+                         "(ProcessLoader — scales parse AND assembly on "
+                         "multi-core hosts), 0 = single pipeline with "
+                         "--prefetch overlap")
     ap.add_argument("--ckpt-dir")
     ap.add_argument("--ckpt-every", type=int, default=500)
     ap.add_argument("--resume", action="store_true")
@@ -170,7 +175,14 @@ def main():
                                          seed=args.seed + epoch,
                                          max_fst_states=args.fst_pad_states,
                                          max_fst_arcs=args.fst_pad_arcs))
-        batches = PrefetchLoader(dl, args.prefetch) if args.prefetch else dl
+        if args.loader_workers > 0:
+            from kaldi_fp16_tpu.io.dataloader import ProcessLoader
+            batches = ProcessLoader(args.egs, dl.config,
+                                    workers=args.loader_workers)
+        elif args.prefetch:
+            batches = PrefetchLoader(dl, args.prefetch)
+        else:
+            batches = dl
         epoch_objf = []
         try:
             for i, batch in enumerate(batches):
@@ -197,8 +209,8 @@ def main():
                              trainer.scale_state,
                              DataPosition(epoch=epoch, batches_consumed=i + 1))
         finally:
-            if args.prefetch:
-                batches.close()  # stop the producer thread on early break
+            if args.loader_workers > 0 or args.prefetch:
+                batches.close()  # stop producers on early break
         print(f"epoch {epoch}: avg objf/frame = {np.mean(epoch_objf):.4f}  "
               f"{timer.summary()}")
 
