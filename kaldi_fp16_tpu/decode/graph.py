@@ -125,8 +125,14 @@ class DecodingGraph:
         return cls.from_fst(fst, **kw)
 
 
-def remove_epsilons(g: DecodingGraph) -> DecodingGraph:
+def remove_epsilons(g: DecodingGraph, method: str = "auto"
+                    ) -> DecodingGraph:
     """Epsilon-removed equivalent graph for the on-device decoders.
+
+    method: 'vector' (flat-array iterated min-plus closure — the
+    HCLG-scale path), 'scalar' (per-state Dijkstra reference), 'auto'
+    (vector above 2000 states).  Identical semantics; tie-broken routes
+    with EQUAL cost may fold a different (equally-optimal) olabel.
 
     Real HCLG graphs carry epsilon (ilabel 0) arcs; the arc-parallel
     device decoders (decode/tpu_viterbi.py) need every arc to consume a
@@ -160,6 +166,9 @@ def remove_epsilons(g: DecodingGraph) -> DecodingGraph:
             f"({float(np.min(g.eps_weight)):.6g}); Dijkstra closure would "
             "be silently wrong. Push weights to non-negative epsilon arcs "
             "first (e.g. fstpushspecial) or remove epsilons upstream.")
+
+    if method == "vector" or (method == "auto" and g.num_states > 2000):
+        return _remove_epsilons_vector(g)
 
     S = g.num_states
     out_eps: List[List[int]] = [[] for _ in range(S)]
@@ -237,6 +246,201 @@ def remove_epsilons(g: DecodingGraph) -> DecodingGraph:
         em_ilabel=np.asarray(em_il, np.int32),
         em_olabel=np.asarray(em_ol, np.int32),
         em_weight=np.asarray(em_w, np.float64),
+        eps_row_ptr=np.zeros(S + 1, np.int64),
+        eps_dst=np.empty(0, np.int32),
+        eps_olabel=np.empty(0, np.int32),
+        eps_weight=np.empty(0, np.float64),
+        final_cost=final,
+        ilabel_to_pdf=g.ilabel_to_pdf,
+    )
+
+
+def _remove_epsilons_vector(g: DecodingGraph,
+                            max_pairs: int = 50_000_000,
+                            max_iters: int = 1000) -> DecodingGraph:
+    """Flat-array epsilon removal (same semantics as the scalar path).
+
+    Closure by iterated min-plus relaxation: the (src, dst) -> (dist,
+    route-olabel, labels-lost) pair set starts as the eps arcs and is
+    repeatedly extended one eps arc (frontier joined against the arc
+    list via searchsorted range-expansion) until no pair's distance
+    improves.  HCLG eps routes are shallow, so this converges in a few
+    rounds; every step is vectorized numpy — no per-state Python.
+    """
+    S = g.num_states
+    es = np.repeat(np.arange(S, dtype=np.int64),
+                   np.diff(g.eps_row_ptr).astype(np.int64))
+    ed = g.eps_dst.astype(np.int64)
+    ew = g.eps_weight.astype(np.float64)
+    eo = g.eps_olabel.astype(np.int64)
+
+    def dedup_pairs(s, u, w, o, l):
+        """Best (min-dist) entry per (s, u); first-in wins ties."""
+        key = s * S + u
+        order = np.lexsort((w, key))
+        ks = key[order]
+        first = np.ones(len(ks), bool)
+        if len(ks) > 1:
+            first[1:] = ks[1:] != ks[:-1]
+        idx = order[first]
+        return s[idx], u[idx], w[idx], o[idx], l[idx]
+
+    # arcs grouped by source for the frontier join
+    aord = np.argsort(es, kind="stable")
+    a_src_sorted = es[aord]
+    a_dst = ed[aord]
+    a_w = ew[aord]
+    a_o = eo[aord]
+
+    if len(es):
+        cs, cu, cw, co, cl = dedup_pairs(
+            es, ed, ew, eo, np.zeros(len(es), bool))
+    else:
+        cs = cu = np.empty(0, np.int64)
+        cw = np.empty(0, np.float64)
+        co = np.empty(0, np.int64)
+        cl = np.empty(0, bool)
+    frontier = (cs, cu, cw, co, cl)
+
+    for _ in range(max_iters):
+        fs, fu, fw, fo, fl = frontier
+        if not len(fs):
+            break
+        lo = np.searchsorted(a_src_sorted, fu, "left")
+        hi = np.searchsorted(a_src_sorted, fu, "right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if total == 0:
+            break
+        rep = np.repeat(np.arange(len(fs)), cnt)
+        within = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        ai = np.repeat(lo, cnt) + within
+        ns = fs[rep]
+        nu = a_dst[ai]
+        nw = fw[rep] + a_w[ai]
+        keep_o = fo[rep]
+        no = np.where(keep_o != 0, keep_o, a_o[ai])
+        nl = fl[rep] | ((keep_o != 0) & (a_o[ai] != 0))
+
+        # merge and find strictly-improved pairs (they form the next
+        # frontier; equal-dist candidates terminate zero-weight cycles)
+        old_key = cs * S + cu
+        oorder = np.argsort(old_key)
+        ok_sorted = old_key[oorder]
+        nkey = ns * S + nu
+        pos = np.searchsorted(ok_sorted, nkey)
+        have = (pos < len(ok_sorted))
+        safe = np.minimum(pos, max(len(ok_sorted) - 1, 0))
+        known = have & (ok_sorted[safe] == nkey) if len(ok_sorted) else \
+            np.zeros(len(nkey), bool)
+        old_w = np.full(len(nkey), np.inf)
+        if len(ok_sorted):
+            old_w[known] = cw[oorder][safe[known]]
+        improved = nw < old_w - 1e-12
+        if not improved.any():
+            break
+        ns, nu, nw = ns[improved], nu[improved], nw[improved]
+        no, nl = no[improved], nl[improved]
+        ns, nu, nw, no, nl = dedup_pairs(ns, nu, nw, no, nl)
+        cs = np.concatenate([cs, ns]); cu = np.concatenate([cu, nu])
+        cw = np.concatenate([cw, nw]); co = np.concatenate([co, no])
+        cl = np.concatenate([cl, nl])
+        cs, cu, cw, co, cl = dedup_pairs(cs, cu, cw, co, cl)
+        if len(cs) > max_pairs:
+            raise ValueError(
+                f"epsilon closure exceeded {max_pairs} pairs — the eps "
+                "subgraph is too dense; remove epsilons offline")
+        frontier = (ns, nu, nw, no, nl)
+    else:
+        raise ValueError("epsilon closure did not converge "
+                         f"in {max_iters} rounds")
+
+    # eps-cycle pairs (s ->eps+-> s) are dominated by the identity
+    # (dist 0, no labels) under non-negative weights — drop them, exactly
+    # as the scalar path's dist[s] = 0 initialization does
+    keep = cs != cu
+    cs, cu, cw, co, cl = cs[keep], cu[keep], cw[keep], co[keep], cl[keep]
+
+    dropped = 0
+    # finals: final'(s) = min(final(s), min_u dist(s,u) + final(u))
+    final = np.array(g.final_cost, dtype=np.float64)
+    if len(cs):
+        fc = cw + g.final_cost[cu]
+        order = np.lexsort((fc, cs))
+        s_sorted = cs[order]
+        first = np.ones(len(s_sorted), bool)
+        if len(s_sorted) > 1:
+            first[1:] = s_sorted[1:] != s_sorted[:-1]
+        wins = order[first]
+        better = fc[wins] < final[cs[wins]] - 1e-12
+        dropped += int(np.count_nonzero(
+            better & (co[wins] != 0) | (better & cl[wins])))
+        np.minimum.at(final, cs, fc)
+
+    # emitting arcs: closure pairs (incl. identity) joined with the
+    # original emitting arcs on closure.dst == arc.src
+    ide = np.arange(S, dtype=np.int64)
+    js = np.concatenate([cs, ide])
+    ju = np.concatenate([cu, ide])
+    jw = np.concatenate([cw, np.zeros(S)])
+    jo = np.concatenate([co, np.zeros(S, np.int64)])
+    jl = np.concatenate([cl, np.zeros(S, bool)])
+
+    m_src = np.repeat(np.arange(S, dtype=np.int64),
+                      np.diff(g.em_row_ptr).astype(np.int64))
+    mord = np.argsort(m_src, kind="stable")
+    m_src_sorted = m_src[mord]
+    m_dst = g.em_dst.astype(np.int64)[mord]
+    m_il = g.em_ilabel.astype(np.int64)[mord]
+    m_ol = g.em_olabel.astype(np.int64)[mord]
+    m_w = g.em_weight.astype(np.float64)[mord]
+
+    lo = np.searchsorted(m_src_sorted, ju, "left")
+    hi = np.searchsorted(m_src_sorted, ju, "right")
+    cnt = hi - lo
+    total = int(cnt.sum())
+    rep = np.repeat(np.arange(len(js)), cnt)
+    within = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+    mi = np.repeat(lo, cnt) + within
+
+    rs = js[rep]
+    rd = m_dst[mi]
+    ril = m_il[mi]
+    own = m_ol[mi]
+    route_o = jo[rep]
+    rol = np.where(own != 0, own, route_o)
+    rw = jw[rep] + m_w[mi]
+    rloses = jl[rep] | ((own != 0) & (route_o != 0))
+
+    # best arc per (s, d, il, ol)
+    order = np.lexsort((rw, rol, ril, rd, rs))
+    rs, rd, ril, rol, rw, rloses = (x[order] for x in
+                                    (rs, rd, ril, rol, rw, rloses))
+    first = np.ones(len(rs), bool)
+    if len(rs) > 1:
+        first[1:] = ((rs[1:] != rs[:-1]) | (rd[1:] != rd[:-1])
+                     | (ril[1:] != ril[:-1]) | (rol[1:] != rol[:-1]))
+    rs, rd, ril, rol, rw, rloses = (x[first] for x in
+                                    (rs, rd, ril, rol, rw, rloses))
+    dropped += int(np.count_nonzero(rloses))
+
+    if dropped:
+        import sys
+        print(f"warning: remove_epsilons lost word labels on {dropped} "
+              "surviving arcs/finals (multi-label eps routes or labeled "
+              "eps into labeled/final arcs; costs stay exact — push "
+              "labels in the graph build to avoid this)",
+              file=sys.stderr)
+
+    row_ptr = np.zeros(S + 1, np.int64)
+    np.add.at(row_ptr, rs + 1, 1)
+    return DecodingGraph(
+        num_states=S, start=g.start,
+        em_row_ptr=np.cumsum(row_ptr),
+        em_dst=rd.astype(np.int32),
+        em_ilabel=ril.astype(np.int32),
+        em_olabel=rol.astype(np.int32),
+        em_weight=rw,
         eps_row_ptr=np.zeros(S + 1, np.int64),
         eps_dst=np.empty(0, np.int32),
         eps_olabel=np.empty(0, np.int32),

@@ -421,3 +421,87 @@ class TestCheckpointedLattice:
             .astype(np.float32)
         lats = dec.decode_batch(ll)       # chunk=1 still exact
         assert lats[0].num_nodes >= 1
+
+
+class TestVectorEpsilonRemoval:
+    def test_vector_matches_scalar(self):
+        """The flat-array closure must reproduce the per-state Dijkstra
+        reference: same arc set (s, d, il, ol, weight) and finals."""
+        from kaldi_fp16_tpu.decode.graph import remove_epsilons
+        for seed in range(6):
+            g = DecodingGraph.from_fst(
+                TestEpsilonRemoval.random_eps_graph(
+                    S=24, NEPS=18, seed=seed))
+            a = remove_epsilons(g, method="scalar")
+            b = remove_epsilons(g, method="vector")
+            np.testing.assert_allclose(a.final_cost, b.final_cost,
+                                       atol=1e-9, err_msg=str(seed))
+
+            def arcset(x):
+                src = np.repeat(np.arange(x.num_states),
+                                np.diff(x.em_row_ptr))
+                return sorted(zip(src.tolist(), x.em_dst.tolist(),
+                                  x.em_ilabel.tolist(),
+                                  x.em_olabel.tolist(),
+                                  np.round(x.em_weight, 9).tolist()))
+            assert arcset(a) == arcset(b), seed
+
+    def test_vector_eps_chains_and_cycles(self):
+        """Depth-3 eps chains and a zero-ish-weight eps cycle must
+        converge and match the scalar reference."""
+        from kaldi_fp16_tpu.decode.graph import remove_epsilons
+        s = [FstState() for _ in range(6)]
+        s[0].arcs.append(FstArc(0, 0.1, 1, olabel=0))
+        s[1].arcs.append(FstArc(0, 0.1, 2, olabel=0))
+        s[2].arcs.append(FstArc(0, 0.1, 3, olabel=0))
+        s[3].arcs.append(FstArc(1, 0.5, 4, olabel=7))
+        s[2].arcs.append(FstArc(0, 0.0, 1, olabel=0))   # eps cycle 1-2
+        s[4].arcs.append(FstArc(2, 0.2, 5, olabel=0))
+        s[5].final = 0.0
+        g = DecodingGraph.from_fst(Fst(start=0, states=s))
+        a = remove_epsilons(g, method="scalar")
+        b = remove_epsilons(g, method="vector")
+        np.testing.assert_allclose(a.final_cost, b.final_cost)
+        np.testing.assert_allclose(np.sort(a.em_weight),
+                                   np.sort(b.em_weight))
+
+    def test_vector_scales(self):
+        """A 30K-state graph with eps word-exit arcs epsilon-removes in
+        seconds via the vector path (the scalar path is per-state
+        Python Dijkstra — minutes at this size)."""
+        import time
+        from kaldi_fp16_tpu.decode.graph import DecodingGraph as DG
+        from kaldi_fp16_tpu.decode.graph import remove_epsilons
+        rng = np.random.default_rng(0)
+        S, word_len = 30000, 10
+        W = S // word_len
+        sid = np.arange(S, dtype=np.int64)
+        k = sid % word_len
+        srcs = [sid]; dsts = [sid]
+        ils = [(sid % 64) + 1]; ols = [np.zeros(S, np.int64)]
+        ws = [rng.uniform(0.2, 1.0, S)]
+        adv = sid[k < word_len - 1]
+        srcs.append(adv); dsts.append(adv + 1)
+        ils.append((adv % 64) + 2); ols.append(np.zeros(len(adv), np.int64))
+        ws.append(rng.uniform(0.2, 1.0, len(adv)))
+        # EPS word-exit arcs carrying the word label (the construction
+        # remove_epsilons exists for)
+        ends = sid[k == word_len - 1]
+        succ = rng.integers(0, W, size=(len(ends), 4))
+        srcs.append(np.repeat(ends, 4)); dsts.append(succ.reshape(-1) * word_len)
+        ils.append(np.zeros(len(ends) * 4, np.int64))
+        ols.append(np.repeat((ends // word_len) + 1, 4))
+        ws.append(rng.uniform(0.5, 2.0, len(ends) * 4))
+        g = DG.from_arrays(
+            num_states=S, start=0,
+            src=np.concatenate(srcs), dst=np.concatenate(dsts),
+            ilabel=np.concatenate(ils), olabel=np.concatenate(ols),
+            weight=np.concatenate(ws),
+            final_cost=rng.uniform(0, 1, S))
+        t0 = time.perf_counter()
+        ge = remove_epsilons(g)          # auto -> vector at this size
+        dt = time.perf_counter() - t0
+        assert len(ge.eps_dst) == 0
+        assert dt < 30.0, f"vector eps removal took {dt:.1f}s"
+        # words survived onto emitting arcs
+        assert (ge.em_olabel > 0).sum() >= len(ends)
