@@ -52,7 +52,13 @@ def main():
                          "device emits exact beam-pruned lattices "
                          "(alpha+arc+beta criterion) and n-best/rescoring "
                          "run on them")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (correctness smokes / "
+                         "TPU-tunnel outages)")
     args = ap.parse_args()
+
+    if args.cpu:
+        _common.force_cpu()
 
     import jax
     import jax.numpy as jnp

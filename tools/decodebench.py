@@ -117,7 +117,13 @@ def main():
                          "(alpha+beta scans + bit-packed arc masks + "
                          "host assembly) instead of best-path Viterbi")
     ap.add_argument("--lattice-beam", type=float, default=4.0)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (correctness smokes / "
+                         "TPU-tunnel outages)")
     args = ap.parse_args()
+
+    if args.cpu:
+        _common.force_cpu()
 
     from kaldi_fp16_tpu.decode.graph import DecodingGraph
     from kaldi_fp16_tpu.decode.tpu_viterbi import (
