@@ -387,6 +387,68 @@ def _arc_viterbi(src, dst, pdf, weight, final, start, loglikes,
     return best, last, arcs_taken
 
 
+@functools.partial(jax.jit, static_argnames=("num_states", "chunk"))
+def _arc_viterbi_ckpt(src, dst, pdf, weight, final, start, loglikes,
+                      acoustic_scale, num_states: int, chunk: int):
+    """_arc_viterbi with CHECKPOINTED scores: the plain kernel keeps the
+    full backpointer table [T, S, B] on device (3.2 GB at S=100K, B=16,
+    T=500 — the HBM ceiling that capped HCLG batch size).  Here the
+    forward saves scores only at chunk boundaries; the traceback
+    recomputes each chunk's backpointers ([chunk, S, B] live) while
+    walking backwards — the same sqrt(T) rematerialization trade as
+    _lattice_masks_ckpt.  Requires T % chunk == 0."""
+    B, T, P = loglikes.shape
+    S = num_states
+    A = src.shape[0]
+    nc = T // chunk
+    ll_c = jnp.transpose(loglikes, (1, 2, 0)).reshape(nc, chunk, P, B)
+
+    score0 = jnp.full((S, B), NEG_INF, dtype=jnp.float32)
+    score0 = score0.at[start, :].set(0.0)
+    arc_ids = jnp.arange(A, dtype=jnp.int32)
+
+    def step(score, ll_t):
+        cand = (jnp.take(score, src, axis=0)
+                + weight[:, None]
+                + acoustic_scale * jnp.take(ll_t, pdf, axis=0))   # [A, B]
+        nxt = jax.ops.segment_max(cand, dst, num_segments=S,
+                                  indices_are_sorted=True)
+        nxt = jnp.maximum(nxt, NEG_INF)
+        win = cand >= jnp.take(nxt, dst, axis=0)
+        bp = jax.ops.segment_min(
+            jnp.where(win, arc_ids[:, None], jnp.int32(A)), dst,
+            num_segments=S, indices_are_sorted=True)
+        return nxt, bp
+
+    def fwd_chunk(score, ll_chunk):
+        def f(s, ll_t):
+            nxt, _ = step(s, ll_t)
+            return nxt, None
+        end, _ = jax.lax.scan(f, score, ll_chunk)
+        return end, score                  # checkpoint chunk-START score
+
+    final_score, ckpts = jax.lax.scan(fwd_chunk, score0, ll_c)
+    total = final_score + final[:, None]
+    best = total.max(axis=0)
+    last = total.argmax(axis=0).astype(jnp.int32)                 # [B]
+
+    def back_step(state, bp_t):
+        arc = jnp.take_along_axis(bp_t, state[None, :], axis=0)[0]
+        safe = jnp.clip(arc, 0, A - 1)
+        prev = jnp.where(arc < A, jnp.take(src, safe), state)
+        return prev, arc
+
+    def back_chunk(state, inp):
+        score_c0, ll_chunk = inp
+        _, bps = jax.lax.scan(step, score_c0, ll_chunk)  # [chunk, S, B]
+        state, arcs = jax.lax.scan(back_step, state, bps, reverse=True)
+        return state, arcs
+
+    _, arcs_taken = jax.lax.scan(back_chunk, last, (ckpts, ll_c),
+                                 reverse=True)
+    return best, last, arcs_taken.reshape(T, B)
+
+
 class _DataSharding:
     """Batch-axis GSPMD sharding for the device decoders (no-op without
     a mesh).  Graph arrays replicate; [B, ...] inputs shard over the
@@ -439,6 +501,10 @@ class SparseViterbiDecoder:
         self.arcs = ArcGraph.from_graph(graph)
         self.acoustic_scale = acoustic_scale
         self.layout = layout
+        # above this, decode_batch switches to the checkpointed-score
+        # kernel (no [T, S, B] backpointer table; enables big batches
+        # on HCLG-scale graphs)
+        self.bp_hist_limit = 1 << 30
         self._shard = _DataSharding(mesh, data_axis)
         a = self.arcs
         self._dev = tuple(self._shard.replicate(np.asarray(v)) for v in
@@ -469,6 +535,20 @@ class SparseViterbiDecoder:
                 bsrc, bpdf, bw, barc, new_of_old, src, final,
                 self._start_j, ll, self._scale_j,
                 num_states=self.arcs.num_states)
+        elif ll.shape[1] * self.arcs.num_states * ll.shape[0] * 4 \
+                > self.bp_hist_limit:
+            # HCLG scale: the [T, S, B] backpointer table would not fit;
+            # checkpoint scores and rematerialize per chunk
+            T = ll.shape[1]
+            S, B = self.arcs.num_states, ll.shape[0]
+            chunk = 1
+            for c in range(1, T + 1):
+                if T % c == 0 and c * S * B * 4 <= self.bp_hist_limit:
+                    chunk = c
+            best, last, arcs_taken = _arc_viterbi_ckpt(
+                src, dst, pdf, weight, final, self._start_j, ll,
+                self._scale_j, num_states=self.arcs.num_states,
+                chunk=chunk)
         else:
             best, last, arcs_taken = _arc_viterbi(
                 src, dst, pdf, weight, final, self._start_j, ll,

@@ -505,3 +505,22 @@ class TestVectorEpsilonRemoval:
         assert dt < 30.0, f"vector eps removal took {dt:.1f}s"
         # words survived onto emitting arcs
         assert (ge.em_olabel > 0).sum() >= len(ends)
+
+
+class TestCheckpointedViterbi:
+    def test_ckpt_matches_plain(self):
+        from kaldi_fp16_tpu.decode.tpu_viterbi import SparseViterbiDecoder
+        for seed in (2, 5):
+            g = DecodingGraph.from_fst(random_eps_free_graph(seed=seed))
+            rng = np.random.default_rng(seed)
+            ll = rng.normal(size=(3, 12, 12)).astype(np.float32)
+            ref = SparseViterbiDecoder(g)
+            ck = SparseViterbiDecoder(g)
+            ck.bp_hist_limit = 12 * g.num_states * 3 * 4 // 4  # force ckpt
+            rr = ref.decode_batch(ll)
+            cc = ck.decode_batch(ll)
+            for b in range(3):
+                assert rr[b]["words"] == cc[b]["words"], (seed, b)
+                assert rr[b]["alignment"] == cc[b]["alignment"], (seed, b)
+                np.testing.assert_allclose(rr[b]["total_cost"],
+                                           cc[b]["total_cost"], atol=1e-4)
