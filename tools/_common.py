@@ -21,6 +21,8 @@ def enable_compile_cache(path: str = None):
     options, so correctness is unaffected.  Safe to call before any
     backend is initialized (config only); failures (read-only home,
     no jax) degrade to no cache rather than crashing numpy-only tools."""
+    if os.environ.get("KALDI_TPU_NO_COMPILE_CACHE"):
+        return
     try:
         import jax
         if path is None:
