@@ -167,6 +167,9 @@ def remove_epsilons(g: DecodingGraph, method: str = "auto"
             "be silently wrong. Push weights to non-negative epsilon arcs "
             "first (e.g. fstpushspecial) or remove epsilons upstream.")
 
+    if method not in ("auto", "vector", "scalar"):
+        raise ValueError(f"remove_epsilons: unknown method {method!r} "
+                         "(use 'auto', 'vector' or 'scalar')")
     if method == "vector" or (method == "auto" and g.num_states > 2000):
         return _remove_epsilons_vector(g)
 

@@ -15,6 +15,7 @@ ViterbiDecoder (viterbi.py) remains the general sparse/beam reference.
 from __future__ import annotations
 
 import functools
+import math
 from dataclasses import dataclass
 from typing import List, Tuple
 
@@ -387,6 +388,19 @@ def _arc_viterbi(src, dst, pdf, weight, final, start, loglikes,
     return best, last, arcs_taken
 
 
+def _pick_chunk(T: int, S: int, B: int, limit: int) -> int:
+    """Chunk size for the checkpointed decode kernels: ~sqrt(T)
+    minimizes max(live block, checkpoint array) = max(chunk, T/chunk) *
+    S*B*4 bytes; clamp down if even the live block would exceed the
+    limit.  No divisibility requirement — the kernels handle a ragged
+    final chunk."""
+    chunk = max(1, int(math.isqrt(T)))
+    per_frame = S * B * 4
+    if chunk * per_frame > limit:
+        chunk = max(1, limit // per_frame)
+    return min(chunk, T)
+
+
 @functools.partial(jax.jit, static_argnames=("num_states", "chunk"))
 def _arc_viterbi_ckpt(src, dst, pdf, weight, final, start, loglikes,
                       acoustic_scale, num_states: int, chunk: int):
@@ -396,12 +410,16 @@ def _arc_viterbi_ckpt(src, dst, pdf, weight, final, start, loglikes,
     forward saves scores only at chunk boundaries; the traceback
     recomputes each chunk's backpointers ([chunk, S, B] live) while
     walking backwards — the same sqrt(T) rematerialization trade as
-    _lattice_masks_ckpt.  Requires T % chunk == 0."""
+    _lattice_masks_ckpt.  A ragged final chunk (T % chunk) is processed
+    outside the chunk scans, so any chunk <= T works."""
     B, T, P = loglikes.shape
     S = num_states
     A = src.shape[0]
     nc = T // chunk
-    ll_c = jnp.transpose(loglikes, (1, 2, 0)).reshape(nc, chunk, P, B)
+    rem = T - nc * chunk
+    ll_tpb = jnp.transpose(loglikes, (1, 2, 0))          # [T, P, B]
+    ll_c = ll_tpb[:nc * chunk].reshape(nc, chunk, P, B)
+    ll_rem = ll_tpb[nc * chunk:]                         # [rem, P, B]
 
     score0 = jnp.full((S, B), NEG_INF, dtype=jnp.float32)
     score0 = score0.at[start, :].set(0.0)
@@ -427,7 +445,12 @@ def _arc_viterbi_ckpt(src, dst, pdf, weight, final, start, loglikes,
         end, _ = jax.lax.scan(f, score, ll_chunk)
         return end, score                  # checkpoint chunk-START score
 
-    final_score, ckpts = jax.lax.scan(fwd_chunk, score0, ll_c)
+    score_T1, ckpts = jax.lax.scan(fwd_chunk, score0, ll_c)
+    if rem:
+        final_score, _ = jax.lax.scan(
+            lambda s, ll_t: (step(s, ll_t)[0], None), score_T1, ll_rem)
+    else:
+        final_score = score_T1
     total = final_score + final[:, None]
     best = total.max(axis=0)
     last = total.argmax(axis=0).astype(jnp.int32)                 # [B]
@@ -438,15 +461,24 @@ def _arc_viterbi_ckpt(src, dst, pdf, weight, final, start, loglikes,
         prev = jnp.where(arc < A, jnp.take(src, safe), state)
         return prev, arc
 
+    def remat_back(state, score_c0, ll_chunk):
+        _, bps = jax.lax.scan(step, score_c0, ll_chunk)
+        return jax.lax.scan(back_step, state, bps, reverse=True)
+
+    state = last
+    if rem:
+        state, arcs_rem = remat_back(state, score_T1, ll_rem)
+
     def back_chunk(state, inp):
         score_c0, ll_chunk = inp
-        _, bps = jax.lax.scan(step, score_c0, ll_chunk)  # [chunk, S, B]
-        state, arcs = jax.lax.scan(back_step, state, bps, reverse=True)
-        return state, arcs
+        return remat_back(state, score_c0, ll_chunk)
 
-    _, arcs_taken = jax.lax.scan(back_chunk, last, (ckpts, ll_c),
+    _, arcs_taken = jax.lax.scan(back_chunk, state, (ckpts, ll_c),
                                  reverse=True)
-    return best, last, arcs_taken.reshape(T, B)
+    arcs_taken = arcs_taken.reshape(nc * chunk, B)
+    if rem:
+        arcs_taken = jnp.concatenate([arcs_taken, arcs_rem], axis=0)
+    return best, last, arcs_taken
 
 
 class _DataSharding:
@@ -539,12 +571,8 @@ class SparseViterbiDecoder:
                 > self.bp_hist_limit:
             # HCLG scale: the [T, S, B] backpointer table would not fit;
             # checkpoint scores and rematerialize per chunk
-            T = ll.shape[1]
-            S, B = self.arcs.num_states, ll.shape[0]
-            chunk = 1
-            for c in range(1, T + 1):
-                if T % c == 0 and c * S * B * 4 <= self.bp_hist_limit:
-                    chunk = c
+            chunk = _pick_chunk(ll.shape[1], self.arcs.num_states,
+                                ll.shape[0], self.bp_hist_limit)
             best, last, arcs_taken = _arc_viterbi_ckpt(
                 src, dst, pdf, weight, final, self._start_j, ll,
                 self._scale_j, num_states=self.arcs.num_states,
@@ -665,14 +693,16 @@ def _lattice_masks_ckpt(src, dst, pdf, graph_cost, final_cost, start,
     sweep recomputes each chunk's alphas ([chunk, S, B] live) before
     running beta+mask — the classic O(sqrt(T)) rematerialization trade:
     one extra forward pass of compute for a T/chunk memory reduction.
-    Requires T % chunk == 0 (caller picks a divisor)."""
+    A ragged final chunk (T % chunk) runs outside the chunk scans."""
     B, T, P = loglikes.shape
     S = num_states
     A = src.shape[0]
     nc = T // chunk
+    rem = T - nc * chunk
+    ac_all = -jnp.transpose(loglikes, (1, 2, 0))         # [T, P, B]
     INF = jnp.float32(-NEG_INF)
-    ac_cost = (-jnp.transpose(loglikes, (1, 2, 0))
-               ).reshape(nc, chunk, P, B)
+    ac_cost = ac_all[:nc * chunk].reshape(nc, chunk, P, B)
+    ac_rem = ac_all[nc * chunk:]                         # [rem, P, B]
 
     alpha0 = jnp.full((S, B), INF).at[start, :].set(0.0)
 
@@ -691,7 +721,11 @@ def _lattice_masks_ckpt(src, dst, pdf, graph_cost, final_cost, start,
         alpha_end, _ = jax.lax.scan(fwd_frame, alpha, ll_c)
         return alpha_end, alpha            # checkpoint = chunk-START alpha
 
-    alpha_T, alpha_ckpt = jax.lax.scan(fwd_chunk, alpha0, ac_cost)
+    alpha_T1, alpha_ckpt = jax.lax.scan(fwd_chunk, alpha0, ac_cost)
+    if rem:
+        alpha_T, _ = jax.lax.scan(fwd_frame, alpha_T1, ac_rem)
+    else:
+        alpha_T = alpha_T1
     total = alpha_T + final_cost[:, None]
     best = total.min(axis=0)                              # [B]
 
@@ -713,16 +747,25 @@ def _lattice_masks_ckpt(src, dst, pdf, graph_cost, final_cost, start,
         packed = jnp.packbits(kp.astype(jnp.uint8), axis=0)
         return beta, packed
 
+    def remat_bwd(beta_next, alpha_c0, ll_c):
+        _, alphas = jax.lax.scan(fwd_emit, alpha_c0, ll_c)  # [chunk, S, B]
+        return jax.lax.scan(bwd_frame, beta_next,
+                            (alphas, ll_c), reverse=True)
+
+    beta = betaT
+    if rem:
+        beta, packed_rem = remat_bwd(beta, alpha_T1, ac_rem)
+
     def bwd_chunk(beta_next, inp):
         alpha_c0, ll_c = inp
-        _, alphas = jax.lax.scan(fwd_emit, alpha_c0, ll_c)  # [chunk, S, B]
-        beta0, packed_c = jax.lax.scan(bwd_frame, beta_next,
-                                       (alphas, ll_c), reverse=True)
-        return beta0, packed_c
+        return remat_bwd(beta_next, alpha_c0, ll_c)
 
-    _, packed = jax.lax.scan(bwd_chunk, betaT, (alpha_ckpt, ac_cost),
+    _, packed = jax.lax.scan(bwd_chunk, beta, (alpha_ckpt, ac_cost),
                              reverse=True)
-    return packed.reshape(T, packed.shape[-2], B), best
+    packed = packed.reshape(nc * chunk, packed.shape[-2], B)
+    if rem:
+        packed = jnp.concatenate([packed, packed_rem], axis=0)
+    return packed, best
 
 
 @functools.partial(jax.jit, static_argnames=("num_states",))
@@ -849,13 +892,8 @@ class DeviceLatticeDecoder:
                 num_states=self.arcs.num_states)
         elif hist_bytes > self.alpha_hist_limit:
             # HCLG scale: alpha_hist [T, S, B] would not fit (3.2 TB at
-            # S=100K/B=16/T=500); checkpointed-alpha kernel instead.
-            # chunk = largest divisor of T whose [chunk, S, B] live
-            # alpha block stays within the limit
-            chunk = 1
-            for c in range(1, T + 1):
-                if T % c == 0 and c * S * B * 4 <= self.alpha_hist_limit:
-                    chunk = c
+            # S=100K/B=16/T=500); checkpointed-alpha kernel instead
+            chunk = _pick_chunk(T, S, B, self.alpha_hist_limit)
             packed, best = _lattice_masks_ckpt(
                 self._src, self._dst, self._pdf, self._gcost, self._fcost,
                 self._start, ll, self._scale_j, self._beam_j,

@@ -89,6 +89,19 @@ class Trainer:
                                         *([None] * (np.ndim(v) - 1)))))
             self.place_states()
 
+    def restore(self, mgr, step=None):
+        """Restore params/states from a CheckpointManager and commit
+        them to the mesh (restored arrays arrive host-resident;
+        assigning them WITHOUT re-placement would silently train
+        single-device layouts).  Returns the DataPosition."""
+        (self.params, self.net_state, self.opt_state,
+         self.scale_state, gstep, pos) = mgr.restore(
+            step, self.params, self.net_state, self.opt_state,
+            self.scale_state)
+        self.global_step = gstep
+        self.place_states()
+        return pos
+
     def place_states(self) -> None:
         """Commit params/states to their dp+tp mesh shardings (wide
         heads split over 'model', everything else replicated).  Called

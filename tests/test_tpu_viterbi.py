@@ -524,3 +524,42 @@ class TestCheckpointedViterbi:
                 assert rr[b]["alignment"] == cc[b]["alignment"], (seed, b)
                 np.testing.assert_allclose(rr[b]["total_cost"],
                                            cc[b]["total_cost"], atol=1e-4)
+
+
+class TestRaggedChunk:
+    """Prime T (no divisors) must work via the ragged final chunk —
+    the divisor-based picker degraded to chunk=1 (review finding)."""
+
+    def test_viterbi_prime_T(self):
+        from kaldi_fp16_tpu.decode.tpu_viterbi import (
+            SparseViterbiDecoder, _pick_chunk)
+        g = DecodingGraph.from_fst(random_eps_free_graph(seed=4))
+        rng = np.random.default_rng(1)
+        ll = rng.normal(size=(2, 13, 12)).astype(np.float32)   # T=13 prime
+        ref = SparseViterbiDecoder(g)
+        ck = SparseViterbiDecoder(g)
+        ck.bp_hist_limit = 13 * g.num_states * 2 * 4 // 3
+        chunk = _pick_chunk(13, g.num_states, 2, ck.bp_hist_limit)
+        assert 1 < chunk < 13 and 13 % chunk != 0   # genuinely ragged
+        rr, cc = ref.decode_batch(ll), ck.decode_batch(ll)
+        for b in range(2):
+            assert rr[b]["words"] == cc[b]["words"]
+            assert rr[b]["alignment"] == cc[b]["alignment"]
+            np.testing.assert_allclose(rr[b]["total_cost"],
+                                       cc[b]["total_cost"], atol=1e-4)
+
+    def test_lattice_prime_T(self):
+        from kaldi_fp16_tpu.decode.tpu_viterbi import DeviceLatticeDecoder
+        g = DecodingGraph.from_fst(random_eps_free_graph(seed=8))
+        rng = np.random.default_rng(2)
+        ll = rng.normal(size=(2, 11, 12)).astype(np.float32)   # T=11 prime
+        ref = DeviceLatticeDecoder(g, lattice_beam=5.0)
+        ck = DeviceLatticeDecoder(g, lattice_beam=5.0)
+        ck.alpha_hist_limit = 11 * g.num_states * 2 * 4 // 3
+        rl, cl = ref.decode_batch(ll), ck.decode_batch(ll)
+        for b in range(2):
+            ra = {(int(rl[b].node_frame[a.src]), a.ilabel, a.olabel,
+                   round(a.graph_cost, 4)) for a in rl[b].arcs}
+            ca = {(int(cl[b].node_frame[a.src]), a.ilabel, a.olabel,
+                   round(a.graph_cost, 4)) for a in cl[b].arcs}
+            assert ra == ca, b

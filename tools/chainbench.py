@@ -56,7 +56,11 @@ def main():
         # realistic den.fst topology: phone-LM over L-R HMMs with
         # self-loops -> gather locality like the real production graph
         from kaldi_fp16_tpu.chain.graph import make_phone_lm_den_fst
-        fst = make_phone_lm_den_fst(num_pdfs=P)
+        # production shape by default; scale down with --pdfs for smokes
+        kw = {} if P >= 3080 else dict(
+            num_phones=max(2, P // 2), states_per_phone=2,
+            branching=min(8, max(2, P // 4)))
+        fst = make_phone_lm_den_fst(num_pdfs=P, **kw)
         graph = DenominatorGraph.from_fst(fst, P)
         S, A = graph.num_states, graph.num_transitions
     else:
@@ -73,11 +77,11 @@ def main():
             num_states=S, num_pdfs=P, start_state=0)
     den = DenominatorComputation(graph, leaky=1e-5, layout=args.layout)
 
-    # synthetic numerator batch at typical scale (~200 states/arcs per
-    # utt).  The chain must be REACHABLE in T frames (each arc consumes
-    # one frame): cap the path length at min(states-1, T) so the bench
-    # measures the real recursion, not the -inf/containment path.
-    Sn, An = min(args.num_states, T + 1), args.num_arcs
+    # synthetic numerator batch: a linear chain of EXACTLY T arcs (each
+    # chain arc consumes one frame, so any other length leaves the only
+    # final state unreachable and benches the -inf/containment path),
+    # plus parallel alternative arcs up to An.
+    Sn, An = T + 1, max(args.num_arcs, T)
     num_graph = NumeratorGraphBatch(
         arc_src=np.tile(np.arange(An, dtype=np.int32) % (Sn - 1), (B, 1)),
         arc_dst=np.tile(np.arange(An, dtype=np.int32) % (Sn - 1) + 1, (B, 1)),

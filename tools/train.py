@@ -154,35 +154,32 @@ def main():
     mgr = CheckpointManager(args.ckpt_dir) if args.ckpt_dir else None
     start_epoch = 0
     if args.resume and mgr and mgr.latest_step() is not None:
-        (trainer.params, trainer.net_state, trainer.opt_state,
-         trainer.scale_state, step, pos) = mgr.restore(
-            None, trainer.params, trainer.net_state, trainer.opt_state,
-            trainer.scale_state)
-        trainer.global_step = step
+        pos = trainer.restore(mgr)   # restores AND re-places on the mesh
         start_epoch = pos.epoch
-        trainer.place_states()   # restored arrays arrive host-resident;
-        print(f"resumed from step {step} (epoch {pos.epoch})")
+        print(f"resumed from step {trainer.global_step} "
+              f"(epoch {pos.epoch})")
 
     metrics = MetricsLogger(args.metrics, echo=False) if args.metrics else None
     timer = StepTimer(skip_first=2)
 
     for epoch in range(start_epoch, args.epochs):
-        dl = DataLoader(args.egs,
-                        DataLoaderConfig(batch_size=args.batch,
-                                         label_dim=args.pdfs,
-                                         shuffle_files=True,
-                                         shuffle_buffer=args.shuffle_buffer,
-                                         seed=args.seed + epoch,
-                                         max_fst_states=args.fst_pad_states,
-                                         max_fst_arcs=args.fst_pad_arcs))
+        dl_cfg = DataLoaderConfig(batch_size=args.batch,
+                                  label_dim=args.pdfs,
+                                  shuffle_files=True,
+                                  shuffle_buffer=args.shuffle_buffer,
+                                  seed=args.seed + epoch,
+                                  max_fst_states=args.fst_pad_states,
+                                  max_fst_arcs=args.fst_pad_arcs)
         if args.loader_workers > 0:
             from kaldi_fp16_tpu.io.dataloader import ProcessLoader
-            batches = ProcessLoader(args.egs, dl.config,
-                                    workers=args.loader_workers)
+            batches = ProcessLoader(args.egs, dl_cfg,
+                                    workers=args.loader_workers,
+                                    depth=max(1, args.prefetch))
         elif args.prefetch:
-            batches = PrefetchLoader(dl, args.prefetch)
+            batches = PrefetchLoader(DataLoader(args.egs, dl_cfg),
+                                     args.prefetch)
         else:
-            batches = dl
+            batches = DataLoader(args.egs, dl_cfg)
         epoch_objf = []
         try:
             for i, batch in enumerate(batches):

@@ -90,8 +90,9 @@ def main():
     den = DenominatorComputation(graph, leaky=1e-5, mode=args.mode)
 
     # reachable linear chain of T_out arcs + parallel alternatives (see
-    # bench.py: an unreachable final would run the containment path)
-    An, Sn = args.num_arcs, T_out + 1
+    # bench.py: an unreachable final would run the containment path);
+    # An must cover the full chain or the final is unreachable again
+    An, Sn = max(args.num_arcs, T_out), T_out + 1
     num_graph = NumeratorGraphBatch(
         arc_src=np.tile(np.arange(An, dtype=np.int32) % T_out, (B, 1)),
         arc_dst=np.tile(np.arange(An, dtype=np.int32) % T_out + 1, (B, 1)),
@@ -149,6 +150,7 @@ def main():
                    "bn_lowp": args.bn_lowp,
                    "den_topology": args.topology,
                    "den_layout": den.layout_used,
+                   "num_logprob": float(out.num_logprob),
                    "loss": float(out.loss)},
     }))
 

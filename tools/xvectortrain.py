@@ -99,7 +99,10 @@ def main():
     wall = time.perf_counter() - t0
     acc1 = float(accuracy(params, eval_feats, eval_labels))
 
-    ok = acc1 > max(2.0 * acc0, 0.5) and losses[-1] < losses[0]
+    # cap the improvement requirement below 1.0: with few speakers
+    # the untrained accuracy can already be ~1/2
+    ok = (acc1 > max(min(2.0 * acc0, 0.9), 0.5)
+          and losses[-1] < losses[0])
     print(json.dumps({
         "metric": "xvector_train_smoke",
         "initial_accuracy": round(acc0, 4),
