@@ -179,4 +179,16 @@ def _wait_for_backend(max_wait_s: float = 1800.0) -> None:
 
 if __name__ == "__main__":
     _wait_for_backend()
-    main()
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001
+        # still emit a parseable line so the failure MODE is recorded
+        # (e.g. a TPU-tunnel outage outlasting the wait) rather than
+        # only a stack trace
+        print(json.dumps({
+            "metric": "train_audio_sec_per_s_per_chip",
+            "value": None, "unit": "audio-sec/s/chip",
+            "vs_baseline": None,
+            "detail": {"error": f"{type(e).__name__}: {e}"[:300]},
+        }))
+        raise
