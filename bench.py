@@ -18,12 +18,47 @@ rounds (117K frames/s reference).
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
+METRIC = "train_audio_sec_per_s_per_chip"
+
+
+def _emit(value, vs_baseline, detail):
+    """One parseable JSON line.  Emitted at every stage boundary so a
+    mid-bench SIGKILL from the driver still leaves the best measurement
+    so far on stdout (the last parseable line wins)."""
+    print(json.dumps({
+        "metric": METRIC,
+        "value": value,
+        "unit": "audio-sec/s/chip",
+        "vs_baseline": vs_baseline,
+        "detail": detail,
+    }), flush=True)
+
+
+def _enable_compile_cache():
+    """Persistent XLA compile cache: the flagship train step costs
+    minutes to compile cold over the tunnel; the driver runs bench.py
+    in a fresh process, so without this the compile can eat the whole
+    driver window (BENCH_r02 was lost to exactly that failure shape)."""
+    if os.environ.get("KALDI_TPU_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+        path = os.path.join(os.path.expanduser("~"), ".cache",
+                            "kaldi_fp16_tpu_xla")
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:  # noqa: BLE001 — cache is an optimization only
+        pass
+
 
 def main():
+    _enable_compile_cache()
     import jax
     import jax.numpy as jnp
     from kaldi_fp16_tpu.chain.denominator import DenominatorComputation
@@ -68,6 +103,14 @@ def main():
     for _ in range(3):
         float(fwd_many(params, state, feats8, ivecs8))
     fwd_frames_per_s = 8 * T_in * K * 3 / (time.perf_counter() - t0)
+
+    # partial record: if the driver kills us during the (much longer)
+    # train-step compile below, the forward measurement still lands
+    _emit(None, None, {
+        "partial": "forward-only measured; train step pending",
+        "forward_frames_per_s": round(fwd_frames_per_s, 1),
+        "forward_vs_baseline": round(fwd_frames_per_s / 117_000.0, 2),
+    })
 
     # ---- full train step at production scale -------------------------------
     # den graph with the REAL topology class (phone-LM over L-R HMM chains,
@@ -137,44 +180,53 @@ def main():
 
     audio_per_s = B * T_in / 100.0 / dt
     baseline = 105.0
-    print(json.dumps({
-        "metric": "train_audio_sec_per_s_per_chip",
-        "value": round(audio_per_s, 1),
-        "unit": "audio-sec/s/chip",
-        "vs_baseline": round(audio_per_s / baseline, 3),
-        "detail": {
-            "step_ms": round(dt * 1e3, 2),
-            "batch": B, "frames_in": T_in, "frames_out": T_out,
-            "forward_frames_per_s": round(fwd_frames_per_s, 1),
-            "forward_vs_baseline": round(fwd_frames_per_s / 117_000.0, 2),
-        },
-    }))
+    _emit(round(audio_per_s, 1), round(audio_per_s / baseline, 3), {
+        "step_ms": round(dt * 1e3, 2),
+        "batch": B, "frames_in": T_in, "frames_out": T_out,
+        "forward_frames_per_s": round(fwd_frames_per_s, 1),
+        "forward_vs_baseline": round(fwd_frames_per_s / 117_000.0, 2),
+    })
 
 
-def _wait_for_backend(max_wait_s: float = 1800.0) -> None:
+def _wait_for_backend() -> bool:
     """The tunneled TPU backend has transient UNAVAILABLE windows
     (observed: tens of minutes, and init can HANG rather than raise).
     Probe in a subprocess with a hard timeout so a wedged tunnel is
-    waited out instead of recording a failed round."""
+    waited out instead of recording a failed round.
+
+    The wait budget is capped (KALDI_TPU_BENCH_WAIT env, default 300s)
+    to stay inside the driver's window: round 2 was lost because a
+    1800s wait loop outlasted the window and the driver's SIGKILL left
+    no parseable line (BENCH_r02.json rc=124).  On budget expiry a
+    parseable value:null line is emitted HERE, from the loop — not
+    from an exception handler a SIGKILL would never reach — and the
+    bench is still attempted afterwards (a late-recovering backend can
+    overwrite the null line with a real number)."""
     import subprocess
     import sys
+    max_wait_s = float(os.environ.get("KALDI_TPU_BENCH_WAIT", "300"))
     probe = ("import jax, jax.numpy as jnp; x = jnp.ones((128, 128)); "
              "(x @ x).block_until_ready()")
-    deadline = time.time() + max_wait_s
+    t0 = time.time()
     while True:
         try:
             r = subprocess.run([sys.executable, "-c", probe],
-                               timeout=150, capture_output=True)
+                               timeout=min(150.0, max(30.0, max_wait_s / 2)),
+                               capture_output=True)
             if r.returncode == 0:
-                return
+                return True
         except subprocess.TimeoutExpired:
             pass
-        if time.time() > deadline:
-            print("# backend still unavailable; attempting bench anyway",
-                  flush=True)
-            return
-        print("# backend unavailable; retrying in 60s", flush=True)
-        time.sleep(60.0)
+        waited = time.time() - t0
+        if waited > max_wait_s:
+            _emit(None, None, {
+                "error": "backend unavailable after "
+                         f"{waited:.0f}s wait; attempting bench anyway",
+            })
+            return False
+        print(f"# backend unavailable ({waited:.0f}s); retrying in 30s",
+              flush=True)
+        time.sleep(30.0)
 
 
 if __name__ == "__main__":
@@ -185,10 +237,5 @@ if __name__ == "__main__":
         # still emit a parseable line so the failure MODE is recorded
         # (e.g. a TPU-tunnel outage outlasting the wait) rather than
         # only a stack trace
-        print(json.dumps({
-            "metric": "train_audio_sec_per_s_per_chip",
-            "value": None, "unit": "audio-sec/s/chip",
-            "vs_baseline": None,
-            "detail": {"error": f"{type(e).__name__}: {e}"[:300]},
-        }))
+        _emit(None, None, {"error": f"{type(e).__name__}: {e}"[:300]})
         raise

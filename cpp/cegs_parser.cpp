@@ -306,7 +306,11 @@ struct CegsParser {
   bool read_sm(IoBlock *io) {
     int32_t num_rows;
     if (!read_basic_i32_sp(&num_rows)) return false;
-    if (num_rows < 0 || num_rows > 100000) return false;
+    // accept the same inputs as the Python reader
+    // (io/matrix.py read_sparse_matrix: rows <= 10M, dim unbounded) so
+    // use_native=true never diverges from the fallback; the densify
+    // allocation below is guarded separately.
+    if (num_rows < 0 || num_rows > 10000000) return false;
     std::vector<std::vector<std::pair<int32_t, float>>> rows(num_rows);
     int32_t cols = 0;
     for (int32_t i = 0; i < num_rows; i++) {
@@ -314,7 +318,7 @@ struct CegsParser {
       if (b1 != 'S' || b2 != 'V') return false;
       int32_t dim, n;
       if (!read_basic_i32_sp(&dim) || !read_basic_i32_sp(&n)) return false;
-      if (dim < 0 || dim > 10000 || n < 0 || n > dim) return false;
+      if (dim < 0 || n < 0 || n > dim) return false;
       cols = std::max(cols, dim);
       rows[i].reserve(n);
       for (int32_t k = 0; k < n; k++) {
@@ -326,6 +330,10 @@ struct CegsParser {
       }
     }
     io->rows = num_rows; io->cols = cols;
+    // densify guard only (not a format cap): corrupt sizes must fail
+    // the parse, not attempt a multi-GB allocation.  500M floats = 2GB,
+    // far above any real eg (frames x pdfs).
+    if (size_t(num_rows) * size_t(cols) > 500000000u) return false;
     io->data.assign(size_t(num_rows) * cols, 0.0f);
     for (int32_t i = 0; i < num_rows; i++)
       for (auto &p : rows[i])

@@ -129,14 +129,20 @@ class DenominatorComputation:
         assert mode in ("exact", "fast")
         assert posterior_reduce in ("einsum", "pallas")
         assert layout in ("auto", "structured", "blocked")
-        self.graph = graph
         # the blocked orders / structured layout below are derived from
-        # the graph ONCE; freeze its arrays so a later in-place mutation
-        # raises instead of silently serving stale derived state (the
-        # functional-wrapper cache also keys on graph identity)
-        for arr in (graph.src, graph.dst, graph.pdf, graph.prob,
-                    graph.initial):
+        # the graph ONCE; snapshot it into private frozen copies so a
+        # later caller-side mutation can't silently serve stale derived
+        # state — without mutating the caller's arrays' writeable flags
+        # (the caller may legitimately share or edit its own copies)
+        import dataclasses
+        self._source_graph = graph  # identity anchor for the jit cache
+        frozen = {}
+        for name in ("src", "dst", "pdf", "prob", "initial"):
+            arr = np.array(getattr(graph, name), copy=True)
             arr.flags.writeable = False
+            frozen[name] = arr
+        graph = dataclasses.replace(graph, **frozen)
+        self.graph = graph
         self.leaky = leaky
         self.mode = mode
         self.hoist_bytes = hoist_bytes
@@ -391,7 +397,7 @@ def denominator_forward_backward(graph: DenominatorGraph,
     """Functional convenience wrapper; nnet_output [N, T, P]."""
     key = (id(graph), float(leaky), mode)
     hit = _den_cache.get(key)
-    if hit is None or hit.graph is not graph:
+    if hit is None or hit._source_graph is not graph:
         hit = DenominatorComputation(graph, leaky, mode)
         if len(_den_cache) > 16:
             _den_cache.clear()

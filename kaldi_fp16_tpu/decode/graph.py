@@ -131,8 +131,12 @@ def remove_epsilons(g: DecodingGraph, method: str = "auto"
 
     method: 'vector' (flat-array iterated min-plus closure — the
     HCLG-scale path), 'scalar' (per-state Dijkstra reference), 'auto'
-    (vector above 2000 states).  Identical semantics; tie-broken routes
-    with EQUAL cost may fold a different (equally-optimal) olabel.
+    (vector above 2000 states).  Identical semantics; equal-cost eps
+    routes share one deterministic tie-break in BOTH methods — smaller
+    folded olabel wins, then the label-preserving route — so the folded
+    graph does not change as a function of graph size.  (Exact-float
+    ties only: costs differing by sub-1e-12 summation noise can still
+    pick either route.)
 
     Real HCLG graphs carry epsilon (ilabel 0) arcs; the arc-parallel
     device decoders (decode/tpu_viterbi.py) need every arc to consume a
@@ -202,12 +206,21 @@ def remove_epsilons(g: DecodingGraph, method: str = "auto"
             for a in out_eps[u]:
                 d = int(g.eps_dst[a])
                 nc = c + float(g.eps_weight[a])
-                if nc < dist.get(d, np.inf) - 1e-12:
+                o = olab[u]
+                eo = int(g.eps_olabel[a])
+                cand = (o if o else eo, lost[u] or bool(o and eo))
+                cur = dist.get(d, np.inf)
+                if nc < cur - 1e-12:
                     dist[d] = nc
-                    o = olab[u]
-                    eo = int(g.eps_olabel[a])
-                    olab[d] = o if o else eo
-                    lost[d] = lost[u] or bool(o and eo)
+                    olab[d], lost[d] = cand
+                    heapq.heappush(heap, (nc, d))
+                elif nc < cur + 1e-12 and cand < (olab[d], lost[d]):
+                    # equal-cost tie: shared deterministic tie-break
+                    # with the vector path — smaller folded olabel,
+                    # then the label-preserving route; re-push so the
+                    # winning labels propagate downstream (terminates:
+                    # (olab, lost) strictly decreases per update)
+                    olab[d], lost[d] = cand
                     heapq.heappush(heap, (nc, d))
         best: Dict[tuple, tuple] = {}
         for u, du in dist.items():
@@ -278,9 +291,11 @@ def _remove_epsilons_vector(g: DecodingGraph,
     eo = g.eps_olabel.astype(np.int64)
 
     def dedup_pairs(s, u, w, o, l):
-        """Best (min-dist) entry per (s, u); first-in wins ties."""
+        """Best (min-dist) entry per (s, u); equal-dist ties prefer the
+        smaller folded olabel, then the label-preserving route (the
+        same deterministic tie-break as the scalar Dijkstra path)."""
         key = s * S + u
-        order = np.lexsort((w, key))
+        order = np.lexsort((l, o, w, key))
         ks = key[order]
         first = np.ones(len(ks), bool)
         if len(ks) > 1:
@@ -337,9 +352,20 @@ def _remove_epsilons_vector(g: DecodingGraph,
         known = have & (ok_sorted[safe] == nkey) if len(ok_sorted) else \
             np.zeros(len(nkey), bool)
         old_w = np.full(len(nkey), np.inf)
+        old_o = np.full(len(nkey), np.iinfo(np.int64).max)
+        old_l = np.ones(len(nkey), bool)
         if len(ok_sorted):
             old_w[known] = cw[oorder][safe[known]]
-        improved = nw < old_w - 1e-12
+            old_o[known] = co[oorder][safe[known]]
+            old_l[known] = cl[oorder][safe[known]]
+        # strictly shorter, OR equal-cost with a preferred label fold
+        # (shared tie-break with the scalar path: smaller olabel, then
+        # label-preserving); tie-improvements join the next frontier so
+        # the winning labels propagate, and terminate because (o, l)
+        # strictly decreases per key
+        improved = (nw < old_w - 1e-12) | (
+            (nw < old_w + 1e-12)
+            & ((no < old_o) | ((no == old_o) & ~nl & old_l)))
         if not improved.any():
             break
         ns, nu, nw = ns[improved], nu[improved], nw[improved]

@@ -885,6 +885,14 @@ class DeviceLatticeDecoder:
         S = self.arcs.num_states
         hist_bytes = T * S * B * 4
         if self.layout == "ell":
+            if hist_bytes > self.alpha_hist_limit:
+                raise ValueError(
+                    f"layout='ell' materializes the full alpha history "
+                    f"([T={T}, S={S}, B={B}] = {hist_bytes/2**30:.1f} GiB "
+                    f"> alpha_hist_limit {self.alpha_hist_limit/2**30:.1f} "
+                    f"GiB); use layout='segment' (routes through the "
+                    f"checkpointed-alpha kernel at this scale) or shrink "
+                    f"the batch/graph")
             packed, best = _lattice_masks_ell(
                 *self._ell_in, *self._ell_out,
                 self._src, self._dst, self._pdf, self._gcost, self._fcost,

@@ -201,3 +201,32 @@ def test_native_parses_sm_input(tmp_path):
     assert iv_n.fmt == iv_p.fmt == "SM"
     np.testing.assert_array_equal(iv_n.data, iv_p.data)
     np.testing.assert_array_equal(iv_n.data, dense)
+
+
+def test_native_sm_wide_onehot_matches_python(tmp_path):
+    """A one-hot SM supervision-style block with dim > 10000 pdfs: the
+    native parser must accept the same inputs as the Python reader
+    (it once hard-capped dim at 10000 and silently diverged from the
+    fallback when use_native=True)."""
+    from kaldi_fp16_tpu.io.egs import IoBlock, Index
+
+    ex = make_example(key="utt-sm-wide")
+    dim = 20000
+    dense = np.zeros((3, dim), np.float32)
+    dense[0, 17] = 1.0
+    dense[1, 15999] = 1.0
+    dense[2, dim - 1] = 0.5
+    ex.inputs[1] = IoBlock("ivector", [Index(0, t, 0) for t in range(3)],
+                           dense, "SM")
+    path = str(tmp_path / "smwide.ark")
+    write_ark(path, [ex])
+
+    py = read_examples(path)
+    with NativeEgsReader(path) as r:
+        nat = list(r)
+    assert len(nat) == len(py) == 1
+    iv_n = nat[0].input_named("ivector")
+    iv_p = py[0].input_named("ivector")
+    assert iv_n.fmt == iv_p.fmt == "SM"
+    np.testing.assert_array_equal(iv_n.data, iv_p.data)
+    np.testing.assert_array_equal(iv_n.data, dense)

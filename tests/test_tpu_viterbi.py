@@ -563,3 +563,25 @@ class TestRaggedChunk:
             ca = {(int(cl[b].node_frame[a.src]), a.ilabel, a.olabel,
                    round(a.graph_cost, 4)) for a in cl[b].arcs}
             assert ra == ca, b
+
+
+def test_ell_layout_rejects_oversized_alpha_history():
+    """layout='ell' materializes the full [T,S,B] alpha history; above
+    alpha_hist_limit it must refuse loudly (pointing at the segment
+    layout's checkpointed kernel) instead of attempting a multi-GiB
+    allocation the segment path was explicitly hardened against."""
+    import pytest
+    from kaldi_fp16_tpu.decode.tpu_viterbi import DeviceLatticeDecoder
+    g = DecodingGraph.from_fst(random_eps_free_graph(seed=3))
+    dec = DeviceLatticeDecoder(g, lattice_beam=4.0, layout="ell")
+    dec.alpha_hist_limit = 1024          # force the guard at toy scale
+    rng = np.random.default_rng(7)
+    ll = rng.normal(size=(2, 8, 12)).astype(np.float32)
+    with pytest.raises(ValueError, match="alpha_hist_limit"):
+        dec.decode_batch(ll)
+    # under the limit the ELL path still works and matches segment
+    dec.alpha_hist_limit = 1 << 30
+    lats = dec.decode_batch(ll)
+    ref = DeviceLatticeDecoder(g, lattice_beam=4.0).decode_batch(ll)
+    for a, b in zip(lats, ref):
+        assert TestDeviceLattice._arc_set(a) == TestDeviceLattice._arc_set(b)

@@ -53,5 +53,7 @@ def read_metrics(path):
     return rows
 
 
-# Every tool pays compile on each invocation; cache unconditionally.
-enable_compile_cache()
+# NOTE: enable_compile_cache() is called explicitly from each tool's
+# main() — NOT at import time — so that merely importing a tool module
+# (tests, numpy-only helpers) has no filesystem or jax-config side
+# effects.

@@ -39,6 +39,7 @@ def run(cmd, log_path):
 
 
 def main():
+    _common.enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", default="/tmp/abtest")
     ap.add_argument("--epochs", type=int, default=6)

@@ -17,6 +17,7 @@ import numpy as np
 
 
 def main():
+    _common.enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--eps", type=float, default=1e-3)
     ap.add_argument("--probes", type=int, default=6)

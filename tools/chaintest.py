@@ -17,6 +17,7 @@ import numpy as np
 
 
 def main():
+    _common.enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--egs")
     ap.add_argument("--den-fst")

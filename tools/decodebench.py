@@ -90,6 +90,7 @@ def synth_hclg_graph(S: int, P: int, seed: int = 0, word_len: int = 10,
 
 
 def main():
+    _common.enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--states", type=int, default=2048)
     ap.add_argument("--pdfs", type=int, default=512)

@@ -14,6 +14,7 @@ import numpy as np
 
 
 def main():
+    _common.enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--den-fst")
     ap.add_argument("--pdfs", type=int, default=24)

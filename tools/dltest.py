@@ -15,6 +15,7 @@ import numpy as np
 
 
 def main():
+    _common.enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("pattern")
     ap.add_argument("--batch", type=int, default=8)

@@ -141,6 +141,7 @@ def cmd_compare(args):
 
 
 def main():
+    _common.enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("cmd", choices=["analyze", "dump", "totext", "verify",
                                     "fst", "compare"])

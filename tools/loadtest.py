@@ -18,6 +18,7 @@ import numpy as np
 
 
 def main():
+    _common.enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--xconfig", default="configs/cnn_tdnn.xconfig")
     ap.add_argument("--model",

@@ -52,6 +52,7 @@ def make_example(rng, key, args, left):
 
 
 def main():
+    _common.enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("outdir")
     ap.add_argument("--files", type=int, default=2)

@@ -157,6 +157,7 @@ def cmd_compare(args):
 
 
 def main():
+    _common.enable_compile_cache()
     ap = argparse.ArgumentParser()
     sub = ap.add_subparsers(dest="cmd", required=True)
     p = sub.add_parser("info")

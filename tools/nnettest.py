@@ -9,6 +9,7 @@ _common.force_cpu()
 
 
 def main():
+    _common.enable_compile_cache()
     import os
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     ap = argparse.ArgumentParser()

@@ -11,6 +11,7 @@ import _common  # noqa: F401
 
 
 def main():
+    _common.enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("egs")
     ap.add_argument("--batch", type=int, default=8)

@@ -61,6 +61,7 @@ def report(name, seconds, flops, bytes_, peak_tflops, peak_gbs):
 
 
 def main():
+    _common.enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--frames", type=int, default=150)

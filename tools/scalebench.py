@@ -26,6 +26,7 @@ import numpy as np
 
 
 def main():
+    _common.enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--per-device-batch", type=int, default=4)
     ap.add_argument("--frames", type=int, default=48)

@@ -18,6 +18,7 @@ import numpy as np
 
 
 def main():
+    _common.enable_compile_cache()
     import jax
     import jax.numpy as jnp
     from kaldi_fp16_tpu.training.optimizer import (

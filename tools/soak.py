@@ -32,6 +32,7 @@ import numpy as np
 
 
 def main():
+    _common.enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", default="/tmp/soak")
     ap.add_argument("--epochs", type=int, default=4)

@@ -22,6 +22,7 @@ import numpy as np
 
 
 def main():
+    _common.enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--egs", required=True)
     ap.add_argument("--den-fst", required=True)

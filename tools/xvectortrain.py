@@ -34,6 +34,7 @@ def synth_batch(rng, centers, batch, frames, feat_dim, noise=1.0):
 
 
 def main():
+    _common.enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--speakers", type=int, default=16)
     ap.add_argument("--steps", type=int, default=120)
