@@ -182,30 +182,60 @@ def main():
         else:
             batches = DataLoader(args.egs, dl_cfg)
         epoch_objf = []
+        # per-step scalars stay ON DEVICE and are fetched in one
+        # device_get per log window: a float() per step is a blocking
+        # round trip that costs ~20% of the step over the tunnel
+        pending = []   # (global_step, TrainStepOutput, lr)
+
+        def flush():
+            if not pending:
+                return None
+            vals = jax.device_get(
+                [(o.loss, o.objf_per_frame, o.num_logprob, o.den_logprob,
+                  o.grad_norm) for _, o, _ in pending])
+            last = None
+            for (gstep, _, lr), (loss, opf, num, den, gn) in zip(
+                    pending, vals):
+                last = float(opf)
+                epoch_objf.append(last)
+                if metrics:
+                    metrics.log(gstep, epoch=epoch, loss=float(loss),
+                                objf_per_frame=last, num=float(num),
+                                den=float(den), grad_norm=float(gn), lr=lr)
+            pending.clear()
+            return last
+
         try:
-            for i, batch in enumerate(batches):
+            # pipelined loop: upload batch i+1 (async device_put) while
+            # step i executes on device
+            it = iter(batches)
+            nxt = next(it, None)
+            placed = trainer.place_batch(nxt) if nxt is not None else None
+            i = 0
+            while nxt is not None:
                 if args.steps_per_epoch and i >= args.steps_per_epoch:
                     break
+                batch, cur = nxt, placed
+                nxt = next(it, None)
                 with timer:
-                    out = trainer.train_batch(batch)
-                epoch_objf.append(float(out.objf_per_frame))
-                if metrics:
-                    metrics.log(trainer.global_step, epoch=epoch,
-                                loss=float(out.loss),
-                                objf_per_frame=float(out.objf_per_frame),
-                                num=float(out.num_logprob),
-                                den=float(out.den_logprob),
-                                grad_norm=float(out.grad_norm),
-                                lr=schedule(trainer.global_step))
+                    out = trainer.train_batch(batch, placed=cur)
+                placed = (trainer.place_batch(nxt)
+                          if nxt is not None else None)
+                pending.append((trainer.global_step, out,
+                                schedule(trainer.global_step)))
                 if (i + 1) % args.log_every == 0:
+                    last = flush()
                     print(f"epoch {epoch} step {trainer.global_step}: "
-                          f"objf/frame={float(out.objf_per_frame):.4f} "
+                          f"objf/frame={last:.4f} "
                           f"lr={schedule(trainer.global_step):.2e}")
                 if mgr and trainer.global_step % args.ckpt_every == 0:
+                    flush()   # checkpoint saves sync anyway
                     mgr.save(trainer.global_step, trainer.params,
                              trainer.net_state, trainer.opt_state,
                              trainer.scale_state,
                              DataPosition(epoch=epoch, batches_consumed=i + 1))
+                i += 1
+            flush()
         finally:
             if args.loader_workers > 0 or args.prefetch:
                 batches.close()  # stop producers on early break
