@@ -339,6 +339,314 @@ def _ell_viterbi(bsrc, bpdf, bw, barc, new_of_old, src_of_arc, final,
     return best, last, arcs_taken
 
 
+# ---------------------------------------------------------------------------
+# Tree-ELL (capped-width, multi-level) layout — the HCLG-scale kernel.
+#
+# The plain ELL above buckets states by next_pow2(in-degree) with NO cap:
+# a backoff-like state with 100K in-arcs creates a [1, 131072] bucket and
+# log2(degmax) distinct bucket subgraphs — the compile blow-up observed at
+# S=100K (docs/PERFORMANCE.md "prepared fix ... compiles pathologically").
+# Here every row is capped at `max_width` slots; a state whose degree
+# exceeds the cap gets ceil(deg/W) level-1 rows, and further levels reduce
+# each state's partials (again in <=W rows) until one row per state
+# remains, ending state-ordered.  Each level is pure gathers + an
+# axis-max over a <=W axis — no scatter anywhere, bucket count bounded by
+# log2(W) per level, level count by ceil(log_W(degmax)).  Tie-break
+# matches the segment kernel (smallest winning arc id): rows hold a
+# state's arcs in ascending-id chunks, levels list chunks in ascending
+# order, and argmax returns the first maximum.
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class TreeEllGraph:
+    """Capped-width padded adjacency with reduction levels.
+
+    Level 1: width-bucketed [R_b, W_b] tables over ARC slots (src state
+    to gather scores from, pdf, max-plus weight, ArcGraph arc id; pads:
+    src=0, pdf=0, weight=NEG_INF, arc=A).  `levels`: per reduce level, a
+    tuple of width-bucketed [R_b, W_b] int32 tables whose entries index
+    the PREVIOUS level's concatenated row outputs (pad = R_prev, which
+    gathers a sentinel row appended at compute time).  The final level
+    has exactly one row per state, in state order."""
+    src: Tuple[np.ndarray, ...]
+    pdf: Tuple[np.ndarray, ...]
+    weight: Tuple[np.ndarray, ...]
+    arc: Tuple[np.ndarray, ...]
+    levels: Tuple[Tuple[np.ndarray, ...], ...]
+    num_states: int
+    num_arcs: int
+    max_width: int
+
+    @classmethod
+    def from_arcs(cls, a: "ArcGraph", direction: str = "in",
+                  max_width: int = 128) -> "TreeEllGraph":
+        A = len(a.src)
+        S = a.num_states
+        W = max(int(max_width), 2)
+        if A == 0:
+            return cls(src=(np.zeros((S, 1), np.int32),),
+                       pdf=(np.zeros((S, 1), np.int32),),
+                       weight=(np.full((S, 1), NEG_INF, np.float32),),
+                       arc=(np.zeros((S, 1), np.int32),),
+                       levels=(), num_states=S, num_arcs=0, max_width=W)
+        if direction == "in":
+            order = np.arange(A, dtype=np.int64)   # already dst-sorted
+            key, other = a.dst, a.src
+        else:
+            order = np.argsort(a.src, kind="stable").astype(np.int64)
+            key, other = a.src[order], a.dst[order]
+        deg = np.bincount(key, minlength=S).astype(np.int64)
+        row_ptr = np.concatenate([[0], np.cumsum(deg)])
+
+        def split_rows(counts, item_ptr):
+            """Chunk each state's contiguous item run into rows of <= W.
+            Returns (row_state, row_rank, row_start, row_len); every
+            state gets >= 1 row (a zero-length all-pad row if empty)."""
+            r = np.maximum((counts + W - 1) // W, 1)
+            R = int(r.sum())
+            rs = np.repeat(np.arange(S, dtype=np.int64), r)
+            rk = np.arange(R, dtype=np.int64) - np.repeat(
+                np.cumsum(r) - r, r)
+            start = item_ptr[rs] + rk * W
+            length = np.clip(counts[rs] - rk * W, 0, W)
+            return rs, rk, start, length
+
+        def bucket_tables(start, length, fill):
+            """Width-bucket rows (stable: row order preserved within a
+            bucket) and build padded slot tables via `fill(slots, valid)`.
+            Returns (tables_per_bucket, out_order_of_rows)."""
+            width = np.where(length <= 1, 1,
+                             2 ** np.ceil(np.log2(np.maximum(length, 1))
+                                          ).astype(np.int64))
+            out_order = np.argsort(width, kind="stable").astype(np.int64)
+            tables = []
+            for D in sorted(set(width.tolist())):
+                rows = out_order[width[out_order] == D]
+                slots = start[rows][:, None] + np.arange(D)[None, :]
+                valid = np.arange(D)[None, :] < length[rows][:, None]
+                tables.append(fill(slots, valid))
+            return tables, out_order
+
+        # ---- level 1: arc slots ----------------------------------------
+        rs, rk, start, length = split_rows(deg, row_ptr)
+        srcs, pdfs, ws, arcs = [], [], [], []
+
+        def fill_l1(slots, valid):
+            safe = np.minimum(slots, max(A - 1, 0))
+            pos = order[safe]
+            srcs.append(np.where(valid, other[safe], 0).astype(np.int32))
+            pdfs.append(np.where(valid, a.pdf[pos], 0).astype(np.int32))
+            ws.append(np.where(valid, a.weight[pos],
+                               NEG_INF).astype(np.float32))
+            arcs.append(np.where(valid, pos, A).astype(np.int32))
+            return None
+
+        _, out_order = bucket_tables(start, length, fill_l1)
+        state_out = rs[out_order]      # state of each concatenated out row
+        rank_out = rk[out_order]       # ascending-arc chunk index in state
+        R_prev = len(state_out)
+
+        # ---- reduce levels: until one state-ordered row per state ------
+        levels = []
+        while not (R_prev == S
+                   and np.array_equal(state_out, np.arange(S))):
+            item_order = np.lexsort((rank_out, state_out))  # state-major
+            counts = np.bincount(state_out, minlength=S).astype(np.int64)
+            iptr = np.concatenate([[0], np.cumsum(counts)])
+            rs, rk, start, length = split_rows(counts, iptr)
+            entries = []
+
+            def fill_lvl(slots, valid, _entries=entries,
+                         _item_order=item_order, _R=R_prev):
+                safe = np.minimum(slots, max(_R - 1, 0))
+                _entries.append(np.where(valid, _item_order[safe],
+                                         _R).astype(np.int32))
+                return None
+
+            _, out_order = bucket_tables(start, length, fill_lvl)
+            levels.append(tuple(entries[i] for i in range(len(entries))))
+            state_out = rs[out_order]
+            rank_out = rk[out_order]
+            R_prev = len(state_out)
+
+        return cls(src=tuple(srcs), pdf=tuple(pdfs), weight=tuple(ws),
+                   arc=tuple(arcs), levels=tuple(levels),
+                   num_states=S, num_arcs=A, max_width=W)
+
+    def device_arrays(self):
+        j = jnp.asarray
+        return (tuple(j(x) for x in self.src),
+                tuple(j(x) for x in self.pdf),
+                tuple(j(x) for x in self.weight),
+                tuple(j(x) for x in self.arc),
+                tuple(tuple(j(x) for x in lvl) for lvl in self.levels))
+
+
+def _tree_max_step(bsrc, bpdf, bw, barc, levels, num_arcs, score, ll_t,
+                   acoustic_scale):
+    """One tree-ELL max-plus update: score [S, B], ll_t [P, B] ->
+    (next score [S, B], winning ArcGraph arc id [S, B], pad = A)."""
+    B = score.shape[1]
+    col = jnp.arange(B, dtype=jnp.int32)[None, :]
+    outs, arcs = [], []
+    for src_b, pdf_b, w_b, arc_b in zip(bsrc, bpdf, bw, barc):
+        Rb, Db = src_b.shape
+        sb = (Rb, Db, B)
+        cand = (_ell_gather(score, src_b.reshape(-1), sb)
+                + w_b[..., None]
+                + acoustic_scale
+                * _ell_gather(ll_t, pdf_b.reshape(-1), sb))
+        outs.append(cand.max(axis=1))
+        arg = cand.argmax(axis=1).astype(jnp.int32)          # [Rb, B]
+        rows = jnp.arange(Rb, dtype=jnp.int32)[:, None]
+        arcs.append(jnp.take(arc_b.reshape(-1), rows * Db + arg))
+    vals = jnp.concatenate(outs, axis=0)
+    arc = jnp.concatenate(arcs, axis=0)
+    for lvl in levels:
+        vals_p = jnp.concatenate(
+            [vals, jnp.full((1, B), NEG_INF, vals.dtype)], axis=0)
+        arc_p = jnp.concatenate(
+            [arc, jnp.full((1, B), num_arcs, arc.dtype)], axis=0)
+        outs, arcs = [], []
+        for idx_b in lvl:
+            Rb, Db = idx_b.shape
+            g = _ell_gather(vals_p, idx_b.reshape(-1), (Rb, Db, B))
+            outs.append(g.max(axis=1))
+            arg = g.argmax(axis=1).astype(jnp.int32)
+            rows = jnp.arange(Rb, dtype=jnp.int32)[:, None]
+            prev = jnp.take(idx_b.reshape(-1), rows * Db + arg)  # [Rb, B]
+            arcs.append(jnp.take(arc_p.reshape(-1), prev * B + col))
+        vals = jnp.concatenate(outs, axis=0)
+        arc = jnp.concatenate(arcs, axis=0)
+    return jnp.maximum(vals, NEG_INF), arc
+
+
+def _tree_min_step(bsrc, bpdf, bw, levels, score, ll_t, acoustic_scale):
+    """Tree-ELL min-plus reduction (cost space, no arc tracking):
+    score [S, B] costs, ll_t [P, B] acoustic costs -> next [S, B]."""
+    B = score.shape[1]
+    INF = jnp.float32(-NEG_INF)
+    outs = []
+    for src_b, pdf_b, w_b in zip(bsrc, bpdf, bw):
+        Rb, Db = src_b.shape
+        sb = (Rb, Db, B)
+        cand = (_ell_gather(score, src_b.reshape(-1), sb)
+                + (-w_b)[..., None]
+                + acoustic_scale
+                * _ell_gather(ll_t, pdf_b.reshape(-1), sb))
+        outs.append(cand.min(axis=1))
+    vals = jnp.concatenate(outs, axis=0)
+    for lvl in levels:
+        vals_p = jnp.concatenate(
+            [vals, jnp.full((1, B), INF, vals.dtype)], axis=0)
+        outs = []
+        for idx_b in lvl:
+            Rb, Db = idx_b.shape
+            g = _ell_gather(vals_p, idx_b.reshape(-1), (Rb, Db, B))
+            outs.append(g.min(axis=1))
+        vals = jnp.concatenate(outs, axis=0)
+    return jnp.minimum(vals, INF)
+
+
+@functools.partial(jax.jit, static_argnames=("num_states",))
+def _tree_viterbi(bsrc, bpdf, bw, barc, levels, src_of_arc, final, start,
+                  loglikes, acoustic_scale, num_states: int):
+    """loglikes [B, T, P] -> (best [B], last [B], arcs_taken [T, B]);
+    tree-ELL forward + on-device traceback (full [T, S, B] bp history —
+    use the _ckpt variant past bp_hist_limit)."""
+    B, T, P = loglikes.shape
+    S = num_states
+    A = src_of_arc.shape[0]
+    ll_tpb = jnp.transpose(loglikes, (1, 2, 0))          # [T, P, B]
+
+    score0 = jnp.full((S, B), NEG_INF, dtype=jnp.float32)
+    score0 = score0.at[start, :].set(0.0)
+
+    def step(score, ll_t):
+        return _tree_max_step(bsrc, bpdf, bw, barc, levels, A, score,
+                              ll_t, acoustic_scale)
+
+    final_score, bps = jax.lax.scan(step, score0, ll_tpb)
+    total = final_score + final[:, None]
+    best = total.max(axis=0)
+    last = total.argmax(axis=0).astype(jnp.int32)
+
+    def back_step(state, bp_t):
+        arc = jnp.take_along_axis(bp_t, state[None, :], axis=0)[0]
+        safe = jnp.clip(arc, 0, A - 1)
+        prev = jnp.where(arc < A, jnp.take(src_of_arc, safe), state)
+        return prev, arc
+
+    _, arcs_taken = jax.lax.scan(back_step, last, bps, reverse=True)
+    return best, last, arcs_taken
+
+
+@functools.partial(jax.jit, static_argnames=("num_states", "chunk"))
+def _tree_viterbi_ckpt(bsrc, bpdf, bw, barc, levels, src_of_arc, final,
+                       start, loglikes, acoustic_scale, num_states: int,
+                       chunk: int):
+    """_tree_viterbi with checkpointed scores (same sqrt(T) remat trade
+    as _arc_viterbi_ckpt: no [T, S, B] backpointer table on HBM)."""
+    B, T, P = loglikes.shape
+    S = num_states
+    A = src_of_arc.shape[0]
+    nc = T // chunk
+    rem = T - nc * chunk
+    ll_tpb = jnp.transpose(loglikes, (1, 2, 0))
+    ll_c = ll_tpb[:nc * chunk].reshape(nc, chunk, P, B)
+    ll_rem = ll_tpb[nc * chunk:]
+
+    score0 = jnp.full((S, B), NEG_INF, dtype=jnp.float32)
+    score0 = score0.at[start, :].set(0.0)
+
+    def step(score, ll_t):
+        return _tree_max_step(bsrc, bpdf, bw, barc, levels, A, score,
+                              ll_t, acoustic_scale)
+
+    def fwd_chunk(score, ll_chunk):
+        def f(s, ll_t):
+            nxt, _ = step(s, ll_t)
+            return nxt, None
+        end, _ = jax.lax.scan(f, score, ll_chunk)
+        return end, score                  # checkpoint chunk-START score
+
+    score_T1, ckpts = jax.lax.scan(fwd_chunk, score0, ll_c)
+    if rem:
+        final_score, _ = jax.lax.scan(
+            lambda s, ll_t: (step(s, ll_t)[0], None), score_T1, ll_rem)
+    else:
+        final_score = score_T1
+    total = final_score + final[:, None]
+    best = total.max(axis=0)
+    last = total.argmax(axis=0).astype(jnp.int32)
+
+    def back_step(state, bp_t):
+        arc = jnp.take_along_axis(bp_t, state[None, :], axis=0)[0]
+        safe = jnp.clip(arc, 0, A - 1)
+        prev = jnp.where(arc < A, jnp.take(src_of_arc, safe), state)
+        return prev, arc
+
+    def remat_back(state, score_c0, ll_chunk):
+        _, bps = jax.lax.scan(step, score_c0, ll_chunk)
+        return jax.lax.scan(back_step, state, bps, reverse=True)
+
+    state = last
+    if rem:
+        state, arcs_rem = remat_back(state, score_T1, ll_rem)
+
+    def back_chunk(state, inp):
+        score_c0, ll_chunk = inp
+        return remat_back(state, score_c0, ll_chunk)
+
+    _, arcs_taken = jax.lax.scan(back_chunk, state, (ckpts, ll_c),
+                                 reverse=True)
+    arcs_taken = arcs_taken.reshape(nc * chunk, B)
+    if rem:
+        arcs_taken = jnp.concatenate([arcs_taken, arcs_rem], axis=0)
+    return best, last, arcs_taken
+
+
 @functools.partial(jax.jit, static_argnames=("num_states",))
 def _arc_viterbi(src, dst, pdf, weight, final, start, loglikes,
                  acoustic_scale, num_states: int):
@@ -513,13 +821,15 @@ class SparseViterbiDecoder:
     device with on-device traceback (same results as DenseViterbiDecoder,
     bench-scale graphs decode ~60x faster — tools/decodebench.py).
 
-    layout='segment' (default) uses the segment-reduce kernel — measured
-    faster end to end (610 audio-sec/s at S=2048; see
-    docs/PERFORMANCE.md).  layout='ell' is the scatter-free
-    degree-bucketed kernel: exact-parity (tests/test_tpu_viterbi.py
-    TestEllLayout) but currently slower on wide-degree graphs and
-    compile-pathological at S=100K on the tunneled backend — kept as an
-    opt-in experiment.
+    layout='auto' (default) picks per graph scale: 'segment' below
+    ~64K arcs (measured faster end to end at bench scale — 610
+    audio-sec/s at S=2048, docs/PERFORMANCE.md), 'tree' above (the
+    segment kernel's per-frame scatter lowering runs at ~4 GB/s —
+    ~10 ms/frame at A=390K — while the tree-ELL kernel is pure
+    gathers + axis-max).  layout='ell' is the uncapped degree-bucketed
+    kernel (exact-parity opt-in; compile-pathological at S=100K);
+    layout='tree' forces the capped multi-level kernel;
+    layout='segment' forces the scatter kernel.
 
     `mesh`: decode data-parallel over the mesh's `data_axis` — the graph
     arrays replicate to every device and the batch shards, so inference
@@ -528,10 +838,19 @@ class SparseViterbiDecoder:
     [.., B] tensor in the scans with zero collectives).  B must divide
     by the axis size."""
 
+    # above this many arcs, layout='auto' switches from the segment
+    # kernel (scatter lowering ~4 GB/s, dominates at HCLG scale) to the
+    # capped tree-ELL kernel
+    AUTO_TREE_ARCS = 1 << 16
+
     def __init__(self, graph: DecodingGraph, acoustic_scale: float = 1.0,
-                 layout: str = "segment", mesh=None, data_axis: str = "data"):
+                 layout: str = "auto", mesh=None, data_axis: str = "data",
+                 tree_max_width: int = 128):
         self.arcs = ArcGraph.from_graph(graph)
         self.acoustic_scale = acoustic_scale
+        if layout == "auto":
+            layout = ("tree" if len(self.arcs.src) > self.AUTO_TREE_ARCS
+                      else "segment")
         self.layout = layout
         # above this, decode_batch switches to the checkpointed-score
         # kernel (no [T, S, B] backpointer table; enables big batches
@@ -545,6 +864,11 @@ class SparseViterbiDecoder:
             self._ell_dev = jax.tree.map(self._shard.replicate,
                                          EllGraph.from_arcs(
                                              a, "in").device_arrays())
+        elif layout == "tree":
+            self._tree_dev = jax.tree.map(
+                self._shard.replicate,
+                TreeEllGraph.from_arcs(
+                    a, "in", max_width=tree_max_width).device_arrays())
         # scalars uploaded once: each per-call transfer costs a full
         # dispatch round trip on tunneled backends
         self._start_j = self._shard.replicate(np.int32(a.start))
@@ -567,6 +891,21 @@ class SparseViterbiDecoder:
                 bsrc, bpdf, bw, barc, new_of_old, src, final,
                 self._start_j, ll, self._scale_j,
                 num_states=self.arcs.num_states)
+        elif self.layout == "tree":
+            bsrc, bpdf, bw, barc, levels = self._tree_dev
+            hist = ll.shape[1] * self.arcs.num_states * ll.shape[0] * 4
+            if hist > self.bp_hist_limit:
+                chunk = _pick_chunk(ll.shape[1], self.arcs.num_states,
+                                    ll.shape[0], self.bp_hist_limit)
+                best, last, arcs_taken = _tree_viterbi_ckpt(
+                    bsrc, bpdf, bw, barc, levels, src, final,
+                    self._start_j, ll, self._scale_j,
+                    num_states=self.arcs.num_states, chunk=chunk)
+            else:
+                best, last, arcs_taken = _tree_viterbi(
+                    bsrc, bpdf, bw, barc, levels, src, final,
+                    self._start_j, ll, self._scale_j,
+                    num_states=self.arcs.num_states)
         elif ll.shape[1] * self.arcs.num_states * ll.shape[0] * 4 \
                 > self.bp_hist_limit:
             # HCLG scale: the [T, S, B] backpointer table would not fit;
@@ -830,21 +1169,157 @@ def _lattice_masks_ell(in_src, in_pdf, in_w, in_perm,
     return packed, best
 
 
+@functools.partial(jax.jit, static_argnames=("num_states",))
+def _lattice_masks_tree(tin, tout, src, dst, pdf, graph_cost, final_cost,
+                        start, loglikes, acoustic_scale, lattice_beam,
+                        num_states: int):
+    """Scatter-free lattice masks on the capped tree-ELL layout: alpha
+    (by-dst) and beta (by-src) min-plus reductions are multi-level
+    gathers + axis-min; the keep-mask pass is unchanged.  tin/tout:
+    (bsrc, bpdf, bw, levels) for the in/out directions."""
+    B, T, P = loglikes.shape
+    S = num_states
+    A = src.shape[0]
+    INF = jnp.float32(-NEG_INF)
+    ac_cost = -jnp.transpose(loglikes, (1, 2, 0))        # [T, P, B]
+
+    alpha0 = jnp.full((S, B), INF).at[start, :].set(0.0)
+    in_src, in_pdf, in_w, in_lvls = tin
+    out_dst, out_pdf, out_w, out_lvls = tout
+
+    def fwd(alpha, ll_t):
+        nxt = _tree_min_step(in_src, in_pdf, in_w, in_lvls, alpha, ll_t,
+                             acoustic_scale)
+        return nxt, alpha
+
+    alpha_T, alpha_hist = jax.lax.scan(fwd, alpha0, ac_cost)
+    total = alpha_T + final_cost[:, None]
+    best = total.min(axis=0)                              # [B]
+
+    betaT = jnp.broadcast_to(final_cost[:, None], (S, B))
+    thr = jnp.where(best > INF / 2, -INF, best + lattice_beam)    # [B]
+    pad = (-A) % 8
+
+    def arc_costs(ll_t):
+        return (graph_cost[:, None]
+                + acoustic_scale * jnp.take(ll_t, pdf, axis=0))   # [A, B]
+
+    def bwd_step(beta_next, inp):
+        alpha_t, ll_t = inp
+        beta = _tree_min_step(out_dst, out_pdf, out_w, out_lvls,
+                              beta_next, ll_t, acoustic_scale)
+        tot = (jnp.take(alpha_t, src, axis=0) + arc_costs(ll_t)
+               + jnp.take(beta_next, dst, axis=0))        # [A, B]
+        kp = jnp.pad(tot <= thr[None, :], ((0, pad), (0, 0)))
+        packed = jnp.packbits(kp.astype(jnp.uint8), axis=0)
+        return beta, packed
+
+    _, packed = jax.lax.scan(bwd_step, betaT, (alpha_hist, ac_cost),
+                             reverse=True)
+    return packed, best
+
+
+@functools.partial(jax.jit, static_argnames=("num_states", "chunk"))
+def _lattice_masks_tree_ckpt(tin, tout, src, dst, pdf, graph_cost,
+                             final_cost, start, loglikes, acoustic_scale,
+                             lattice_beam, num_states: int, chunk: int):
+    """_lattice_masks_tree with CHECKPOINTED alpha (same sqrt(T)
+    rematerialization as _lattice_masks_ckpt) — the HCLG-scale lattice
+    path: scatter-free reductions AND no [T, S, B] alpha history."""
+    B, T, P = loglikes.shape
+    S = num_states
+    A = src.shape[0]
+    nc = T // chunk
+    rem = T - nc * chunk
+    ac_all = -jnp.transpose(loglikes, (1, 2, 0))         # [T, P, B]
+    INF = jnp.float32(-NEG_INF)
+    ac_cost = ac_all[:nc * chunk].reshape(nc, chunk, P, B)
+    ac_rem = ac_all[nc * chunk:]
+
+    alpha0 = jnp.full((S, B), INF).at[start, :].set(0.0)
+    in_src, in_pdf, in_w, in_lvls = tin
+    out_dst, out_pdf, out_w, out_lvls = tout
+
+    def fwd_frame(alpha, ll_t):
+        nxt = _tree_min_step(in_src, in_pdf, in_w, in_lvls, alpha, ll_t,
+                             acoustic_scale)
+        return nxt, None
+
+    def fwd_chunk(alpha, ll_c):
+        alpha_end, _ = jax.lax.scan(fwd_frame, alpha, ll_c)
+        return alpha_end, alpha            # checkpoint = chunk-START alpha
+
+    alpha_T1, alpha_ckpt = jax.lax.scan(fwd_chunk, alpha0, ac_cost)
+    if rem:
+        alpha_T, _ = jax.lax.scan(fwd_frame, alpha_T1, ac_rem)
+    else:
+        alpha_T = alpha_T1
+    total = alpha_T + final_cost[:, None]
+    best = total.min(axis=0)
+
+    betaT = jnp.broadcast_to(final_cost[:, None], (S, B))
+    thr = jnp.where(best > INF / 2, -INF, best + lattice_beam)
+    pad = (-A) % 8
+
+    def arc_costs(ll_t):
+        return (graph_cost[:, None]
+                + acoustic_scale * jnp.take(ll_t, pdf, axis=0))
+
+    def fwd_emit(alpha, ll_t):
+        nxt, _ = fwd_frame(alpha, ll_t)
+        return nxt, alpha                  # alpha BEFORE consuming frame
+
+    def bwd_frame(beta_next, inp):
+        alpha_t, ll_t = inp
+        beta = _tree_min_step(out_dst, out_pdf, out_w, out_lvls,
+                              beta_next, ll_t, acoustic_scale)
+        tot = jnp.take(alpha_t, src, axis=0) + arc_costs(ll_t) \
+            + jnp.take(beta_next, dst, axis=0)
+        kp = jnp.pad(tot <= thr[None, :], ((0, pad), (0, 0)))
+        packed = jnp.packbits(kp.astype(jnp.uint8), axis=0)
+        return beta, packed
+
+    def remat_bwd(beta_next, alpha_c0, ll_c):
+        _, alphas = jax.lax.scan(fwd_emit, alpha_c0, ll_c)
+        return jax.lax.scan(bwd_frame, beta_next,
+                            (alphas, ll_c), reverse=True)
+
+    beta = betaT
+    if rem:
+        beta, packed_rem = remat_bwd(beta, alpha_T1, ac_rem)
+
+    def bwd_chunk(beta_next, inp):
+        alpha_c0, ll_c = inp
+        return remat_bwd(beta_next, alpha_c0, ll_c)
+
+    _, packed = jax.lax.scan(bwd_chunk, beta, (alpha_ckpt, ac_cost),
+                             reverse=True)
+    packed = packed.reshape(nc * chunk, packed.shape[-2], B)
+    if rem:
+        packed = jnp.concatenate([packed, packed_rem], axis=0)
+    return packed, best
+
+
 class DeviceLatticeDecoder:
     """Exact beam-pruned lattice generation on device for epsilon-free
     graphs; host assembly into decode.lattice.Lattice objects.
-    layout='segment' (default); layout='ell' runs the alpha/beta scans
-    scatter-free (exact-parity opt-in, see SparseViterbiDecoder).
-    `mesh`/`data_axis`: batch-shard the decode over a device mesh
-    (see SparseViterbiDecoder)."""
+    layout='auto' (default) picks 'segment' below ~64K arcs and 'tree'
+    (capped multi-level scatter-free reductions) above — same rationale
+    as SparseViterbiDecoder; layout='ell' is the uncapped scatter-free
+    opt-in.  `mesh`/`data_axis`: batch-shard the decode over a device
+    mesh (see SparseViterbiDecoder)."""
 
     def __init__(self, graph: DecodingGraph, acoustic_scale: float = 1.0,
-                 lattice_beam: float = 8.0, layout: str = "segment",
-                 mesh=None, data_axis: str = "data"):
+                 lattice_beam: float = 8.0, layout: str = "auto",
+                 mesh=None, data_axis: str = "data",
+                 tree_max_width: int = 128):
         self.graph = graph
         self.arcs = ArcGraph.from_graph(graph)
         self.acoustic_scale = acoustic_scale
         self.lattice_beam = lattice_beam
+        if layout == "auto":
+            layout = ("tree" if len(self.arcs.src)
+                      > SparseViterbiDecoder.AUTO_TREE_ARCS else "segment")
         self.layout = layout
         # above this, decode_batch switches to the checkpointed-alpha
         # kernel (rematerialized forward; enables HCLG-scale lattices)
@@ -870,6 +1345,14 @@ class DeviceLatticeDecoder:
             # (src, pdf, w, arc, perm); the lattice scans don't need arcs
             self._ell_in = (ein[0], ein[1], ein[2], ein[4])
             self._ell_out = (eout[0], eout[1], eout[2], eout[4])
+        elif layout == "tree":
+            tin = jax.tree.map(rep, TreeEllGraph.from_arcs(
+                a, "in", max_width=tree_max_width).device_arrays())
+            tout = jax.tree.map(rep, TreeEllGraph.from_arcs(
+                a, "out", max_width=tree_max_width).device_arrays())
+            # (bsrc, bpdf, bw, levels); the min scans don't track arcs
+            self._tree_in = (tin[0], tin[1], tin[2], tin[4])
+            self._tree_out = (tout[0], tout[1], tout[2], tout[4])
 
     def decode_batch(self, loglikes) -> List["object"]:
         """loglikes [B, T, P] -> list of Lattice (already beam-pruned)."""
@@ -898,6 +1381,21 @@ class DeviceLatticeDecoder:
                 self._src, self._dst, self._pdf, self._gcost, self._fcost,
                 self._start, ll, self._scale_j, self._beam_j,
                 num_states=self.arcs.num_states)
+        elif self.layout == "tree":
+            if hist_bytes > self.alpha_hist_limit:
+                chunk = _pick_chunk(T, S, B, self.alpha_hist_limit)
+                packed, best = _lattice_masks_tree_ckpt(
+                    self._tree_in, self._tree_out,
+                    self._src, self._dst, self._pdf, self._gcost,
+                    self._fcost, self._start, ll, self._scale_j,
+                    self._beam_j, num_states=self.arcs.num_states,
+                    chunk=chunk)
+            else:
+                packed, best = _lattice_masks_tree(
+                    self._tree_in, self._tree_out,
+                    self._src, self._dst, self._pdf, self._gcost,
+                    self._fcost, self._start, ll, self._scale_j,
+                    self._beam_j, num_states=self.arcs.num_states)
         elif hist_bytes > self.alpha_hist_limit:
             # HCLG scale: alpha_hist [T, S, B] would not fit (3.2 TB at
             # S=100K/B=16/T=500); checkpointed-alpha kernel instead

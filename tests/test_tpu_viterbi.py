@@ -585,3 +585,154 @@ def test_ell_layout_rejects_oversized_alpha_history():
     ref = DeviceLatticeDecoder(g, lattice_beam=4.0).decode_batch(ll)
     for a, b in zip(lats, ref):
         assert TestDeviceLattice._arc_set(a) == TestDeviceLattice._arc_set(b)
+
+
+class TestTreeLayout:
+    """The capped multi-level (tree-ELL) kernels must reproduce the
+    segment-reduce kernels EXACTLY — costs, words, alignments (incl.
+    smallest-arc-id tie-breaking) and lattice arc sets — including with
+    widths small enough to force several reduce levels."""
+
+    def _hub_graph(self, fanin=53, seed=0):
+        """start -> {mid_i} -> sink with a huge fan-in at the sink, so a
+        small max_width forces ceil(fanin/W) level-1 rows + extra levels."""
+        rng = np.random.default_rng(seed)
+        s = [FstState() for _ in range(fanin + 2)]
+        sink = fanin + 1
+        for i in range(1, fanin + 1):
+            s[0].arcs.append(FstArc(int(rng.integers(1, 6)),
+                                    float(rng.uniform(0, 2)), i, olabel=i))
+            s[i].arcs.append(FstArc(int(rng.integers(1, 6)),
+                                    float(rng.uniform(0, 2)), sink, olabel=0))
+        s[sink].final = 0.0
+        return DecodingGraph.from_fst(Fst(start=0, states=s))
+
+    def test_viterbi_tree_matches_segment(self):
+        from kaldi_fp16_tpu.decode.tpu_viterbi import SparseViterbiDecoder
+        for seed in (3, 4, 5):
+            g = DecodingGraph.from_fst(random_eps_free_graph(seed=seed))
+            tree = SparseViterbiDecoder(g, layout="tree", tree_max_width=4)
+            seg = SparseViterbiDecoder(g, layout="segment")
+            rng = np.random.default_rng(seed + 100)
+            lls = rng.normal(size=(3, 9, 12)).astype(np.float32)
+            tres = tree.decode_batch(lls)
+            sres = seg.decode_batch(lls)
+            for b in range(3):
+                np.testing.assert_allclose(
+                    tres[b]["total_cost"], sres[b]["total_cost"], atol=1e-4)
+                assert tres[b]["words"] == sres[b]["words"], (seed, b)
+                assert tres[b]["alignment"] == sres[b]["alignment"], (seed, b)
+                assert tres[b]["final_reached"] == sres[b]["final_reached"]
+
+    def test_tree_multi_level_hub(self):
+        """Fan-in 53 at width 4 needs 14 level-1 rows -> 4 -> 1: three
+        reduce levels; results must still match the segment kernel."""
+        from kaldi_fp16_tpu.decode.tpu_viterbi import (
+            ArcGraph, SparseViterbiDecoder, TreeEllGraph)
+        g = self._hub_graph()
+        t = TreeEllGraph.from_arcs(ArcGraph.from_graph(g), "in", max_width=4)
+        assert len(t.levels) >= 2
+        # every level-1 row is capped
+        assert max(x.shape[1] for x in t.src) <= 4
+        # bounded padding: slots <= 2*A + S (pow2 round-up + empty rows)
+        total = sum(x.size for x in t.src)
+        assert total <= 2 * t.num_arcs + t.num_states + 64
+        rng = np.random.default_rng(9)
+        lls = rng.normal(size=(2, 2, 5)).astype(np.float32)
+        tres = SparseViterbiDecoder(
+            g, layout="tree", tree_max_width=4).decode_batch(lls)
+        sres = SparseViterbiDecoder(g, layout="segment").decode_batch(lls)
+        for b in range(2):
+            np.testing.assert_allclose(
+                tres[b]["total_cost"], sres[b]["total_cost"], atol=1e-4)
+            assert tres[b]["words"] == sres[b]["words"]
+            assert tres[b]["alignment"] == sres[b]["alignment"]
+
+    def test_tree_tie_breaking_matches(self):
+        from kaldi_fp16_tpu.decode.tpu_viterbi import SparseViterbiDecoder
+        s = [FstState() for _ in range(3)]
+        s[0].arcs.append(FstArc(1, 0.5, 1, olabel=7))
+        s[0].arcs.append(FstArc(1, 0.5, 1, olabel=8))
+        s[1].arcs.append(FstArc(2, 0.0, 2, olabel=0))
+        s[2].final = 0.0
+        g = DecodingGraph.from_fst(Fst(start=0, states=s))
+        ll = np.zeros((1, 2, 3), np.float32)
+        tres = SparseViterbiDecoder(
+            g, layout="tree", tree_max_width=2).decode_batch(ll)
+        sres = SparseViterbiDecoder(g, layout="segment").decode_batch(ll)
+        assert tres[0]["words"] == sres[0]["words"] == [7]
+
+    def test_tree_cross_row_tie_break(self):
+        """Equal-score arcs split across DIFFERENT level-1 rows (fan-in >
+        width, identical weights): the smallest arc id must win in both
+        layouts."""
+        from kaldi_fp16_tpu.decode.tpu_viterbi import SparseViterbiDecoder
+        n = 9
+        s = [FstState() for _ in range(n + 2)]
+        sink = n + 1
+        for i in range(1, n + 1):
+            s[0].arcs.append(FstArc(1, 0.5, i, olabel=i))
+            s[i].arcs.append(FstArc(2, 0.5, sink, olabel=100 + i))
+        s[sink].final = 0.0
+        g = DecodingGraph.from_fst(Fst(start=0, states=s))
+        ll = np.zeros((1, 2, 3), np.float32)
+        tres = SparseViterbiDecoder(
+            g, layout="tree", tree_max_width=2).decode_batch(ll)
+        sres = SparseViterbiDecoder(g, layout="segment").decode_batch(ll)
+        assert tres[0]["words"] == sres[0]["words"]
+        assert tres[0]["alignment"] == sres[0]["alignment"]
+
+    def test_tree_checkpointed_path(self):
+        """Forcing bp_hist_limit low must route to _tree_viterbi_ckpt and
+        still match the segment kernel exactly."""
+        from kaldi_fp16_tpu.decode.tpu_viterbi import SparseViterbiDecoder
+        g = DecodingGraph.from_fst(random_eps_free_graph(seed=6))
+        tree = SparseViterbiDecoder(g, layout="tree", tree_max_width=4)
+        tree.bp_hist_limit = 64          # force the remat kernel
+        seg = SparseViterbiDecoder(g, layout="segment")
+        rng = np.random.default_rng(11)
+        lls = rng.normal(size=(2, 11, 12)).astype(np.float32)
+        tres = tree.decode_batch(lls)
+        sres = seg.decode_batch(lls)
+        for b in range(2):
+            np.testing.assert_allclose(
+                tres[b]["total_cost"], sres[b]["total_cost"], atol=1e-4)
+            assert tres[b]["words"] == sres[b]["words"]
+            assert tres[b]["alignment"] == sres[b]["alignment"]
+
+    def test_lattice_tree_matches_segment(self):
+        from kaldi_fp16_tpu.decode.tpu_viterbi import DeviceLatticeDecoder
+        for seed in (0, 2):
+            g = DecodingGraph.from_fst(random_eps_free_graph(seed=seed))
+            rng = np.random.default_rng(seed + 20)
+            lls = rng.normal(size=(2, 7, 12)).astype(np.float32)
+            for beam in (2.0, 6.0):
+                tl = DeviceLatticeDecoder(
+                    g, lattice_beam=beam, layout="tree",
+                    tree_max_width=4).decode_batch(lls)
+                sl = DeviceLatticeDecoder(
+                    g, lattice_beam=beam,
+                    layout="segment").decode_batch(lls)
+                for b in range(2):
+                    assert (TestDeviceLattice._arc_set(tl[b])
+                            == TestDeviceLattice._arc_set(sl[b])), (seed, b)
+
+    def test_lattice_tree_checkpointed(self):
+        from kaldi_fp16_tpu.decode.tpu_viterbi import DeviceLatticeDecoder
+        g = DecodingGraph.from_fst(random_eps_free_graph(seed=1))
+        rng = np.random.default_rng(30)
+        lls = rng.normal(size=(2, 9, 12)).astype(np.float32)
+        tree = DeviceLatticeDecoder(g, lattice_beam=5.0, layout="tree",
+                                    tree_max_width=4)
+        tree.alpha_hist_limit = 64       # force the remat kernel
+        seg = DeviceLatticeDecoder(g, lattice_beam=5.0, layout="segment")
+        tl = tree.decode_batch(lls)
+        sl = seg.decode_batch(lls)
+        for b in range(2):
+            assert (TestDeviceLattice._arc_set(tl[b])
+                    == TestDeviceLattice._arc_set(sl[b])), b
+
+    def test_auto_layout_selection(self):
+        from kaldi_fp16_tpu.decode.tpu_viterbi import SparseViterbiDecoder
+        g = DecodingGraph.from_fst(random_eps_free_graph(seed=7))
+        assert SparseViterbiDecoder(g).layout == "segment"   # small graph

@@ -106,10 +106,11 @@ def main():
                          "the acoustic model's output is already "
                          "device-resident; excludes the host->device "
                          "feature upload from the measurement)")
-    ap.add_argument("--layout", default="segment",
-                    choices=["segment", "ell"],
-                    help="sparse-kernel layout (ell = experimental "
-                         "scatter-free degree buckets)")
+    ap.add_argument("--layout", default="auto",
+                    choices=["auto", "segment", "ell", "tree"],
+                    help="sparse-kernel layout (tree = capped multi-level "
+                         "scatter-free reductions, the HCLG-scale kernel; "
+                         "auto picks segment/tree by arc count)")
     ap.add_argument("--dense", action="store_true",
                     help="use the dense [S,S] decoder (measured ~23x "
                          "slower at the default scale)")
