@@ -50,17 +50,25 @@ def make_mesh(config: Optional[MeshConfig] = None,
 
 def initialize_distributed(coordinator_address: Optional[str] = None,
                            num_processes: Optional[int] = None,
-                           process_id: Optional[int] = None) -> None:
+                           process_id: Optional[int] = None,
+                           heartbeat_timeout_seconds: Optional[int] = None,
+                           ) -> None:
     """Multi-host bring-up: jax.distributed.initialize with explicit args or
     from the environment (JAX auto-detects GKE/SLURM/TPU-pod metadata when
     called with no args).  Safe to call once per process before any jax op;
     after it, jax.devices() spans all hosts and `make_mesh` builds the
-    global mesh (dp over ICI intra-slice / DCN across hosts)."""
+    global mesh (dp over ICI intra-slice / DCN across hosts).
+
+    heartbeat_timeout_seconds: how quickly a dead peer process is
+    detected and surfaced as an error to the survivors (default: jax's
+    100s); lower it for fail-fast jobs under an external restarter."""
     import jax.distributed
     kwargs = {}
     if coordinator_address is not None:
         kwargs = dict(coordinator_address=coordinator_address,
                       num_processes=num_processes, process_id=process_id)
+    if heartbeat_timeout_seconds is not None:
+        kwargs["heartbeat_timeout_seconds"] = heartbeat_timeout_seconds
     jax.distributed.initialize(**kwargs)
 
 

@@ -51,9 +51,9 @@ def _sockets_available() -> bool:
         return False
 
 
-def _write_arks(d):
-    """NPROC ark files x LOCAL_B examples with dim-16 features and random
-    supervision FSTs (seeded per example for reproducibility)."""
+def _write_arks(d, num_files=NPROC, per_file=LOCAL_B):
+    """`num_files` ark files x `per_file` examples with dim-16 features and
+    random supervision FSTs (seeded per example for reproducibility)."""
     from kaldi_fp16_tpu.io.egs import (
         Example, Index, IoBlock, Supervision, write_ark,
     )
@@ -61,9 +61,9 @@ def _write_arks(d):
 
     paths = []
     k = 0
-    for fi in range(NPROC):
+    for fi in range(num_files):
         exs = []
-        for _ in range(LOCAL_B):
+        for _ in range(per_file):
             rng = np.random.default_rng(100 + k)
             feats = rng.normal(size=(T_IN, 16)).astype(np.float32)
             fst = random_fst(rng, num_pdfs=NUM_PDFS, T=T_OUT,
@@ -193,3 +193,120 @@ def test_multiprocess_matches_single_process(tmp_path):
 
     np.testing.assert_allclose(results[0]["losses"], ref_losses,
                                rtol=2e-4, atol=1e-5)
+
+
+def _launch_workers(tmp_path, nproc, steps=3, local_batch=LOCAL_B,
+                    extra=None, per_pid_extra=None, timeout=600,
+                    devices_per_proc=2):
+    """Start `nproc` mpworker processes; returns list of
+    (returncode, stdout, stderr, out_json_path).  `extra`: args for every
+    worker; `per_pid_extra`: {pid: [args]} for specific workers."""
+    port = _free_port()
+    coordinator = f"127.0.0.1:{port}"
+    ckpt = str(tmp_path / "ckpt")
+    env_base = {k: v for k, v in os.environ.items()
+                if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env_base["JAX_PLATFORMS"] = "cpu"
+    env_base["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={devices_per_proc}")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env_base["PYTHONPATH"] = repo
+
+    procs, outs_paths = [], []
+    for pid in range(nproc):
+        out = str(tmp_path / f"out_{nproc}p_{pid}.json")
+        outs_paths.append(out)
+        cmd = [sys.executable, os.path.join(repo, "tools", "mpworker.py"),
+               "--coordinator", coordinator, "--nproc", str(nproc),
+               "--pid", str(pid), "--egs", str(tmp_path / "cegs.*.ark"),
+               "--out", out, "--ckpt", ckpt,
+               "--steps", str(steps), "--local-batch", str(local_batch)]
+        cmd += list(extra or [])
+        cmd += list((per_pid_extra or {}).get(pid, []))
+        procs.append(subprocess.Popen(
+            cmd, cwd=repo, env=env_base,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE))
+    results = []
+    for p, op in zip(procs, outs_paths):
+        try:
+            so, se = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("worker timed out (no clean error propagation)")
+        results.append((p.returncode, so.decode(), se.decode(), op))
+    return results
+
+
+@pytest.mark.skipif(not _sockets_available(), reason="no local sockets")
+def test_nproc4_uneven_file_shards(tmp_path):
+    """4 processes over 6 ark files: shard_files gives 2/2/1/1 files per
+    process — the uneven split must still produce one consistent global
+    batch and identical losses on every process."""
+    _write_arks(tmp_path, num_files=6, per_file=LOCAL_B)
+    results = _launch_workers(tmp_path, nproc=4, steps=2)
+    for rc, so, se, _ in results:
+        assert rc == 0, f"worker failed rc={rc}\n{so}\n{se}"
+    data = []
+    for _, _, _, op in results:
+        with open(op) as f:
+            data.append(json.load(f))
+    counts = sorted(len(d["local_files"]) for d in data)
+    assert counts == [1, 1, 2, 2], counts
+    for d in data:
+        assert d["process_count"] == 4
+        assert d["losses"] == data[0]["losses"]
+        assert all(np.isfinite(x) for x in d["losses"])
+        assert d["ckpt_ok"]
+    # no ark file is read by two processes
+    seen = [f for d in data for f in d["local_files"]]
+    assert len(seen) == len(set(seen))
+
+
+@pytest.mark.skipif(not _sockets_available(), reason="no local sockets")
+def test_worker_death_propagates(tmp_path):
+    """SIGKILL one worker mid-run: the survivor must ERROR OUT within the
+    heartbeat timeout (blocked collectives must not hang forever)."""
+    _write_arks(tmp_path)
+    results = _launch_workers(
+        tmp_path, nproc=NPROC, steps=50,
+        extra=["--heartbeat", "10"],
+        per_pid_extra={1: ["--die-at-step", "5"]},
+        timeout=240)
+    rc0, so0, se0, op0 = results[0]
+    rc1, _, _, op1 = results[1]
+    assert rc1 == -9, f"victim should die by SIGKILL, rc={rc1}"
+    assert rc0 != 0, (
+        f"survivor must fail once the peer dies, rc={rc0}\n{so0}\n{se0}")
+    assert not os.path.exists(op0), "survivor must not report success"
+    assert not os.path.exists(op1)
+
+
+@pytest.mark.skipif(not _sockets_available(), reason="no local sockets")
+def test_elastic_resume_mp2_to_mp4(tmp_path):
+    """Checkpoint saved under a 2-process mesh, restored under a
+    4-process mesh (elastic resume): the restored replicated params must
+    be bit-identical to what mp2 saved, and training must continue."""
+    _write_arks(tmp_path, num_files=4, per_file=LOCAL_B)
+
+    # phase 1: mp2 trains 2 steps and saves at step 2
+    r2 = _launch_workers(tmp_path, nproc=2, steps=2)
+    for rc, so, se, _ in r2:
+        assert rc == 0, f"mp2 worker failed rc={rc}\n{so}\n{se}"
+    with open(r2[0][3]) as f:
+        saved = json.load(f)
+    assert saved["ckpt_ok"]
+
+    # phase 2: mp4 restores step 2 and trains 1 more step
+    r4 = _launch_workers(tmp_path, nproc=4, steps=1,
+                         extra=["--restore-step", "2"])
+    for rc, so, se, _ in r4:
+        assert rc == 0, f"mp4 worker failed rc={rc}\n{so}\n{se}"
+    for _, _, _, op in r4:
+        with open(op) as f:
+            d = json.load(f)
+        assert d["process_count"] == 4
+        np.testing.assert_allclose(d["restored_param_sums"],
+                                   saved["param_sums"], rtol=1e-12)
+        assert all(np.isfinite(x) for x in d["losses"])
+        assert d["ckpt_ok"]   # re-saved at step 3 under the mp4 mesh

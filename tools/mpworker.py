@@ -47,10 +47,22 @@ def main() -> int:
     ap.add_argument("--ckpt", required=True, help="checkpoint dir (shared)")
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--local-batch", type=int, default=4)
+    ap.add_argument("--heartbeat", type=int, default=None,
+                    help="peer-death detection timeout (s); lower it for "
+                         "fail-fast tests")
+    ap.add_argument("--die-at-step", type=int, default=None,
+                    help="SIGKILL self before this step completes "
+                         "(failure-containment tests: survivors must "
+                         "error out, not hang)")
+    ap.add_argument("--restore-step", type=int, default=None,
+                    help="elastic resume: restore this checkpoint step "
+                         "(possibly written under a DIFFERENT process "
+                         "count) before training")
     args = ap.parse_args()
 
     from kaldi_fp16_tpu.parallel.mesh import initialize_distributed, make_mesh
-    initialize_distributed(args.coordinator, args.nproc, args.pid)
+    initialize_distributed(args.coordinator, args.nproc, args.pid,
+                           heartbeat_timeout_seconds=args.heartbeat)
     assert jax.process_count() == args.nproc, jax.process_count()
     n_local = len(jax.local_devices())
     n_global = len(jax.devices())
@@ -132,45 +144,71 @@ def main() -> int:
                        repl_tree[3], r_sh),
     )
 
+    from kaldi_fp16_tpu.training.checkpoint import (
+        CheckpointManager, DataPosition,
+    )
+
+    # --- elastic resume: restore a checkpoint possibly written under a
+    # DIFFERENT process count.  Replicated state restores cleanly onto
+    # the current (bigger or smaller) mesh because the tensorstore files
+    # hold the full arrays; re-placement commits them to this session's
+    # shardings (same rule as Trainer.restore -> place_states).
+    restored_param_sums = None
+    if args.restore_step is not None:
+        mgr0 = CheckpointManager(args.ckpt)
+        (params, net_state, opt_state, scale_state, _gs, _pos) = \
+            mgr0.restore(args.restore_step, params, net_state, opt_state,
+                         scale_state)
+        params, net_state, opt_state, scale_state = jax.device_put(
+            (params, net_state, opt_state, scale_state), repl_tree)
+        restored_param_sums = [
+            float(np.asarray(x, np.float64).sum())
+            for x in jax.tree_util.tree_leaves(params)]
+
     losses = []
     rng = jax.random.PRNGKey(5)
     lr = jnp.asarray(config.learning_rate, jnp.float32)
     lc = jnp.asarray(0, jnp.int32)
-    for _ in range(args.steps):
+    for i in range(args.steps):
+        if args.die_at_step is not None and i == args.die_at_step:
+            import signal
+            os.kill(os.getpid(), signal.SIGKILL)   # simulated hard crash
         params, net_state, opt_state, scale_state, out = step(
             params, net_state, opt_state, scale_state, batch,
             *graph_arrays, rng, lr, lc)
         losses.append(float(out.loss))
 
     # --- checkpoint under the multi-process mesh --------------------------
-    from kaldi_fp16_tpu.training.checkpoint import (
-        CheckpointManager, DataPosition,
-    )
     ckpt_ok = False
     try:
         # orbax save/restore are COLLECTIVE in a multi-process session:
         # every process participates (process 0 writes the metadata, each
         # process its addressable shards) — a pid-0-only save deadlocks
+        save_step = args.steps + (args.restore_step or 0)
         mgr = CheckpointManager(args.ckpt)
-        mgr.save(args.steps, params, net_state, opt_state, scale_state,
-                 DataPosition(epoch=1, batches_consumed=args.steps))
+        mgr.save(save_step, params, net_state, opt_state, scale_state,
+                 DataPosition(epoch=1, batches_consumed=save_step))
         (p2, _ns2, _os2, _ss2, _st, pos2) = mgr.restore(
-            args.steps, params, net_state, opt_state, scale_state)
+            save_step, params, net_state, opt_state, scale_state)
         flat1 = jax.tree_util.tree_leaves(params)
         flat2 = jax.tree_util.tree_leaves(p2)
         ckpt_ok = all(
             np.allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
             for a, b in zip(flat1, flat2))
-        ckpt_ok = ckpt_ok and pos2.batches_consumed == args.steps
+        ckpt_ok = ckpt_ok and pos2.batches_consumed == save_step
     except Exception as e:  # report, don't crash the loss comparison
         print(f"checkpoint phase failed: {e}", file=sys.stderr)
 
+    param_sums = [float(np.asarray(x, np.float64).sum())
+                  for x in jax.tree_util.tree_leaves(params)]
     with open(args.out, "w") as f:
         json.dump({"pid": args.pid,
                    "process_count": jax.process_count(),
                    "global_devices": n_global,
                    "local_files": [os.path.basename(x) for x in local_files],
                    "losses": losses,
+                   "param_sums": param_sums,
+                   "restored_param_sums": restored_param_sums,
                    "ckpt_ok": bool(ckpt_ok)}, f)
     return 0
 
