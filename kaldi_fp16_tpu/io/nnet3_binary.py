@@ -506,8 +506,6 @@ def components_from_text(components: Dict) -> List[BinaryComponent]:
     from kaldi_fp16_tpu.models.kaldi_loader import (
         _FLOAT_TAGS, _INT_TAGS as _TXT_INT_TAGS,
     )
-    inv_f = {v: k for k, v in _FLOAT_TAGS.items()}
-    inv_i = {v: k for k, v in _TXT_INT_TAGS.items()}
 
     _AFFINE_TYPES = {
         "NaturalGradientAffineComponent", "AffineComponent",
@@ -559,22 +557,63 @@ def components_from_text(components: Dict) -> List[BinaryComponent]:
             bc.set_vector("<StatsMean>", kc.stats_mean)
             if kc.stats_var is not None:
                 bc.set_vector("<StatsVar>", kc.stats_var)
+        elif (kc.type == "TimeHeightConvolutionComponent"
+              and kc.linear_params is not None):
+            # Kaldi's Write(): WriteUpdatableCommon, ConvolutionModel
+            # (<NumFiltersIn> <NumFiltersOut> <HeightIn> <HeightOut> ...),
+            # <Params>, <BiasParams> (ref: Kaldi
+            # nnet-convolutional-component.cc).  The text bridge carries
+            # no offset lists (weight_loader.go:617-728 never parses
+            # them), so the ConvolutionModel here is PARTIAL — canonical
+            # tag order, zero-valued ints included, but real Kaldi also
+            # needs <Offsets>/<RequiredTimeOffsets> to Read it.
+            updatable_prologue(bc, kc)
+            bc.set_int("<NumFiltersIn>", kc.num_filters_in)
+            bc.set_int("<NumFiltersOut>", kc.num_filters_out)
+            bc.set_int("<HeightIn>", kc.height_in)
+            bc.set_int("<HeightOut>", kc.height_out)
+            bc.set_matrix("<Params>", kc.linear_params)
+            bc.set_vector("<BiasParams>",
+                          kc.bias_params if kc.bias_params is not None
+                          else np.zeros(kc.linear_params.shape[0],
+                                        np.float32))
+        elif kc.type == "TdnnComponent" and kc.linear_params is not None:
+            # Kaldi's Write(): WriteUpdatableCommon, <TimeOffsets>,
+            # <LinearParams>, <BiasParams> (present only when the
+            # component has a bias), <OrthonormalConstraint>,
+            # <UseNaturalGradient> (ref: Kaldi nnet-tdnn-component.cc).
+            # <TimeOffsets> is not representable from the text bridge —
+            # same caveat as the conv model above.
+            updatable_prologue(bc, kc)
+            bc.set_matrix("<LinearParams>", kc.linear_params)
+            if kc.bias_params is not None:
+                bc.set_vector("<BiasParams>", kc.bias_params)
+            bc.set_float("<OrthonormalConstraint>", 0.0)
+            bc.set_bool("<UseNaturalGradient>", True)
+        elif kc.type == "RestrictedAttentionComponent":
+            # Kaldi's Write(): <NumHeads> <KeyDim> <ValueDim> ...context
+            # ints... <KeyScale> <StatsCount> (ref: Kaldi
+            # nnet-attention-component.cc); the fields the text bridge
+            # knows are emitted in that relative order, zero or not.
+            bc.set_int("<NumHeads>", kc.num_heads)
+            bc.set_int("<KeyDim>", kc.key_dim)
+            bc.set_int("<ValueDim>", kc.value_dim)
+            bc.set_float("<KeyScale>", kc.key_scale)
+            bc.set_float("<Count>", kc.count)
         else:
-            # unknown type: stable attribute order, required scalars kept
-            # even when zero; readable by this repo's tag-driven reader
-            for attr, tag in sorted(inv_i.items()):
+            # genuinely unknown type: DECLARED tag-map order (stable,
+            # not alphabetical), zero-valued required scalars kept;
+            # readable by this repo's tag-driven reader
+            for tag, attr in _TXT_INT_TAGS.items():
                 v = getattr(kc, attr)
                 if v:
                     bc.set_int(tag, v)
-            for attr, tag in sorted(inv_f.items()):
+            for tag, attr in _FLOAT_TAGS.items():
                 v = getattr(kc, attr)
                 if v or attr in ("learning_rate", "count"):
                     bc.set_float(tag, v)
             if kc.linear_params is not None:
-                tag = ("<Params>"
-                       if kc.type == "TimeHeightConvolutionComponent"
-                       else "<LinearParams>")
-                bc.set_matrix(tag, kc.linear_params)
+                bc.set_matrix("<LinearParams>", kc.linear_params)
             if kc.bias_params is not None:
                 bc.set_vector("<BiasParams>", kc.bias_params)
             if kc.stats_mean is not None:

@@ -282,3 +282,96 @@ class TestModeltoolsCLI:
         cmp_ = run("compare", str(t0), str(t1))
         assert cmp_.returncode == 0, cmp_.stdout
         assert "worst |diff| = 0.000e+00" in cmp_.stdout
+
+
+class TestCanonicalTokenSequences:
+    """components_from_text must emit each component family's tags in
+    Kaldi's ExpectToken Write() order (zero-valued required tags
+    included) so order-strict real-Kaldi readers can consume the
+    affine/linear/batchnorm output; conv/tdnn/attention are canonical
+    but PARTIAL (the text bridge carries no offset lists — documented
+    in the emitter)."""
+
+    @staticmethod
+    def _tags(kc):
+        [bc] = components_from_text({kc.name: kc})
+        return [t for t, _, _ in bc.items]
+
+    def _kc(self, **kw):
+        from kaldi_fp16_tpu.models.kaldi_loader import KaldiComponent
+        return KaldiComponent(**kw)
+
+    def test_ng_affine_sequence(self):
+        kc = self._kc(name="a", type="NaturalGradientAffineComponent",
+                      linear_params=np.ones((3, 4), np.float32),
+                      bias_params=np.zeros(3, np.float32),
+                      learning_rate=0.0)   # zero LR must STILL be emitted
+        assert self._tags(kc) == [
+            "<LearningRate>", "<LinearParams>", "<BiasParams>",
+            "<RankIn>", "<RankOut>", "<UpdatePeriod>",
+            "<NumSamplesHistory>", "<Alpha>"]
+
+    def test_affine_prologue_optionals(self):
+        kc = self._kc(name="a", type="AffineComponent",
+                      linear_params=np.ones((2, 2), np.float32),
+                      max_change=0.75, l2_regularize=0.004,
+                      learning_rate=1e-3)
+        assert self._tags(kc) == [
+            "<MaxChange>", "<L2Regularize>", "<LearningRate>",
+            "<LinearParams>", "<BiasParams>"]
+
+    def test_linear_sequence(self):
+        kc = self._kc(name="l", type="LinearComponent",
+                      linear_params=np.ones((2, 3), np.float32))
+        assert self._tags(kc) == [
+            "<LearningRate>", "<Params>",
+            "<OrthonormalConstraint>", "<UseNaturalGradient>"]
+
+    def test_batchnorm_sequence(self):
+        kc = self._kc(name="bn", type="BatchNormComponent",
+                      stats_mean=np.zeros(4, np.float32),
+                      stats_var=np.ones(4, np.float32),
+                      epsilon=1e-3, target_rms=1.0, count=0.0)
+        assert self._tags(kc) == [
+            "<Dim>", "<BlockDim>", "<Epsilon>", "<TargetRms>",
+            "<TestMode>", "<Count>", "<StatsMean>", "<StatsVar>"]
+
+    def test_conv_sequence(self):
+        kc = self._kc(name="c", type="TimeHeightConvolutionComponent",
+                      linear_params=np.ones((8, 6), np.float32),
+                      num_filters_in=2, num_filters_out=8,
+                      height_in=0, height_out=0)   # zeros still emitted
+        assert self._tags(kc) == [
+            "<LearningRate>", "<NumFiltersIn>", "<NumFiltersOut>",
+            "<HeightIn>", "<HeightOut>", "<Params>", "<BiasParams>"]
+
+    def test_tdnn_sequence(self):
+        kc = self._kc(name="t", type="TdnnComponent",
+                      linear_params=np.ones((4, 8), np.float32),
+                      bias_params=np.zeros(4, np.float32))
+        assert self._tags(kc) == [
+            "<LearningRate>", "<LinearParams>", "<BiasParams>",
+            "<OrthonormalConstraint>", "<UseNaturalGradient>"]
+
+    def test_tdnn_no_bias_sequence(self):
+        kc = self._kc(name="t", type="TdnnComponent",
+                      linear_params=np.ones((4, 8), np.float32))
+        assert self._tags(kc) == [
+            "<LearningRate>", "<LinearParams>",
+            "<OrthonormalConstraint>", "<UseNaturalGradient>"]
+
+    def test_attention_sequence(self):
+        kc = self._kc(name="at", type="RestrictedAttentionComponent",
+                      num_heads=4, key_dim=16, value_dim=16,
+                      key_scale=0.25)
+        assert self._tags(kc) == [
+            "<NumHeads>", "<KeyDim>", "<ValueDim>", "<KeyScale>",
+            "<Count>"]
+
+    def test_unknown_type_stable_order(self):
+        kc = self._kc(name="u", type="SomeFutureComponent",
+                      linear_params=np.ones((2, 2), np.float32),
+                      count=0.0)
+        tags = self._tags(kc)
+        # declared-map order, learning_rate/count kept even at zero
+        assert tags == ["<LearningRate>", "<Count>", "<LinearParams>"]
