@@ -228,6 +228,25 @@ class TestDataParallelDecode:
             np.testing.assert_allclose(r["total_cost"], s["total_cost"],
                                        atol=1e-4)
 
+    def test_viterbi_tree_sharded_matches_unsharded(self):
+        """The tree-ELL kernels must shard over the batch exactly like
+        the segment kernels (every [.., B] tensor inherits the data-axis
+        sharding; the multi-level gathers are batch-independent)."""
+        from kaldi_fp16_tpu.decode.tpu_viterbi import SparseViterbiDecoder
+        g, P_ = self._graph(seed=9)
+        mesh = make_mesh(MeshConfig(data=8))
+        rng = np.random.default_rng(45)
+        ll = rng.normal(size=(8, 7, P_)).astype(np.float32)
+        ref = SparseViterbiDecoder(g, layout="tree",
+                                   tree_max_width=4).decode_batch(ll)
+        got = SparseViterbiDecoder(g, layout="tree", tree_max_width=4,
+                                   mesh=mesh).decode_batch(ll)
+        for r, s in zip(ref, got):
+            assert r["words"] == s["words"]
+            assert r["alignment"] == s["alignment"]
+            np.testing.assert_allclose(r["total_cost"], s["total_cost"],
+                                       atol=1e-4)
+
     def test_viterbi_bad_batch_raises(self):
         from kaldi_fp16_tpu.decode.tpu_viterbi import SparseViterbiDecoder
         g, P_ = self._graph()
