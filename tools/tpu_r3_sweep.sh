@@ -25,6 +25,13 @@ if [ "$STAGE" = all ] || [ "$STAGE" = chain ]; then
   run chainverify python tools/chainverify.py --topology phone-lm
 fi
 
+# 2b. trainer-loop throughput (async metrics + double-buffered uploads,
+#     VERDICT r2 next #2: step_ms should drop from ~96 toward the ~77ms
+#     device time at B=128)
+if [ "$STAGE" = all ] || [ "$STAGE" = train ]; then
+  run traintest python tools/traintest.py
+fi
+
 # 3. decode: segment vs tree at HCLG scale (VERDICT r2 next #3 — target
 #    >= 100 audio-sec/s at S=100K/390K arcs, was 15.7)
 if [ "$STAGE" = all ] || [ "$STAGE" = decode ]; then

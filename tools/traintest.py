@@ -32,7 +32,12 @@ def main():
     ap.add_argument("--lr", type=float, default=0.01)
     ap.add_argument("--bench-json", action="store_true",
                     help="emit one benchmark JSON line at the end")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (numerics smoke during "
+                         "TPU-tunnel outages; perf numbers meaningless)")
     args = ap.parse_args()
+    if args.cpu:
+        _common.force_cpu()
 
     egs_dir = args.egs_dir
     if egs_dir is None:
@@ -79,7 +84,10 @@ output-layer name=output dim={args.pdfs} include-log-softmax=false
     trainer = Trainer(model, den, config, ChainTrainingOpts(),
                       fst_pad_states=64, fst_pad_arcs=128)
 
-    losses = []
+    # per-step device scalars are BUFFERED and fetched in one transfer
+    # at the end: a float() per step is a blocking round trip that would
+    # serialize the async trainer and under-measure throughput
+    outs = []
     frames = 0
     t_start = None
     steps = 0
@@ -91,22 +99,30 @@ output-layer name=output dim={args.pdfs} include-log-softmax=false
                                          label_dim=args.pdfs))
         for batch in dl:
             out = trainer.train_batch(batch)
-            losses.append(float(out.loss))
+            outs.append(out)
             steps += 1
             if steps == 2:
                 # skip compile steps; step 2's frames are EXCLUDED along
-                # with its wall time (counting them inflated throughput)
+                # with its wall time (counting them inflated throughput);
+                # the sync here also fences compile/dispatch backlog out
+                # of the timed window
+                float(out.loss)
                 t_start = time.perf_counter()
                 frames = 0
             else:
                 frames += batch.batch_size * batch.num_input_frames
-            print(f"step {steps}: loss={losses[-1]:.4f} "
-                  f"objf/frame={float(out.objf_per_frame):.4f} "
-                  f"ok={bool(out.ok)}")
             if steps >= args.steps:
                 break
 
+    import jax
+    jax.block_until_ready(outs[-1].loss)
     wall = time.perf_counter() - t_start if t_start else 1.0
+    vals = jax.device_get([(o.loss, o.objf_per_frame, o.ok) for o in outs])
+    losses = []
+    for i, (loss, opf, ok) in enumerate(vals):
+        losses.append(float(loss))
+        print(f"step {i + 1}: loss={float(loss):.4f} "
+              f"objf/frame={float(opf):.4f} ok={bool(ok)}")
     fps = frames / wall
     audio_sec_per_s = fps / 100.0
     improved = losses[-1] < losses[0]
