@@ -104,6 +104,12 @@ def main():
                 raise SystemExit("run 1 exceeded 2h before reaching "
                                  f"{args.kill_after_steps} steps")
         if killed_at is None:
+            if p.returncode != 0:
+                with open(log1) as f:
+                    tail = "\n".join(f.read().splitlines()[-12:])
+                raise SystemExit(
+                    f"run 1 CRASHED (rc={p.returncode}) before the kill "
+                    f"point:\n{tail}")
             raise SystemExit("run 1 finished before the kill point — "
                              "raise --epochs or lower --kill-after-steps")
     rows1 = read_metrics(metrics)
