@@ -11,7 +11,7 @@ cd "$(dirname "$0")/.."
 mkdir -p /tmp/r3sweep
 STAGE="${1:-all}"
 
-run() { echo "=== $1 ==="; shift; "$@" 2>&1 | tee "/tmp/r3sweep/$1.log"; }
+run() { local name="$1"; echo "=== $name ==="; shift; "$@" 2>&1 | tee "/tmp/r3sweep/$name.log"; }
 
 # 1. warm the persistent compile cache + capture the headline number the
 #    driver will re-measure (VERDICT r2 next #1)
