@@ -21,12 +21,24 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--frames", type=int, default=150)
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--bn-identity", action="store_true",
+                    help="replace every batchnorm with identity — measures "
+                         "the UPPER BOUND of any conv/BN eval-folding gain "
+                         "(if this is within noise of the default run, "
+                         "folding BN into the preceding affine cannot help: "
+                         "XLA already fuses the scale+shift into adjacent "
+                         "ops).  Outputs are numerically wrong; timing only")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
     from kaldi_fp16_tpu.models.model import build_model
     from kaldi_fp16_tpu.models.network import forward, init_params
+
+    if args.bn_identity:
+        import kaldi_fp16_tpu.models.network as _net
+        _net._batchnorm = lambda x, bn_state, *a, **k: (x, bn_state)
+        print("bn-identity: batchnorm replaced by identity (timing-only run)")
 
     model = build_model(args.xconfig)
     print(model.summary())

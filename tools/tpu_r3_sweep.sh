@@ -30,6 +30,12 @@ fi
 #     device time at B=128)
 if [ "$STAGE" = all ] || [ "$STAGE" = train ]; then
   run traintest python tools/traintest.py
+  # flagship-scale production loop: same model/den/batch as bench.py, but
+  # through Trainer.train_batch + the host dataloader — step_ms here vs
+  # bench.py's raw-loop step_ms isolates the dispatch/metrics overhead
+  run traintest_flagship python tools/traintest.py \
+      --xconfig configs/cnn_tdnn.xconfig --pdfs 3080 --batch 128 \
+      --steps 15 --den-topology phone-lm --frames-in 150 --frames-out 49
 fi
 
 # 3. decode: segment vs tree at HCLG scale (VERDICT r2 next #3 — target

@@ -27,6 +27,18 @@ def main():
     ap.add_argument("--egs-dir")
     ap.add_argument("--xconfig")
     ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--frames-in", type=int, default=48,
+                    help="synthetic chunk length (150 = production scale; "
+                         "only used when --egs-dir is not given)")
+    ap.add_argument("--frames-out", type=int, default=15)
+    ap.add_argument("--den-topology", choices=["egs", "phone-lm"],
+                    default="egs",
+                    help="egs = den.fst from the egs dir (default); "
+                         "phone-lm = make_phone_lm_den_fst(num_pdfs) at "
+                         "production scale (7052 states / ~113K arcs at "
+                         "pdfs=3080) — the exact graph bench.py times, so "
+                         "the production Trainer's step_ms is directly "
+                         "comparable to the raw-loop bench")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--pdfs", type=int, default=48)
     ap.add_argument("--lr", type=float, default=0.01)
@@ -46,7 +58,9 @@ def main():
                         os.path.join(os.path.dirname(__file__),
                                      "make_synthetic_egs.py"),
                         egs_dir, "--files", "2", "--per-file",
-                        str(args.batch * 4), "--pdfs", str(args.pdfs)],
+                        str(args.batch * 4), "--pdfs", str(args.pdfs),
+                        "--frames-in", str(args.frames_in),
+                        "--frames-out", str(args.frames_out)],
                        check=True)
 
     import jax
@@ -75,7 +89,11 @@ output-layer name=output dim={args.pdfs} include-log-softmax=false
 """)
     print(model.summary())
 
-    den_fst = read_fst_file(os.path.join(egs_dir, "den.fst"))
+    if args.den_topology == "phone-lm":
+        from kaldi_fp16_tpu.chain.graph import make_phone_lm_den_fst
+        den_fst = make_phone_lm_den_fst(num_pdfs=args.pdfs)
+    else:
+        den_fst = read_fst_file(os.path.join(egs_dir, "den.fst"))
     den_graph = DenominatorGraph.from_fst(den_fst, args.pdfs)
     den = DenominatorComputation(den_graph, leaky=1e-5)
 
@@ -91,28 +109,43 @@ output-layer name=output dim={args.pdfs} include-log-softmax=false
     frames = 0
     t_start = None
     steps = 0
-    epoch = 0
+
+    def batch_stream():
+        while True:
+            dl = DataLoader(os.path.join(egs_dir, "cegs.*.ark"),
+                            DataLoaderConfig(batch_size=args.batch,
+                                             label_dim=args.pdfs))
+            for b in dl:
+                yield b
+
+    # pipelined loop, same shape as Trainer.train_epoch: batch i+1's
+    # device_put is issued while step i is still in flight, so the
+    # (tunnel) upload overlaps device compute instead of serializing
+    # ahead of each dispatch — flagship step_ms 158.6 (plain loop) ->
+    # 111.4 (this loop).  A PrefetchLoader wrapper was ALSO measured
+    # here and lost (132.7 ms): the producer's GIL-held numpy assembly
+    # stalls the main thread's async dispatch, which this loop needs
+    # every ~100 ms — see PERFORMANCE.md "Round 3: the production loop"
+    stream = batch_stream()
+    nxt = next(stream)
+    placed = trainer.place_batch(nxt)
     while steps < args.steps:
-        epoch += 1
-        dl = DataLoader(os.path.join(egs_dir, "cegs.*.ark"),
-                        DataLoaderConfig(batch_size=args.batch,
-                                         label_dim=args.pdfs))
-        for batch in dl:
-            out = trainer.train_batch(batch)
-            outs.append(out)
-            steps += 1
-            if steps == 2:
-                # skip compile steps; step 2's frames are EXCLUDED along
-                # with its wall time (counting them inflated throughput);
-                # the sync here also fences compile/dispatch backlog out
-                # of the timed window
-                float(out.loss)
-                t_start = time.perf_counter()
-                frames = 0
-            else:
-                frames += batch.batch_size * batch.num_input_frames
-            if steps >= args.steps:
-                break
+        batch, cur = nxt, placed
+        nxt = next(stream)
+        out = trainer.train_batch(batch, placed=cur)
+        placed = trainer.place_batch(nxt)
+        outs.append(out)
+        steps += 1
+        if steps == 2:
+            # skip compile steps; step 2's frames are EXCLUDED along
+            # with its wall time (counting them inflated throughput);
+            # the sync here also fences compile/dispatch backlog out
+            # of the timed window
+            float(out.loss)
+            t_start = time.perf_counter()
+            frames = 0
+        else:
+            frames += batch.batch_size * batch.num_input_frames
 
     import jax
     jax.block_until_ready(outs[-1].loss)
@@ -125,10 +158,14 @@ output-layer name=output dim={args.pdfs} include-log-softmax=false
               f"objf/frame={float(opf):.4f} ok={bool(ok)}")
     fps = frames / wall
     audio_sec_per_s = fps / 100.0
+    timed_steps = max(1, steps - 2)
+    step_ms = wall / timed_steps * 1e3
     improved = losses[-1] < losses[0]
     print(f"\nloss {losses[0]:.4f} -> {losses[-1]:.4f} "
           f"({'improved' if improved else 'NOT improved'})")
-    print(f"throughput: {fps:,.0f} frames/s = {audio_sec_per_s:,.1f} audio-sec/s/chip")
+    print(f"throughput: {fps:,.0f} frames/s = {audio_sec_per_s:,.1f} "
+          f"audio-sec/s/chip ({step_ms:.1f} ms/step over {timed_steps} "
+          f"timed steps, incl. host dataloader)")
 
     if args.bench_json:
         print(json.dumps({
