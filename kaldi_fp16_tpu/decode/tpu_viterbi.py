@@ -483,12 +483,28 @@ class TreeEllGraph:
                 tuple(tuple(j(x) for x in lvl) for lvl in self.levels))
 
 
+def _onehot_pick(table_b, arg, fill=0):
+    """Select table_b[r, arg[r, b]] for every (r, b) WITHOUT an
+    element-level gather: flat `jnp.take(tbl, rows * D + arg)` runs at
+    the scalar index rate (~200M elem/s) and was measured to cost 22 of
+    the tree step's 26 ms/frame at S=100K (profile_tree.py, r3) — the
+    one-hot select is a vectorized masked sum over the <=W row width at
+    memory bandwidth instead.  table_b: [R, D] or [R, D, B]; arg [R, B]."""
+    D = table_b.shape[1]
+    if table_b.ndim == 2:
+        table_b = table_b[:, :, None]
+    if D == 1:
+        return jnp.broadcast_to(table_b[:, 0], arg.shape)
+    onehot = (jnp.arange(D, dtype=jnp.int32)[None, :, None]
+              == arg[:, None, :])                            # [R, D, B]
+    return jnp.where(onehot, table_b, fill).sum(axis=1)
+
+
 def _tree_max_step(bsrc, bpdf, bw, barc, levels, num_arcs, score, ll_t,
                    acoustic_scale):
     """One tree-ELL max-plus update: score [S, B], ll_t [P, B] ->
     (next score [S, B], winning ArcGraph arc id [S, B], pad = A)."""
     B = score.shape[1]
-    col = jnp.arange(B, dtype=jnp.int32)[None, :]
     outs, arcs = [], []
     for src_b, pdf_b, w_b, arc_b in zip(bsrc, bpdf, bw, barc):
         Rb, Db = src_b.shape
@@ -499,8 +515,7 @@ def _tree_max_step(bsrc, bpdf, bw, barc, levels, num_arcs, score, ll_t,
                 * _ell_gather(ll_t, pdf_b.reshape(-1), sb))
         outs.append(cand.max(axis=1))
         arg = cand.argmax(axis=1).astype(jnp.int32)          # [Rb, B]
-        rows = jnp.arange(Rb, dtype=jnp.int32)[:, None]
-        arcs.append(jnp.take(arc_b.reshape(-1), rows * Db + arg))
+        arcs.append(_onehot_pick(arc_b, arg))
     vals = jnp.concatenate(outs, axis=0)
     arc = jnp.concatenate(arcs, axis=0)
     for lvl in levels:
@@ -512,11 +527,14 @@ def _tree_max_step(bsrc, bpdf, bw, barc, levels, num_arcs, score, ll_t,
         for idx_b in lvl:
             Rb, Db = idx_b.shape
             g = _ell_gather(vals_p, idx_b.reshape(-1), (Rb, Db, B))
+            ga = _ell_gather(arc_p, idx_b.reshape(-1), (Rb, Db, B))
+            if Db == 1:
+                outs.append(g[:, 0])
+                arcs.append(ga[:, 0])
+                continue
             outs.append(g.max(axis=1))
             arg = g.argmax(axis=1).astype(jnp.int32)
-            rows = jnp.arange(Rb, dtype=jnp.int32)[:, None]
-            prev = jnp.take(idx_b.reshape(-1), rows * Db + arg)  # [Rb, B]
-            arcs.append(jnp.take(arc_p.reshape(-1), prev * B + col))
+            arcs.append(_onehot_pick(ga, arg))
         vals = jnp.concatenate(outs, axis=0)
         arc = jnp.concatenate(arcs, axis=0)
     return jnp.maximum(vals, NEG_INF), arc

@@ -48,6 +48,11 @@ def main():
     ap.add_argument("--files", type=int, default=4)
     ap.add_argument("--per-file", type=int, default=32)
     ap.add_argument("--den-states", type=int, default=96)
+    ap.add_argument("--frames-in", type=int, default=48,
+                    help="synthetic chunk length (150 = production; the "
+                         "bf16 drift this A/B vets grows with the den "
+                         "scan length = frames-out)")
+    ap.add_argument("--frames-out", type=int, default=15)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--cpu", action="store_true",
                     help="run both trainings on the CPU backend (the A/B "
@@ -68,6 +73,8 @@ def main():
              egs_dir, "--files", str(args.files),
              "--per-file", str(args.per_file), "--pdfs", str(args.pdfs),
              "--den-states", str(args.den_states),
+             "--frames-in", str(args.frames_in),
+             "--frames-out", str(args.frames_out),
              "--den-topology", "phone-lm"],
             os.path.join(args.workdir, "egs.log"))
 

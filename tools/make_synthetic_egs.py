@@ -100,7 +100,9 @@ def main():
         den = make_phone_lm_den_fst(
             num_pdfs=args.pdfs, num_phones=max(2, args.den_states // 2),
             states_per_phone=2,
-            branching=min(8, max(2, args.den_states // 4)), seed=args.seed)
+            # production branching is 28 (7052-state den.fst has ~113K
+            # arcs = ~16 arcs/state); small dens keep the old <=8 cap
+            branching=min(28, max(2, args.den_states // 4)), seed=args.seed)
     else:
         den = make_simple_den_fst(num_pdfs=args.pdfs,
                                   num_states=args.den_states,

@@ -64,7 +64,7 @@ if [ "$STAGE" = all ] || [ "$STAGE" = ab ]; then
   run abtest_flagship python tools/abtest.py \
       --workdir /tmp/r3sweep/abtest --xconfig configs/cnn_tdnn.xconfig \
       --pdfs 3080 --den-states 7052 --files 4 --per-file 128 \
-      --batch 16 --epochs 7
+      --batch 16 --epochs 7 --frames-in 150 --frames-out 49 --lr 1e-4
   cp /tmp/r3sweep/abtest/ab_result.json \
      docs/evidence/ab_result_r3_tpu.json || true
 fi
