@@ -5,7 +5,7 @@ Round-3 finding: tree layout at S=100K/390K arcs measured 3.8 audio-sec/s
 times each piece of the per-frame step in isolation (lax.scan over T so
 dispatch is amortized) to find the culprit.
 
-Run from repo root: python profile_tree.py [--states 100000 --batch 16]
+Run: python tools/profile_tree.py [--states 100000 --batch 16]
 """
 
 import argparse
@@ -25,8 +25,7 @@ def main():
 
     import jax
     import jax.numpy as jnp
-    import sys, os
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tools"))
+    import _common  # noqa: F401 — repo-root path + compile cache
     from decodebench import synth_hclg_graph
     from kaldi_fp16_tpu.decode.tpu_viterbi import (
         ArcGraph, TreeEllGraph, _ell_gather, _tree_max_step, _tree_min_step,

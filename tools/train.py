@@ -49,8 +49,11 @@ def main():
     ap.add_argument("--leaky-hmm", type=float, default=1e-5)
     ap.add_argument("--den-mode", default="exact", choices=["exact", "fast"],
                     help="denominator numerics: exact (bf16x3 parity "
-                         "class) or fast (single-pass bf16, ~1e-3 drift "
-                         "— see docs/PERFORMANCE.md A/B)")
+                         "class, the production default) or fast "
+                         "(single-pass bf16 — EXPERIMENTAL: the r3 "
+                         "flagship-scale A/B measured trajectory "
+                         "divergence of 0.08-0.13 objf/frame over 224 "
+                         "steps; see docs/PERFORMANCE.md)")
     ap.add_argument("--frame-subsampling", type=int, default=3)
     ap.add_argument("--shuffle-buffer", type=int, default=1024)
     ap.add_argument("--prefetch", type=int, default=2,
