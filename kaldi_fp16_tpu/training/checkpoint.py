@@ -25,10 +25,16 @@ except Exception:  # pragma: no cover
 
 @dataclass
 class DataPosition:
-    """Where the input pipeline is: file index + batches consumed."""
+    """Where the input pipeline is (file index + batches consumed) plus
+    the trainer's RNG key at save time.  Both exist so a kill/resume
+    REPLAYS the original run exactly: without the key, resumed steps
+    re-derive SpecAugment/dropout noise from a fresh PRNGKey(seed) and
+    the replayed trajectory silently diverges from the killed run
+    (caught by tools/soak.py's replay-fidelity check, r3)."""
     epoch: int = 0
     file_index: int = 0
     batches_consumed: int = 0
+    rng_key: Optional[np.ndarray] = None   # uint32[2] or None
 
 
 def _to_pytree(params, net_state, opt_state, scale_state, step: int,
@@ -44,6 +50,10 @@ def _to_pytree(params, net_state, opt_state, scale_state, step: int,
             "epoch": np.asarray(data_pos.epoch),
             "file_index": np.asarray(data_pos.file_index),
             "batches_consumed": np.asarray(data_pos.batches_consumed),
+            # always present so save/restore templates share one tree
+            # structure; zeros = "not recorded" (restore maps it to None)
+            "rng_key": (np.zeros(2, np.uint32) if data_pos.rng_key is None
+                        else np.asarray(data_pos.rng_key, np.uint32)),
         },
     }
 
@@ -96,9 +106,11 @@ class CheckpointManager:
         else:  # pragma: no cover
             raise RuntimeError("orbax unavailable")
         meta = tree["meta"]
+        key = np.asarray(meta["rng_key"], np.uint32)
         pos = DataPosition(epoch=int(meta["epoch"]),
                            file_index=int(meta["file_index"]),
-                           batches_consumed=int(meta["batches_consumed"]))
+                           batches_consumed=int(meta["batches_consumed"]),
+                           rng_key=None if not key.any() else key)
         scale = scale_state.__class__(**tree["scale_state"]) \
             if hasattr(scale_state, "_asdict") else tree["scale_state"]
         return (tree["params"], tree["net_state"], tree["opt_state"], scale,

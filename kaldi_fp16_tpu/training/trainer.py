@@ -90,16 +90,27 @@ class Trainer:
                                         *([None] * (np.ndim(v) - 1)))))
             self.place_states()
 
+    @property
+    def rng_key(self) -> np.ndarray:
+        """Current step-noise PRNG key (uint32[2]) — pass as
+        DataPosition.rng_key when checkpointing so a resume REPLAYS the
+        killed run's SpecAugment/dropout draws exactly."""
+        return np.asarray(self._key, np.uint32)
+
     def restore(self, mgr, step=None):
         """Restore params/states from a CheckpointManager and commit
         them to the mesh (restored arrays arrive host-resident;
         assigning them WITHOUT re-placement would silently train
-        single-device layouts).  Returns the DataPosition."""
+        single-device layouts).  Also restores the step-noise RNG key
+        when the checkpoint recorded one (replay fidelity).  Returns
+        the DataPosition."""
         (self.params, self.net_state, self.opt_state,
          self.scale_state, gstep, pos) = mgr.restore(
             step, self.params, self.net_state, self.opt_state,
             self.scale_state)
         self.global_step = gstep
+        if pos.rng_key is not None:
+            self._key = jnp.asarray(pos.rng_key, jnp.uint32)
         self.place_states()
         return pos
 

@@ -178,6 +178,37 @@ class TestCheckpoint:
         t2._key = jax.random.PRNGKey(0)
         mgr.close()
 
+    def test_resume_replays_exactly(self, ark_dir, tmp_path):
+        """Kill/resume replay fidelity: a trainer restored via
+        Trainer.restore (params/opt/scale + the RNG key recorded in
+        DataPosition) must reproduce the killed run's next step EXACTLY
+        — tools/soak.py asserts the same at the subprocess level (the
+        r3 TPU soak caught a fresh-PRNGKey resume diverging by up to
+        0.18 objf/frame on replayed steps)."""
+        trainer = make_trainer()
+        batches = list(_loader(ark_dir))
+        for b in batches[:2]:
+            trainer.train_batch(b)
+        key_at_save = trainer.rng_key.copy()
+        mgr = CheckpointManager(str(tmp_path / "ckpt2"))
+        mgr.save(trainer.global_step, trainer.params, trainer.net_state,
+                 trainer.opt_state, trainer.scale_state,
+                 DataPosition(epoch=0, batches_consumed=2,
+                              rng_key=trainer.rng_key))
+        out_orig = trainer.train_batch(batches[2])
+        objf_orig = float(out_orig.objf_per_frame)
+
+        t2 = make_trainer()
+        t2.restore(mgr)
+        mgr.close()
+        # the step-noise key is restored, not re-seeded
+        np.testing.assert_array_equal(t2.rng_key, key_at_save)
+        out_replay = t2.train_batch(batches[2])
+        assert float(out_replay.objf_per_frame) == objf_orig
+        np.testing.assert_array_equal(
+            np.asarray(t2.params["linear1"]["w"]),
+            np.asarray(trainer.params["linear1"]["w"]))
+
     def test_latest_step_none(self, tmp_path):
         mgr = CheckpointManager(str(tmp_path / "empty"))
         assert mgr.latest_step() is None

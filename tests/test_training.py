@@ -444,12 +444,18 @@ def test_checkpoint_roundtrip_with_ng_state(training_setup, tmp_path):
         params, net_state, opt_state, scale_state, batch,
         jax.random.PRNGKey(1))
     mgr = CheckpointManager(str(tmp_path / "ck"))
+    key_at_save = np.asarray(jax.random.split(jax.random.PRNGKey(3))[0],
+                             np.uint32)
     mgr.save(7, params, net_state, opt_state, scale_state,
-             DataPosition(epoch=2, batches_consumed=3))
+             DataPosition(epoch=2, batches_consumed=3,
+                          rng_key=key_at_save))
     p2, n2, o2, s2 = init_train_state(model, jax.random.PRNGKey(9), config)
     p2, n2, o2, s2, step_no, pos = mgr.restore(None, p2, n2, o2, s2)
     mgr.close()
     assert step_no == 7 and pos.epoch == 2 and pos.batches_consumed == 3
+    # rng key round-trips (replay fidelity: resumed runs must re-draw
+    # the SAME SpecAugment/dropout noise — soak replay check, r3)
+    np.testing.assert_array_equal(pos.rng_key, key_at_save)
     assert "ng" in o2
     site = next(iter(opt_state["ng"]))
     np.testing.assert_array_equal(np.asarray(o2["ng"][site]["in"].v),

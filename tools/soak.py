@@ -86,6 +86,12 @@ def main():
     # ---- run 1: train until kill-after-steps, then SIGKILL ---------------
     if os.path.exists(metrics):
         os.unlink(metrics)
+    # stale checkpoints from a previous soak invocation would poison both
+    # runs (run 1's saves collide with newer steps; run 2 would "resume"
+    # from the OLD run's final checkpoint)
+    if os.path.exists(ckpt):
+        import shutil
+        shutil.rmtree(ckpt)
     with open(log1, "w") as log:
         p = subprocess.Popen(train_cmd, stdout=log,
                              stderr=subprocess.STDOUT)
@@ -127,21 +133,39 @@ def main():
     rows2 = read_metrics(metrics)
     new = [r for r in rows2 if r["step"] > max(pre_steps)]
 
-    # resumed from the last checkpoint, not from scratch
-    first_new = new[0] if new else {}
+    # the metrics file is appended: rows2 = run1's rows + run2's rows
+    run2_rows = rows2[len(rows1):]
+    first_run2_step = run2_rows[0]["step"] if run2_rows else 0
     last_ckpt_step = (max(pre_steps) // args.ckpt_every) * args.ckpt_every
-    resumed_from = first_new.get("step", 0)
+    resumed_from = first_run2_step
     post_head = [r["objf_per_frame"] for r in new[:8]]
     lr_pre = {r["step"]: r["lr"] for r in rows1}
     lr_ok = all(abs(r["lr"] - lr_pre.get(r["step"], r["lr"])) < 1e-9
                 for r in rows2 if r["step"] in lr_pre)
 
-    # a resume that silently RESTARTED from scratch would re-log steps
-    # 1..last_ckpt (deterministic seed makes every other check pass);
-    # a true resume replays only steps > last_ckpt_step
-    n_old_1 = sum(1 for r in rows1 if r["step"] <= last_ckpt_step)
-    n_old_2 = sum(1 for r in rows2 if r["step"] <= last_ckpt_step)
-    no_restart = n_old_1 == n_old_2
+    # resumed from a RECENT checkpoint, not from scratch.  The SIGKILL
+    # can race the checkpoint write at the kill step itself (observed:
+    # killed at step 30, ckpt-30 not yet durable, resume correctly fell
+    # back to ckpt-20) — so the resume point must be one past a
+    # checkpoint boundary within TWO ckpt intervals of the kill, not
+    # necessarily the newest boundary.
+    no_restart = (first_run2_step > 0
+                  and (first_run2_step - 1) % args.ckpt_every == 0
+                  and first_run2_step > max(0, last_ckpt_step
+                                            - 2 * args.ckpt_every))
+
+    # replay fidelity: steps the resumed run re-trains (between its
+    # checkpoint and the kill point) must reproduce run 1's objf EXACTLY
+    # — same params, same restored RNG key, same fast-forwarded data
+    # order, deterministic XLA.  A drifting replay means some piece of
+    # training state (rng key, data position, BN stats, loss scale) is
+    # not in the checkpoint; this is what caught the missing rng-key /
+    # unused batches_consumed pair in r3.
+    objf1 = {r["step"]: r["objf_per_frame"] for r in rows1}
+    replayed = [r for r in run2_rows if r["step"] in objf1]
+    replay_diffs = [abs(r["objf_per_frame"] - objf1[r["step"]])
+                    for r in replayed]
+    replay_exact = all(d == 0.0 for d in replay_diffs)
 
     lo = min(pre_tail) - 3.0 * (max(pre_tail) - min(pre_tail) + 0.02)
     hi = max(pre_tail) + 3.0 * (max(pre_tail) - min(pre_tail) + 0.02)
@@ -155,6 +179,9 @@ def main():
         "resumed_at_step": resumed_from,
         "resume_ok": 0 < resumed_from <= len(rows1) + 1,
         "no_restart": bool(no_restart),
+        "replayed_steps": len(replayed),
+        "replay_max_objf_diff": max(replay_diffs) if replay_diffs else 0.0,
+        "replay_exact": bool(replay_exact),
         "pre_kill_tail_objf": pre_tail,
         "post_resume_head_objf": post_head,
         "continuity_band": [lo, hi],
@@ -167,7 +194,8 @@ def main():
     with open(out, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result))
-    ok = result["resume_ok"] and continuity and lr_ok and no_restart
+    ok = (result["resume_ok"] and continuity and lr_ok and no_restart
+          and replay_exact)
     print("SOAK " + ("PASS" if ok else "FAIL"))
     return 0 if ok else 1
 

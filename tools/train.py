@@ -157,11 +157,20 @@ def main():
 
     mgr = CheckpointManager(args.ckpt_dir) if args.ckpt_dir else None
     start_epoch = 0
+    skip_batches = 0   # fast-forward count for the first resumed epoch
     if args.resume and mgr and mgr.latest_step() is not None:
         pos = trainer.restore(mgr)   # restores AND re-places on the mesh
         start_epoch = pos.epoch
+        # replay fidelity: the epoch's batch order is deterministic
+        # (loader seeded with seed+epoch), so skipping the consumed
+        # batches resumes on EXACTLY the next batch the killed run
+        # would have trained on; without this, a mid-epoch resume
+        # re-trained the epoch's first batches under a mid-epoch
+        # global_step (caught by tools/soak.py's replay check, r3)
+        skip_batches = pos.batches_consumed
         print(f"resumed from step {trainer.global_step} "
-              f"(epoch {pos.epoch})")
+              f"(epoch {pos.epoch}, skipping {skip_batches} "
+              f"consumed batches)")
 
     metrics = MetricsLogger(args.metrics, echo=False) if args.metrics else None
     timer = StepTimer(skip_first=2)
@@ -212,9 +221,14 @@ def main():
             # pipelined loop: upload batch i+1 (async device_put) while
             # step i executes on device
             it = iter(batches)
+            i = 0
+            if epoch == start_epoch and skip_batches:
+                for i in range(skip_batches):
+                    if next(it, None) is None:
+                        break
+                i = skip_batches
             nxt = next(it, None)
             placed = trainer.place_batch(nxt) if nxt is not None else None
-            i = 0
             while nxt is not None:
                 if args.steps_per_epoch and i >= args.steps_per_epoch:
                     break
@@ -236,7 +250,8 @@ def main():
                     mgr.save(trainer.global_step, trainer.params,
                              trainer.net_state, trainer.opt_state,
                              trainer.scale_state,
-                             DataPosition(epoch=epoch, batches_consumed=i + 1))
+                             DataPosition(epoch=epoch, batches_consumed=i + 1,
+                                          rng_key=trainer.rng_key))
                 i += 1
             flush()
         finally:
@@ -248,7 +263,7 @@ def main():
     if mgr:
         mgr.save(trainer.global_step, trainer.params, trainer.net_state,
                  trainer.opt_state, trainer.scale_state,
-                 DataPosition(epoch=args.epochs))
+                 DataPosition(epoch=args.epochs, rng_key=trainer.rng_key))
         mgr.close()
     if metrics:
         metrics.close()
