@@ -368,7 +368,12 @@ class TreeEllGraph:
     tuple of width-bucketed [R_b, W_b] int32 tables whose entries index
     the PREVIOUS level's concatenated row outputs (pad = R_prev, which
     gathers a sentinel row appended at compute time).  The final level
-    has exactly one row per state, in state order."""
+    has exactly one row per state, in state order.
+
+    `row_state`: per level-1 bucket, the [R_b] OWNING state of each row
+    (the reduction target: dst for direction='in', src for 'out') — the
+    lattice keep-mask kernel gathers alpha at it once per row instead
+    of once per arc (see _tree_min_step_mask)."""
     src: Tuple[np.ndarray, ...]
     pdf: Tuple[np.ndarray, ...]
     weight: Tuple[np.ndarray, ...]
@@ -377,6 +382,7 @@ class TreeEllGraph:
     num_states: int
     num_arcs: int
     max_width: int
+    row_state: Tuple[np.ndarray, ...] = ()
 
     @classmethod
     def from_arcs(cls, a: "ArcGraph", direction: str = "in",
@@ -389,7 +395,8 @@ class TreeEllGraph:
                        pdf=(np.zeros((S, 1), np.int32),),
                        weight=(np.full((S, 1), NEG_INF, np.float32),),
                        arc=(np.zeros((S, 1), np.int32),),
-                       levels=(), num_states=S, num_arcs=0, max_width=W)
+                       levels=(), num_states=S, num_arcs=0, max_width=W,
+                       row_state=(np.arange(S, dtype=np.int32),))
         if direction == "in":
             order = np.arange(A, dtype=np.int64)   # already dst-sorted
             key, other = a.dst, a.src
@@ -414,8 +421,9 @@ class TreeEllGraph:
 
         def bucket_tables(start, length, fill):
             """Width-bucket rows (stable: row order preserved within a
-            bucket) and build padded slot tables via `fill(slots, valid)`.
-            Returns (tables_per_bucket, out_order_of_rows)."""
+            bucket) and build padded slot tables via
+            `fill(slots, valid, rows)`.  Returns
+            (tables_per_bucket, out_order_of_rows)."""
             width = np.where(length <= 1, 1,
                              2 ** np.ceil(np.log2(np.maximum(length, 1))
                                           ).astype(np.int64))
@@ -425,14 +433,14 @@ class TreeEllGraph:
                 rows = out_order[width[out_order] == D]
                 slots = start[rows][:, None] + np.arange(D)[None, :]
                 valid = np.arange(D)[None, :] < length[rows][:, None]
-                tables.append(fill(slots, valid))
+                tables.append(fill(slots, valid, rows))
             return tables, out_order
 
         # ---- level 1: arc slots ----------------------------------------
         rs, rk, start, length = split_rows(deg, row_ptr)
-        srcs, pdfs, ws, arcs = [], [], [], []
+        srcs, pdfs, ws, arcs, rstates = [], [], [], [], []
 
-        def fill_l1(slots, valid):
+        def fill_l1(slots, valid, rows):
             safe = np.minimum(slots, max(A - 1, 0))
             pos = order[safe]
             srcs.append(np.where(valid, other[safe], 0).astype(np.int32))
@@ -440,6 +448,7 @@ class TreeEllGraph:
             ws.append(np.where(valid, a.weight[pos],
                                NEG_INF).astype(np.float32))
             arcs.append(np.where(valid, pos, A).astype(np.int32))
+            rstates.append(rs[rows].astype(np.int32))
             return None
 
         _, out_order = bucket_tables(start, length, fill_l1)
@@ -457,7 +466,7 @@ class TreeEllGraph:
             rs, rk, start, length = split_rows(counts, iptr)
             entries = []
 
-            def fill_lvl(slots, valid, _entries=entries,
+            def fill_lvl(slots, valid, rows, _entries=entries,
                          _item_order=item_order, _R=R_prev):
                 safe = np.minimum(slots, max(_R - 1, 0))
                 _entries.append(np.where(valid, _item_order[safe],
@@ -472,7 +481,8 @@ class TreeEllGraph:
 
         return cls(src=tuple(srcs), pdf=tuple(pdfs), weight=tuple(ws),
                    arc=tuple(arcs), levels=tuple(levels),
-                   num_states=S, num_arcs=A, max_width=W)
+                   num_states=S, num_arcs=A, max_width=W,
+                   row_state=tuple(rstates))
 
     def device_arrays(self):
         j = jnp.asarray
@@ -565,6 +575,47 @@ def _tree_min_step(bsrc, bpdf, bw, levels, score, ll_t, acoustic_scale):
             outs.append(g.min(axis=1))
         vals = jnp.concatenate(outs, axis=0)
     return jnp.minimum(vals, INF)
+
+
+def _tree_min_step_mask(bstate, bpdf, bw, brow, levels, score, alpha_t,
+                        ll_t, acoustic_scale, thr):
+    """_tree_min_step over the OUT-direction tables that ALSO emits the
+    lattice keep-mask, in level-1 slot order.
+
+    The level-1 slot candidate is already arc_cost + beta_{t+1}[dst]
+    (the per-arc quantity the keep criterion needs), so the test
+    `alpha_t[src] + cand <= thr` costs ONE extra gather per level-1 ROW
+    (alpha at the row's owning src state, broadcast across its <= W
+    slots) instead of the segment kernel's 3 gathers per ARC.  Pads
+    never fire: their weight is NEG_INF so cand = +inf.  Returns
+    (reduced beta [S, B], keep [total_slots, B] bool); the host maps
+    slot bits back to arc ids via TreeEllGraph.arc."""
+    B = score.shape[1]
+    INF = jnp.float32(-NEG_INF)
+    outs, keeps = [], []
+    for st_b, pdf_b, w_b, row_b in zip(bstate, bpdf, bw, brow):
+        Rb, Db = st_b.shape
+        sb = (Rb, Db, B)
+        cand = (_ell_gather(score, st_b.reshape(-1), sb)
+                + (-w_b)[..., None]
+                + acoustic_scale
+                * _ell_gather(ll_t, pdf_b.reshape(-1), sb))
+        outs.append(cand.min(axis=1))
+        row_alpha = jnp.take(alpha_t, row_b, axis=0)          # [Rb, B]
+        keeps.append((row_alpha[:, None, :] + cand
+                      <= thr[None, None, :]).reshape(Rb * Db, B))
+    vals = jnp.concatenate(outs, axis=0)
+    keep = jnp.concatenate(keeps, axis=0)
+    for lvl in levels:
+        vals_p = jnp.concatenate(
+            [vals, jnp.full((1, B), INF, vals.dtype)], axis=0)
+        outs = []
+        for idx_b in lvl:
+            Rb, Db = idx_b.shape
+            g = _ell_gather(vals_p, idx_b.reshape(-1), (Rb, Db, B))
+            outs.append(g.min(axis=1))
+        vals = jnp.concatenate(outs, axis=0)
+    return jnp.minimum(vals, INF), keep
 
 
 @functools.partial(jax.jit, static_argnames=("num_states",))
@@ -1188,22 +1239,26 @@ def _lattice_masks_ell(in_src, in_pdf, in_w, in_perm,
 
 
 @functools.partial(jax.jit, static_argnames=("num_states",))
-def _lattice_masks_tree(tin, tout, src, dst, pdf, graph_cost, final_cost,
-                        start, loglikes, acoustic_scale, lattice_beam,
-                        num_states: int):
+def _lattice_masks_tree(tin, tout, rstate, final_cost, start, loglikes,
+                        acoustic_scale, lattice_beam, num_states: int):
     """Scatter-free lattice masks on the capped tree-ELL layout: alpha
     (by-dst) and beta (by-src) min-plus reductions are multi-level
-    gathers + axis-min; the keep-mask pass is unchanged.  tin/tout:
-    (bsrc, bpdf, bw, levels) for the in/out directions."""
+    gathers + axis-min, and the keep-mask is FUSED into the beta
+    reduction's level-1 slots (_tree_min_step_mask) — no per-arc
+    gathers at all; masks come back in slot order ([T, ceil(slots/8),
+    B] uint8) and the host permutes slot bits to arc ids.  tin/tout:
+    (bstate, bpdf, bw, levels); rstate: per level-1 bucket, the owning
+    src state of each out-direction row."""
     B, T, P = loglikes.shape
     S = num_states
-    A = src.shape[0]
     INF = jnp.float32(-NEG_INF)
     ac_cost = -jnp.transpose(loglikes, (1, 2, 0))        # [T, P, B]
 
     alpha0 = jnp.full((S, B), INF).at[start, :].set(0.0)
     in_src, in_pdf, in_w, in_lvls = tin
     out_dst, out_pdf, out_w, out_lvls = tout
+    n_slots = sum(t.shape[0] * t.shape[1] for t in out_dst)
+    pad = (-n_slots) % 8
 
     def fwd(alpha, ll_t):
         nxt = _tree_min_step(in_src, in_pdf, in_w, in_lvls, alpha, ll_t,
@@ -1216,19 +1271,13 @@ def _lattice_masks_tree(tin, tout, src, dst, pdf, graph_cost, final_cost,
 
     betaT = jnp.broadcast_to(final_cost[:, None], (S, B))
     thr = jnp.where(best > INF / 2, -INF, best + lattice_beam)    # [B]
-    pad = (-A) % 8
-
-    def arc_costs(ll_t):
-        return (graph_cost[:, None]
-                + acoustic_scale * jnp.take(ll_t, pdf, axis=0))   # [A, B]
 
     def bwd_step(beta_next, inp):
         alpha_t, ll_t = inp
-        beta = _tree_min_step(out_dst, out_pdf, out_w, out_lvls,
-                              beta_next, ll_t, acoustic_scale)
-        tot = (jnp.take(alpha_t, src, axis=0) + arc_costs(ll_t)
-               + jnp.take(beta_next, dst, axis=0))        # [A, B]
-        kp = jnp.pad(tot <= thr[None, :], ((0, pad), (0, 0)))
+        beta, keep = _tree_min_step_mask(
+            out_dst, out_pdf, out_w, rstate, out_lvls, beta_next,
+            alpha_t, ll_t, acoustic_scale, thr)
+        kp = jnp.pad(keep, ((0, pad), (0, 0)))
         packed = jnp.packbits(kp.astype(jnp.uint8), axis=0)
         return beta, packed
 
@@ -1238,15 +1287,15 @@ def _lattice_masks_tree(tin, tout, src, dst, pdf, graph_cost, final_cost,
 
 
 @functools.partial(jax.jit, static_argnames=("num_states", "chunk"))
-def _lattice_masks_tree_ckpt(tin, tout, src, dst, pdf, graph_cost,
-                             final_cost, start, loglikes, acoustic_scale,
-                             lattice_beam, num_states: int, chunk: int):
+def _lattice_masks_tree_ckpt(tin, tout, rstate, final_cost, start,
+                             loglikes, acoustic_scale, lattice_beam,
+                             num_states: int, chunk: int):
     """_lattice_masks_tree with CHECKPOINTED alpha (same sqrt(T)
     rematerialization as _lattice_masks_ckpt) — the HCLG-scale lattice
-    path: scatter-free reductions AND no [T, S, B] alpha history."""
+    path: scatter-free reductions, fused slot-order keep-mask, AND no
+    [T, S, B] alpha history."""
     B, T, P = loglikes.shape
     S = num_states
-    A = src.shape[0]
     nc = T // chunk
     rem = T - nc * chunk
     ac_all = -jnp.transpose(loglikes, (1, 2, 0))         # [T, P, B]
@@ -1257,6 +1306,8 @@ def _lattice_masks_tree_ckpt(tin, tout, src, dst, pdf, graph_cost,
     alpha0 = jnp.full((S, B), INF).at[start, :].set(0.0)
     in_src, in_pdf, in_w, in_lvls = tin
     out_dst, out_pdf, out_w, out_lvls = tout
+    n_slots = sum(t.shape[0] * t.shape[1] for t in out_dst)
+    pad = (-n_slots) % 8
 
     def fwd_frame(alpha, ll_t):
         nxt = _tree_min_step(in_src, in_pdf, in_w, in_lvls, alpha, ll_t,
@@ -1277,11 +1328,6 @@ def _lattice_masks_tree_ckpt(tin, tout, src, dst, pdf, graph_cost,
 
     betaT = jnp.broadcast_to(final_cost[:, None], (S, B))
     thr = jnp.where(best > INF / 2, -INF, best + lattice_beam)
-    pad = (-A) % 8
-
-    def arc_costs(ll_t):
-        return (graph_cost[:, None]
-                + acoustic_scale * jnp.take(ll_t, pdf, axis=0))
 
     def fwd_emit(alpha, ll_t):
         nxt, _ = fwd_frame(alpha, ll_t)
@@ -1289,11 +1335,10 @@ def _lattice_masks_tree_ckpt(tin, tout, src, dst, pdf, graph_cost,
 
     def bwd_frame(beta_next, inp):
         alpha_t, ll_t = inp
-        beta = _tree_min_step(out_dst, out_pdf, out_w, out_lvls,
-                              beta_next, ll_t, acoustic_scale)
-        tot = jnp.take(alpha_t, src, axis=0) + arc_costs(ll_t) \
-            + jnp.take(beta_next, dst, axis=0)
-        kp = jnp.pad(tot <= thr[None, :], ((0, pad), (0, 0)))
+        beta, keep = _tree_min_step_mask(
+            out_dst, out_pdf, out_w, rstate, out_lvls, beta_next,
+            alpha_t, ll_t, acoustic_scale, thr)
+        kp = jnp.pad(keep, ((0, pad), (0, 0)))
         packed = jnp.packbits(kp.astype(jnp.uint8), axis=0)
         return beta, packed
 
@@ -1364,13 +1409,19 @@ class DeviceLatticeDecoder:
             self._ell_in = (ein[0], ein[1], ein[2], ein[4])
             self._ell_out = (eout[0], eout[1], eout[2], eout[4])
         elif layout == "tree":
-            tin = jax.tree.map(rep, TreeEllGraph.from_arcs(
-                a, "in", max_width=tree_max_width).device_arrays())
-            tout = jax.tree.map(rep, TreeEllGraph.from_arcs(
-                a, "out", max_width=tree_max_width).device_arrays())
-            # (bsrc, bpdf, bw, levels); the min scans don't track arcs
+            tig = TreeEllGraph.from_arcs(a, "in", max_width=tree_max_width)
+            tog = TreeEllGraph.from_arcs(a, "out", max_width=tree_max_width)
+            tin = jax.tree.map(rep, tig.device_arrays())
+            tout = jax.tree.map(rep, tog.device_arrays())
+            # (bsrc, bpdf, bw, levels); the min scans don't track arcs —
+            # the keep-mask is emitted in the OUT tree's slot order and
+            # mapped back to arc ids on the host via _slot_arc
             self._tree_in = (tin[0], tin[1], tin[2], tin[4])
             self._tree_out = (tout[0], tout[1], tout[2], tout[4])
+            self._tree_rstate = tuple(rep(jnp.asarray(x))
+                                      for x in tog.row_state)
+            self._slot_arc = np.concatenate(
+                [t.reshape(-1) for t in tog.arc])     # pad slots = A
 
     def decode_batch(self, loglikes) -> List["object"]:
         """loglikes [B, T, P] -> list of Lattice (already beam-pruned)."""
@@ -1403,15 +1454,13 @@ class DeviceLatticeDecoder:
             if hist_bytes > self.alpha_hist_limit:
                 chunk = _pick_chunk(T, S, B, self.alpha_hist_limit)
                 packed, best = _lattice_masks_tree_ckpt(
-                    self._tree_in, self._tree_out,
-                    self._src, self._dst, self._pdf, self._gcost,
+                    self._tree_in, self._tree_out, self._tree_rstate,
                     self._fcost, self._start, ll, self._scale_j,
                     self._beam_j, num_states=self.arcs.num_states,
                     chunk=chunk)
             else:
                 packed, best = _lattice_masks_tree(
-                    self._tree_in, self._tree_out,
-                    self._src, self._dst, self._pdf, self._gcost,
+                    self._tree_in, self._tree_out, self._tree_rstate,
                     self._fcost, self._start, ll, self._scale_j,
                     self._beam_j, num_states=self.arcs.num_states)
         elif hist_bytes > self.alpha_hist_limit:
@@ -1427,11 +1476,12 @@ class DeviceLatticeDecoder:
                 self._src, self._dst, self._pdf, self._gcost, self._fcost,
                 self._start, ll, self._scale_j, self._beam_j,
                 num_states=self.arcs.num_states)
-        packed = np.asarray(packed)                   # [T, A8, B]
+        packed = np.asarray(packed)                   # [T, bits/8, B]
         best = np.asarray(best)
         a = self.arcs
         A = len(a.src)
         S = self.arcs.num_states
+        nbits = len(self._slot_arc) if self.layout == "tree" else A
         lls = np.asarray(ll)
         out = []
         for b in range(B):
@@ -1439,8 +1489,18 @@ class DeviceLatticeDecoder:
             # keys ascending, and in an exact lattice every frame-0
             # source is the start state (alpha[0] is finite only there),
             # so node 0 is always (0, start) as Lattice requires
-            mask = np.unpackbits(packed[:, :, b], axis=1)[:, :A] > 0
+            mask = np.unpackbits(packed[:, :, b], axis=1)[:, :nbits] > 0
             ts, ais = np.nonzero(mask)
+            if self.layout == "tree":
+                # slot order -> arc ids; pad slots can't fire (their
+                # NEG_INF weight makes the kept total +inf) but guard
+                # anyway, then restore the canonical (t, arc) order the
+                # per-arc kernels emit
+                ais = self._slot_arc[ais]
+                live = ais < A
+                ts, ais = ts[live], ais[live]
+                o = np.lexsort((ais, ts))
+                ts, ais = ts[o], ais[o]
             src_keys = ts.astype(np.int64) * S + a.src[ais]
             dst_keys = (ts.astype(np.int64) + 1) * S + a.dst[ais]
             start_key = np.asarray([0 * S + a.start], np.int64)

@@ -26,7 +26,8 @@ def main():
     import _common  # noqa: F401 — repo-root path + compile cache
     from decodebench import synth_hclg_graph
     from kaldi_fp16_tpu.decode.tpu_viterbi import (
-        ArcGraph, TreeEllGraph, _tree_min_step, NEG_INF,
+        ArcGraph, TreeEllGraph, _tree_min_step, _tree_min_step_mask,
+        NEG_INF,
     )
 
     S, P, B, T = args.states, args.pdfs, args.batch, args.frames
@@ -97,6 +98,21 @@ def main():
         packed = jnp.packbits(kp.astype(jnp.uint8), axis=0)
         return beta, packed
     bench("full bwd_frame (min+mask+packbits)", full, alpha0)
+
+    # 5. FUSED bwd_frame (r3): keep-mask emitted inside the beta tree
+    # reduction in slot order — no per-arc gathers
+    rstate = tuple(jnp.asarray(x) for x in tout.row_state)
+    n_slots = sum(t.size for t in tout.arc)
+    spad = (-n_slots) % 8
+
+    def fused(c, ll_t):
+        beta, keep = _tree_min_step_mask(
+            out_dst, out_pdf, out_w, rstate, out_lvls, c, c, ll_t,
+            jnp.float32(1.0), thr)
+        kp = jnp.pad(keep, ((0, spad), (0, 0)))
+        packed = jnp.packbits(kp.astype(jnp.uint8), axis=0)
+        return beta, packed
+    bench("FUSED bwd_frame (slot-order mask)", fused, alpha0)
 
 
 if __name__ == "__main__":
