@@ -1488,9 +1488,20 @@ class DeviceLatticeDecoder:
             # vectorized assembly: node key = frame*S + state; np.unique
             # keys ascending, and in an exact lattice every frame-0
             # source is the start state (alpha[0] is finite only there),
-            # so node 0 is always (0, start) as Lattice requires
-            mask = np.unpackbits(packed[:, :, b], axis=1)[:, :nbits] > 0
-            ts, ais = np.nonzero(mask)
+            # so node 0 is always (0, start) as Lattice requires.
+            # Kept bits are sparse (~1-5% of slots at real beams), so
+            # unpack only the NONZERO BYTES: a dense
+            # unpackbits+nonzero over [T, nbits] costs ~1.5 s/utterance
+            # at HCLG scale (477K slots x 300 frames) and dominated the
+            # whole decode at B=64; this path is ~byte-density bound.
+            pb = packed[:, :, b]                        # [T, nbytes]
+            ts8, byts = np.nonzero(pb)
+            bits = np.unpackbits(pb[ts8, byts])         # MSB-first
+            slots = (byts[:, None] * 8
+                     + np.arange(8, dtype=byts.dtype)[None, :]).ravel()
+            sel = (bits > 0) & (slots < nbits)
+            ts = np.repeat(ts8, 8)[sel]
+            ais = slots[sel]
             if self.layout == "tree":
                 # slot order -> arc ids; pad slots can't fire (their
                 # NEG_INF weight makes the kept total +inf) but guard

@@ -1,17 +1,21 @@
 #!/usr/bin/env python
-"""abtest — exact-vs-fast denominator convergence A/B.
+"""abtest — numerics-mode convergence A/B.
 
 Runs two identical synthetic flagship-recipe trainings (same data, same
-seeds, same schedule) differing ONLY in the denominator numerics mode
-('exact' = bf16x3 parity class vs 'fast' = single-pass bf16, ~1e-3
-posterior drift), then compares the objf trajectories and final
-objectives.  This is the vetting the reference applied to its
-atomic-vs-deterministic CUDA kernels (ref: chain_det.cu:1-10,
-cmd/chainbench — drift quantified, then the fast path promoted), applied
-at the training-trajectory level.
+seeds, same schedule) differing ONLY in one numerics mode, then compares
+the objf trajectories and final objectives.  This is the vetting the
+reference applied to its atomic-vs-deterministic CUDA kernels (ref:
+chain_det.cu:1-10, cmd/chainbench — drift quantified, then the fast
+path promoted), applied at the training-trajectory level.
 
-Usage: python tools/abtest.py [--workdir /tmp/abtest] [--epochs 6]
-           [--batch 16] [--pdfs 96] [--cpu]
+Modes (--ab):
+  den-mode  exact (bf16x3 parity class) vs fast (single-pass bf16)
+            denominator — REVOKED at flagship scale r3 (0.13 objf drift)
+  bn-lowp   fp32-upcast batchnorm vs bf16 BN with fp32-accumulated
+            stats (+16% step throughput at flagship B=128)
+
+Usage: python tools/abtest.py [--ab den-mode|bn-lowp] [--workdir ...]
+           [--epochs 6] [--batch 16] [--pdfs 96] [--cpu]
 Writes WORKDIR/ab_result.json and prints a markdown table.
 """
 
@@ -41,6 +45,9 @@ def run(cmd, log_path):
 def main():
     _common.enable_compile_cache()
     ap = argparse.ArgumentParser()
+    ap.add_argument("--ab", default="den-mode",
+                    choices=["den-mode", "bn-lowp"],
+                    help="which numerics mode to A/B (see module doc)")
     ap.add_argument("--workdir", default="/tmp/abtest")
     ap.add_argument("--epochs", type=int, default=6)
     ap.add_argument("--batch", type=int, default=16)
@@ -92,8 +99,15 @@ prefinal-layer name=prefinal small-dim=48 big-dim=96
 output-layer name=output dim={args.pdfs} include-log-softmax=false
 """)
 
+    # (baseline_name, candidate_name) and the extra train.py flags each
+    # arm adds on top of the shared command line
+    arms = {"den-mode": (("exact", ["--den-mode", "exact"]),
+                         ("fast", ["--den-mode", "fast"])),
+            "bn-lowp": (("exact", []),
+                        ("fast", ["--bn-lowp"]))}[args.ab]
+
     result = {"config": vars(args), "runs": {}}
-    for mode in ("exact", "fast"):
+    for mode, extra in arms:
         metrics = os.path.join(args.workdir, f"metrics_{mode}.jsonl")
         if os.path.exists(metrics):
             os.unlink(metrics)
@@ -104,8 +118,8 @@ output-layer name=output dim={args.pdfs} include-log-softmax=false
              "--xconfig", xconfig, "--pdfs", str(args.pdfs),
              "--epochs", str(args.epochs), "--batch", str(args.batch),
              "--lr", str(args.lr), "--momentum", "0.5",
-             "--den-mode", mode, "--metrics", metrics,
-             "--seed", "0"] + (["--cpu"] if args.cpu else []),
+             "--metrics", metrics,
+             "--seed", "0"] + extra + (["--cpu"] if args.cpu else []),
             os.path.join(args.workdir, f"train_{mode}.log"))
         rows = [r for r in read_metrics(metrics) if "objf_per_frame" in r]
         result["runs"][mode] = {
@@ -136,7 +150,8 @@ output-layer name=output dim={args.pdfs} include-log-softmax=false
             print(f"| {i + 1} | {ex[i]:.5f} | {fa[i]:.5f} | "
                   f"{abs(ex[i] - fa[i]):.2e} |")
     print(json.dumps({
-        "metric": "den_fast_mode_ab",
+        "metric": {"den-mode": "den_fast_mode_ab",
+                   "bn-lowp": "bn_lowp_ab"}[args.ab],
         "final_objf_exact": ex[-1] if ex else None,
         "final_objf_fast": fa[-1] if fa else None,
         "final_objf_diff": result["final_objf_diff"],

@@ -54,6 +54,12 @@ def main():
                          "flagship-scale A/B measured trajectory "
                          "divergence of 0.08-0.13 objf/frame over 224 "
                          "steps; see docs/PERFORMANCE.md)")
+    ap.add_argument("--bn-lowp", action="store_true",
+                    help="batchnorm in bf16 with fp32-accumulated stats "
+                         "(no fp32 activation upcast) — EXPERIMENTAL: "
+                         "measured +16%% step throughput at flagship "
+                         "scale (81 vs 94 ms at B=128); vet with "
+                         "tools/abtest.py --ab bn-lowp before promoting")
     ap.add_argument("--frame-subsampling", type=int, default=3)
     ap.add_argument("--shuffle-buffer", type=int, default=1024)
     ap.add_argument("--prefetch", type=int, default=2,
@@ -102,6 +108,9 @@ def main():
     from kaldi_fp16_tpu.utils.metrics import MetricsLogger
     from kaldi_fp16_tpu.utils.profiling import StepTimer
 
+    if args.bn_lowp:
+        from kaldi_fp16_tpu.models.network import set_bn_lowp_stats
+        set_bn_lowp_stats(True)  # must precede tracing (read at trace time)
     model = build_model(args.xconfig)
     print(model.summary())
 
