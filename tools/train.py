@@ -56,10 +56,12 @@ def main():
                          "steps; see docs/PERFORMANCE.md)")
     ap.add_argument("--bn-lowp", action="store_true",
                     help="batchnorm in bf16 with fp32-accumulated stats "
-                         "(no fp32 activation upcast) — EXPERIMENTAL: "
-                         "measured +16%% step throughput at flagship "
-                         "scale (81 vs 94 ms at B=128); vet with "
-                         "tools/abtest.py --ab bn-lowp before promoting")
+                         "(no fp32 activation upcast) — REVOKED for "
+                         "production: +16%% step throughput at flagship "
+                         "B=128 (81 vs 94 ms) but the r3 flagship A/B "
+                         "measured 2.31 max objf/frame trajectory "
+                         "divergence over 112 steps; measurement hook "
+                         "only (see docs/PERFORMANCE.md)")
     ap.add_argument("--frame-subsampling", type=int, default=3)
     ap.add_argument("--shuffle-buffer", type=int, default=1024)
     ap.add_argument("--prefetch", type=int, default=2,
