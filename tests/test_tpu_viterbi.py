@@ -700,6 +700,36 @@ class TestTreeLayout:
             assert tres[b]["words"] == sres[b]["words"]
             assert tres[b]["alignment"] == sres[b]["alignment"]
 
+    def test_tree_row_state_and_slot_arc_invariants(self):
+        """The slot-order lattice mask relies on two layout invariants:
+        every arc occupies exactly ONE level-1 slot (the host permutes
+        slot bits to arc ids), and row_state[r] is the reduction-target
+        state of every valid slot in row r (the mask gathers alpha at
+        it once per row)."""
+        from kaldi_fp16_tpu.decode.tpu_viterbi import ArcGraph, TreeEllGraph
+        for seed in (0, 3):
+            a = ArcGraph.from_graph(
+                DecodingGraph.from_fst(random_eps_free_graph(seed=seed)))
+            for direction, key in (("in", a.dst), ("out", a.src)):
+                t = TreeEllGraph.from_arcs(a, direction, max_width=4)
+                slot_arc = np.concatenate([x.reshape(-1) for x in t.arc])
+                live = slot_arc[slot_arc < t.num_arcs]
+                # exactly one slot per arc
+                assert sorted(live.tolist()) == list(range(t.num_arcs))
+                # row_state buckets align with the arc tables and own
+                # every valid slot's reduction-target state
+                assert len(t.row_state) == len(t.arc)
+                for arc_b, rs_b in zip(t.arc, t.row_state):
+                    assert rs_b.shape == (arc_b.shape[0],)
+                    valid = arc_b < t.num_arcs
+                    rows, _ = np.nonzero(valid)
+                    assert np.array_equal(
+                        key[arc_b[valid]], rs_b[rows])
+                # every state owns >= 1 row
+                assert set(np.concatenate(
+                    [x for x in t.row_state]).tolist()) \
+                    == set(range(t.num_states))
+
     def test_lattice_tree_matches_segment(self):
         from kaldi_fp16_tpu.decode.tpu_viterbi import DeviceLatticeDecoder
         for seed in (0, 2):
