@@ -81,6 +81,26 @@ fi
 if [ "$STAGE" = all ] || [ "$STAGE" = bn ]; then
   run trainbench_base python tools/trainbench.py --batch 128
   run trainbench_bnlowp python tools/trainbench.py --batch 128 --bn-lowp
+  # r3b: the trajectory A/B that settles the promotion (REVOKED —
+  # max objf diff 2.31 over 112 flagship steps; PERFORMANCE.md)
+  run abtest_bnlowp python tools/abtest.py --ab bn-lowp \
+      --workdir /tmp/r3sweep/bnlowp --xconfig configs/cnn_tdnn.xconfig \
+      --pdfs 3080 --den-states 7052 --files 4 --per-file 512 \
+      --batch 128 --epochs 7 --frames-in 150 --frames-out 49 --lr 1e-4
+  cp /tmp/r3sweep/bnlowp/ab_result.json \
+     docs/evidence/ab_bn_lowp_r3_tpu.json || true
+fi
+
+# 8. r3b fused slot-order lattice masks at HCLG scale (B sweep; note the
+#    packed-mask D2H rides the tunnel — see PERFORMANCE.md decomposition)
+if [ "$STAGE" = all ] || [ "$STAGE" = lattice ]; then
+  for B in 8 64; do
+    run "lattice_tree_hclg_B$B" python tools/decodebench.py --hclg \
+        --states 100000 --pdfs 3080 --batch "$B" --frames 300 --iters 2 \
+        --lattice --layout tree --on-device-ll
+  done
+  run lattice_profile python tools/profile_lattice.py \
+      --states 100000 --pdfs 3080 --batch 8 --frames 16
 fi
 
 echo "sweep complete; logs in /tmp/r3sweep"
