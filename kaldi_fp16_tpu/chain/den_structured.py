@@ -40,10 +40,68 @@ locality-free random test graphs, which keeps the generic path covered).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
 import numpy as np
+
+
+def _split3_cols(v):
+    """Exact 3-term bf16 decomposition along columns: [F, n] f32 -> [F, 3n].
+
+    fp32's 24 mantissa bits decompose exactly into three bf16 terms
+    (8 bits each): v == v0 + v1 + v2 up to ~2^-25 relative leftover from
+    round-to-nearest.  Contrast with the 2-term hi/lo split measured in
+    round 2 (denominator.py `_reduce` docstring): its ~2^-17/step
+    REPRESENTATION error compounded through the 49-step recursion to
+    ~7e-4 posterior drift — outside the exact class.  Three terms have no
+    representation error to compound.
+    """
+    import jax.numpy as jnp
+    v0 = v.astype(jnp.bfloat16)
+    r = v - v0.astype(jnp.float32)
+    v1 = r.astype(jnp.bfloat16)
+    v2 = (r - v1.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.concatenate([v0, v1, v2], axis=1)
+
+
+def _split3_rows(M):
+    """Exact 3-term bf16 decomposition stacked along rows: [F,F] -> [3F,F]."""
+    import jax.numpy as jnp
+    M = jnp.asarray(M, jnp.float32)
+    M0 = M.astype(jnp.bfloat16)
+    R = M - M0.astype(jnp.float32)
+    M1 = R.astype(jnp.bfloat16)
+    M2 = (R - M1.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.concatenate([M0, M1, M2], axis=0)
+
+
+def _matmul_split3(M3, v):
+    """Exact-class [F,F] @ [F,n] as ONE default-precision bf16 matmul.
+
+    Why: XLA's Precision.HIGH (bf16x3) lowering re-reads the fp32 matrix
+    per pass — at F=3526 that is ~150 MB of HBM traffic per frame for a
+    50 MB matrix, and the den scan pays it T times in each direction
+    (docs/PERFORMANCE.md "the structured den's next lever").  Stacking the
+    3-term row split of M ([3F, F] bf16, 75 MB) against the 3-term column
+    split of v ([F, 3n]) computes all nine cross products in a single MXU
+    pass that reads M3 exactly once; their fp32-accumulated sum equals the
+    exact product (the decompositions are exact), i.e. slightly MORE
+    accurate than HIGH, at half the matrix bytes.  FLOPs are 9x a plain
+    bf16 matmul but this op is memory-bound by >30x, so they are free.
+    """
+    import jax
+    import jax.numpy as jnp
+    F = M3.shape[1]
+    vshape = v.shape
+    v2d = v.reshape(F, -1)
+    n = v2d.shape[1]
+    V3 = _split3_cols(v2d)                                   # [F, 3n]
+    out = jnp.matmul(M3, V3, precision=jax.lax.Precision.DEFAULT,
+                     preferred_element_type=jnp.float32)     # [3F, 3n]
+    out = out.reshape(3, F, 3, n).sum(axis=(0, 2))
+    return out.reshape((F,) + vshape[1:])
 
 
 @dataclass
@@ -264,7 +322,7 @@ class StructuredKernels:
     """
 
     def __init__(self, layout: ChainLayout, leaky: float, mode: str,
-                 hoist_bytes: int = 1 << 30):
+                 hoist_bytes: int = 1 << 30, matmul_impl: str = "auto"):
         import jax.numpy as jnp
         self.lay = layout
         self.leaky = leaky
@@ -278,6 +336,30 @@ class StructuredKernels:
         # class (~3e-6 rel); DEFAULT = single-pass bf16 for 'fast'
         self._precision = (jax.lax.Precision.HIGH if mode == "exact"
                            else jax.lax.Precision.DEFAULT)
+        # exact-mode [F, F] matmul lowering (measured on TPU v5e at
+        # F=3526, N=128 — docs/PERFORMANCE.md round 4):
+        #   'high'   XLA Precision.HIGH: 3 bf16 passes re-reading the fp32
+        #            matrix each time (~150 MB HBM per application).
+        #   'split3' ONE stacked [3F,F]@[F,3n] bf16 matmul (single M read,
+        #            all 9 cross products): measured SLOWER — 9x FLOPs
+        #            turn the op compute-bound (60.4 vs 38.4 ms den).
+        #   'pallas' single fp32 M read + in-register bf16 split + the 6
+        #            needed cross-product dots from VMEM
+        #            (ops/pallas_den_matmul.py); in-scan applications
+        #            only, the bulk posterior matmul keeps 'high' (its M
+        #            read amortizes over the chunk's Tc frames).
+        if matmul_impl == "auto":
+            matmul_impl = os.environ.get("KALDI_TPU_DEN_MATMUL", "high")
+        assert matmul_impl in ("split3", "high", "pallas")
+        self.matmul_impl = matmul_impl if mode == "exact" else "fast"
+        self._M3 = self._MT3 = None
+        self._Mpallas = None
+        if self.matmul_impl == "split3":
+            self._M3 = _split3_rows(layout.M)                # [3F, F] bf16
+            self._MT3 = _split3_rows(layout.M.T)             # [3F, F] bf16
+        elif self.matmul_impl == "pallas":
+            from kaldi_fp16_tpu.ops.pallas_den_matmul import PallasDenMatmul
+            self._Mpallas = PallasDenMatmul(layout.M, terms=6)
         self.self_pdf = jnp.asarray(layout.self_pdf.reshape(-1))    # [L*F]
         self.self_coef = jnp.asarray(layout.self_coef)              # [L, F]
         self.has_fwd = L > 1 and float(np.abs(layout.fwd_coef).sum()) > 0
@@ -353,6 +435,20 @@ class StructuredKernels:
                        precision=self._precision,
                        preferred_element_type=jnp.float32)
         return r.reshape((M.shape[0],) + vshape[1:])
+
+    def _apply_M(self, v, transpose: bool):
+        """M @ v (or M.T if transpose) via the configured exact lowering."""
+        if self._M3 is not None:
+            return _matmul_split3(self._MT3 if transpose else self._M3, v)
+        n = int(np.prod(v.shape[1:]))
+        if self._Mpallas is not None and n <= 128:
+            # in-scan case (n == batch <= 128): the single-read kernel.
+            # Wider vectors fall through: the bulk-posterior call
+            # amortizes its M read over Tc frames already, and the
+            # kernel's VMEM scratch (3 bf16 v-splits + the fp32 v) only
+            # fits comfortably at n <= 128.
+            return self._Mpallas.apply(v, transpose)
+        return self._matmul(self.M.T if transpose else self.M, v)
 
     # ---- emissions ---------------------------------------------------------
 
@@ -433,7 +529,7 @@ class StructuredKernels:
             if self.has_fwd:
                 nxt = nxt.at[1:].add(adash[:-1] * xs_fwd)     # chain arcs
             e = self._ends(adash)                             # [F, N]
-            f = self._matmul(self.M.T, e)                     # [F, N]
+            f = self._apply_M(e, transpose=True)              # [F, N]
             nxt = nxt.at[0].add(f * xs_res)                   # residual
             return nxt
 
@@ -482,7 +578,8 @@ class StructuredKernels:
             bd = beta_next * xs_self
             if self.has_fwd:
                 bd = bd.at[:-1].add(beta_next[1:] * xs_fwd)
-            h = self._matmul(self.M, xs_res * beta_next[0])   # [F, N] to ends
+            h = self._apply_M(xs_res * beta_next[0],
+                              transpose=False)                # [F, N] to ends
             bd = self._scatter_ends(h, bd)
             bd = bd * inv[None, None, :]
             return leakify(bd), beta_next
@@ -497,6 +594,11 @@ class StructuredKernels:
         bytes_per_frame = self.n_slots * N * 4 * 4
         Tc = int(min(T, max(1, self.hoist_bytes // max(1, bytes_per_frame))))
         nc = -(-T // Tc)
+        # balance the chunks: ceil(T/nc) instead of the budget cap, so the
+        # last chunk is not mostly padding (T=49, budget Tc=35 -> chunks of
+        # [35, 14+21pad]: 30% of the bulk-pass work was padding; balanced
+        # Tc=25 pads a single frame)
+        Tc = -(-T // nc)
         Tpad = nc * Tc
 
         def padT(a):
@@ -511,28 +613,28 @@ class StructuredKernels:
 
         def chunk_posts(args):
             ad, be, xf, iv = args                 # [Tc,L,F,N] ... [Tc,N]
-            # slot values, [slots, Tc, N]
+            # slot values, [slots, Tc, N].  The emission x[t][pdf] factors
+            # per SLOT PDF — exactly the reduce key — so it multiplies
+            # AFTER the per-pdf reduce (one [P, Tc, N] elementwise op)
+            # instead of riding every slot as a gathered [slots, Tc, N]
+            # operand: three x-gathers and ~0.5 GB of traffic gone
+            # (round 4; same trick the blocked path landed in round 2).
             x_pt = jnp.transpose(xf, (1, 0, 2))   # [P, Tc, N]
             ad_s = jnp.transpose(ad, (1, 2, 0, 3))  # [L, F, Tc, N]
             be_s = jnp.transpose(be, (1, 2, 0, 3))
-            xs_self = (jnp.take(x_pt, self.self_pdf, axis=0)
-                       .reshape(L, F, Tc, N) * self.self_coef[:, :, None, None])
-            vals = [(ad_s * be_s * xs_self).reshape(L * F, Tc, N)]
+            vals = [(ad_s * be_s * self.self_coef[:, :, None, None])
+                    .reshape(L * F, Tc, N)]
             if self.has_fwd:
-                xs_fwd = (jnp.take(x_pt, self.fwd_pdf, axis=0)
-                          .reshape(L - 1, F, Tc, N)
-                          * self.fwd_coef[:, :, None, None])
-                vals.append((ad_s[:-1] * be_s[1:] * xs_fwd)
+                vals.append((ad_s[:-1] * be_s[1:]
+                             * self.fwd_coef[:, :, None, None])
                             .reshape((L - 1) * F, Tc, N))
-            # residual: f[v] = (M^T @ adash_ends), x/beta factors per dst
+            # residual: f[v] = (M^T @ adash_ends), beta factor per dst
             e = jnp.concatenate(
                 [ad_s[l - 1, lo:hi] for (l, lo, hi) in self.groups], 0
             ) if len(self.groups) > 1 else ad_s[self.groups[0][0] - 1]
-            fmat = self._matmul(self.M.T, e.reshape(F, Tc * N))
+            fmat = self._apply_M(e.reshape(F, Tc * N), transpose=True)
             fmat = fmat.reshape(F, Tc, N)
-            xs_res = (jnp.take(x_pt, self.res_pdf, axis=0)
-                      * self.res_mask[:, None, None])
-            vals.append(fmat * be_s[0] * xs_res)
+            vals.append(fmat * be_s[0] * self.res_mask[:, None, None])
             v = jnp.concatenate(vals, 0)                     # [slots, Tc, N]
             # blocked one-hot pdf reduce (padded slot order)
             vp = (jnp.take(v.reshape(self.n_slots, Tc * N),
@@ -543,7 +645,7 @@ class StructuredKernels:
                              precision=self._precision,
                              preferred_element_type=jnp.float32)
             red = red.reshape(self._Pp, Tc, N)[:P]
-            return red * iv[None, :, :]
+            return red * x_pt * iv[None, :, :]
 
         posts = jax.lax.map(chunk_posts, (ad_c, be_c, x_c, inv_c))
         posteriors = jnp.transpose(posts, (3, 0, 2, 1)).reshape(N, Tpad, P)

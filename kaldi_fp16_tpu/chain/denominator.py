@@ -125,7 +125,8 @@ class DenominatorComputation:
 
     def __init__(self, graph: DenominatorGraph, leaky: float = 1e-5,
                  mode: str = "exact", hoist_bytes: int = 1 << 30,
-                 posterior_reduce: str = "einsum", layout: str = "auto"):
+                 posterior_reduce: str = "einsum", layout: str = "auto",
+                 matmul_impl: str = "auto"):
         assert mode in ("exact", "fast")
         assert posterior_reduce in ("einsum", "pallas")
         assert layout in ("auto", "structured", "blocked")
@@ -161,7 +162,7 @@ class DenominatorComputation:
             lay = analyze_chain_structure(graph)
             if lay is not None:
                 self._structured = StructuredKernels(
-                    lay, leaky, mode, hoist_bytes)
+                    lay, leaky, mode, hoist_bytes, matmul_impl=matmul_impl)
             elif layout == "structured":
                 raise ValueError(
                     "layout='structured' requested but the graph does not "
@@ -321,6 +322,10 @@ class DenominatorComputation:
         bytes_per_frame = pdfo.padded * N * 4 * 4
         Tc = int(min(T, max(1, self.hoist_bytes // max(1, bytes_per_frame))))
         nc = -(-T // Tc)
+        # balance chunks (see den_structured.py): a budget-capped Tc makes
+        # the last chunk mostly padding; ceil(T/nc) keeps the same chunk
+        # count with near-zero padded frames
+        Tc = -(-T // nc)
         Tpad = nc * Tc
 
         def padT(a):

@@ -250,6 +250,36 @@ class TestStructuredLayout:
         np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
                                    rtol=1e-6)
 
+    def test_split3_matmul_matches_high(self):
+        """Round-4 exact-mode lowering: the single-read stacked 3-term
+        bf16 split of the dense residual matmul (_matmul_split3) must
+        stay in the exact accuracy class — vs the Precision.HIGH lowering
+        AND vs the fp64 oracle.  (The 2-term split was measured OUTSIDE
+        the class in round 2: ~2^-17/step compounding to ~7e-4 drift;
+        three terms decompose fp32 exactly, so there is nothing to
+        compound.)"""
+        from kaldi_fp16_tpu.chain.graph import make_phone_lm_den_fst
+        g = DenominatorGraph.from_fst(
+            make_phone_lm_den_fst(48, 13, 2, 5, seed=11), 48)
+        rng = np.random.default_rng(4)
+        nnet = rng.normal(size=(3, 9, 48)).astype(np.float32)
+        dh = DenominatorComputation(g, leaky=1e-4, matmul_impl="high")
+        ds = DenominatorComputation(g, leaky=1e-4, matmul_impl="split3")
+        assert dh._structured.matmul_impl == "high"
+        assert ds._structured.matmul_impl == "split3"
+        lh, ph = dh.forward_backward(jnp.asarray(nnet))
+        ls, ps = ds.forward_backward(jnp.asarray(nnet))
+        np.testing.assert_allclose(np.asarray(lh), np.asarray(ls),
+                                   rtol=2e-6, atol=2e-6)
+        np.testing.assert_allclose(np.asarray(ph), np.asarray(ps),
+                                   rtol=2e-4, atol=2e-6)
+        for n in range(3):
+            lr, pr = denominator_forward_backward_ref(g, nnet[n],
+                                                      leaky=1e-4)
+            assert abs(float(ls[n]) - lr) < 5e-5
+            np.testing.assert_allclose(np.asarray(ps[n]), pr,
+                                       rtol=1e-3, atol=5e-5)
+
     def test_fast_mode_structured_close(self):
         from kaldi_fp16_tpu.chain.graph import make_phone_lm_den_fst
         g = DenominatorGraph.from_fst(

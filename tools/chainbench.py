@@ -37,6 +37,11 @@ def main():
                     choices=["random", "phone-lm"],
                     help="random = locality-free worst case; phone-lm = "
                          "realistic den.fst structure")
+    ap.add_argument("--matmul-impl", default="auto",
+                    choices=["auto", "split3", "high", "pallas"],
+                    help="structured-den exact-mode dense matmul lowering "
+                         "(split3 = single-read stacked bf16 3-term split; "
+                         "high = XLA Precision.HIGH multi-read)")
     ap.add_argument("--layout", default="auto",
                     choices=["auto", "structured", "blocked"],
                     help="denominator kernel layout: auto routes phone-lm "
@@ -79,7 +84,8 @@ def main():
             initial=(lambda v: v / v.sum())(
                 rng.uniform(0, 1, S).astype(np.float32)),
             num_states=S, num_pdfs=P, start_state=0)
-    den = DenominatorComputation(graph, leaky=1e-5, layout=args.layout)
+    den = DenominatorComputation(graph, leaky=1e-5, layout=args.layout,
+                                 matmul_impl=args.matmul_impl)
 
     # synthetic numerator batch: a linear chain of EXACTLY T arcs (each
     # chain arc consumes one frame, so any other length leaves the only
