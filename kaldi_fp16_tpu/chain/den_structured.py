@@ -135,6 +135,43 @@ class ChainLayout:
         return self.L * self.F
 
 
+def pad_chains(lay: "ChainLayout", multiple: int = 128) -> "ChainLayout":
+    """Pad the chain axis F to a multiple with inert fake chains (zero
+    coefs/init/mask, real=False, zero M rows+cols).  All kernels remain
+    semantically identical (the fake slots carry exact zeros end to end);
+    required by the fused Pallas scans, harmless (~2-3% waste) for the
+    XLA path.  Only valid for single-group layouts (every chain the same
+    length), which is what the fused path supports."""
+    assert len(lay.groups) == 1
+    F, L = lay.F, lay.L
+    Fp = -(-F // multiple) * multiple
+    if Fp == F:
+        return lay
+    pad = Fp - F
+
+    def padF(a, axis):
+        widths = [(0, 0)] * a.ndim
+        widths[axis] = (0, pad)
+        return np.pad(a, widths)
+
+    return ChainLayout(
+        F=Fp, L=L, num_states=lay.num_states, num_pdfs=lay.num_pdfs,
+        pos_of_state=lay.pos_of_state, chain_of_state=lay.chain_of_state,
+        state_of_slot=np.pad(lay.state_of_slot, ((0, 0), (0, pad)),
+                             constant_values=-1),
+        self_pdf=padF(lay.self_pdf, 1),
+        self_coef=padF(lay.self_coef, 1),
+        fwd_pdf=padF(lay.fwd_pdf, 1),
+        fwd_coef=padF(lay.fwd_coef, 1),
+        M=np.pad(lay.M, ((0, pad), (0, pad))),
+        res_pdf=padF(lay.res_pdf, 0),
+        res_mask=padF(lay.res_mask, 0),
+        groups=[(L, 0, Fp)],
+        init=padF(lay.init, 1),
+        real=padF(lay.real, 1),
+    )
+
+
 def analyze_chain_structure(graph, max_len: int = 8,
                             max_dense_states: int = 4096
                             ) -> Optional[ChainLayout]:
@@ -322,8 +359,21 @@ class StructuredKernels:
     """
 
     def __init__(self, layout: ChainLayout, leaky: float, mode: str,
-                 hoist_bytes: int = 1 << 30, matmul_impl: str = "auto"):
+                 hoist_bytes: int = 1 << 30, matmul_impl: str = "auto",
+                 scan_impl: str = "auto"):
         import jax.numpy as jnp
+        # fused Pallas scans (ops/pallas_den_scan.py) need the chain axis
+        # padded to the row-tile width; the XLA path is unaffected by the
+        # inert fake chains, so pad once here when the layout qualifies
+        if scan_impl == "auto":
+            scan_impl = os.environ.get("KALDI_TPU_DEN_SCAN", "auto")
+        assert scan_impl in ("auto", "fused", "xla")
+        self.scan_impl = scan_impl
+        self._fused_ready = False
+        if scan_impl == "fused" and len(layout.groups) == 1 \
+                and layout.L >= 2:
+            layout = pad_chains(layout)
+            self._fused_ready = True
         self.lay = layout
         self.leaky = leaky
         self.mode = mode
@@ -411,6 +461,13 @@ class StructuredKernels:
         self._post_NB, self._post_J, self._post_Ap = NB, J, Ap
         self._Pp = NB * SB
         del oh_dtype
+
+        if self._fused_ready:
+            from kaldi_fp16_tpu.ops.pallas_den_scan import split3_matrix
+            self._M_split = split3_matrix(layout.M)
+            self._MT_split = split3_matrix(layout.M.T.copy())
+            self._real_f32 = jnp.asarray(layout.real.astype(np.float32))
+            self._init_sum = float(layout.init.sum())
 
     # ---- static slice helpers (chains grouped by length) -------------------
 
@@ -504,6 +561,10 @@ class StructuredKernels:
 
         # hoist budget: 2 passes of (2L+1)*F*N fp32 per frame
         hoist = T * (2 * L + 1) * F * N * 4 * 2 <= self.hoist_bytes
+
+        if self._use_fused(N, hoist):
+            return self._forward_backward_fused(x_tpn, N, T, compute_grad)
+
         per_frame, hoisted = self._emissions(x_tpn, hoist)
 
         def frame_inputs():
@@ -588,8 +649,65 @@ class StructuredKernels:
                                     (frame_inputs(), asum_hist),
                                     reverse=True)
 
-        # ---- bulk posteriors ---------------------------------------------
-        # per-slot values (x included), reduced into pdf bins per chunk
+        posteriors = self._bulk_posteriors(adash_hist, asum_hist,
+                                           beta_hist, x_tpn, N, T, P)
+        return log_prob, posteriors
+
+    # ---- fused Pallas scans (ops/pallas_den_scan.py) -----------------------
+
+    def _use_fused(self, N: int, hoist: bool) -> bool:
+        if not (self._fused_ready and hoist and self.has_fwd
+                and N % 128 == 0 and self.lay.F % 128 == 0):
+            return False
+        # opt-in ONLY.  Measured on the TPU at production scale
+        # (2026-08-19, docs/PERFORMANCE.md round 4): fused fwd 10.64 ms
+        # vs XLA 10.75 (a wash — XLA's scan lowering is already near the
+        # floor), fused fwd+bwd 33.3 vs 26.8 (the beta kernel LOSES).
+        # Kept as the measured, parity-tested base for future re-audits;
+        # 'auto' resolves to the XLA scans.  Note for real multi-chip
+        # meshes: the data-parallel layer partitions with GSPMD
+        # jit-with-shardings, which cannot partition a pallas_call traced
+        # at global batch shapes — only shard_map-style setups where each
+        # shard sees a lane-multiple batch should set
+        # KALDI_TPU_DEN_SCAN=fused.
+        return self.scan_impl == "fused"
+
+    def _forward_backward_fused(self, x_tpn, N, T, compute_grad):
+        import jax.numpy as jnp
+        from kaldi_fp16_tpu.ops.pallas_den_scan import (
+            fused_backward, fused_forward,
+        )
+        lay = self.lay
+        L, F, P = lay.L, lay.F, lay.num_pdfs
+        leaky = float(self.leaky)
+        terms = 6 if self.mode == "exact" else 1
+        _, hoisted = self._emissions(x_tpn, True)
+        xs_self, xs_fwd, xs_res = hoisted
+        adash_hist, stats, a_fin = fused_forward(
+            self._MT_split, xs_self, xs_fwd, xs_res, self.init,
+            L=L, T=T, leaky=leaky, terms=terms)
+        asum_hist = stats[:, 0]                            # [T, N]
+        logcs = stats[:, 1]
+        total_prob = a_fin[0] * (1.0 + leaky * self._init_sum)
+        log_prob = jnp.log(total_prob) + logcs.sum(axis=0)
+        if not compute_grad:
+            return log_prob, None
+        total8 = jnp.zeros((8, N), jnp.float32).at[0].set(total_prob)
+        beta_hist = fused_backward(
+            self._M_split, xs_self, xs_fwd, xs_res, stats, self.init,
+            self._real_f32, total8, L=L, T=T, leaky=leaky, terms=terms)
+        posteriors = self._bulk_posteriors(adash_hist, asum_hist,
+                                           beta_hist, x_tpn, N, T, P)
+        return log_prob, posteriors
+
+    # ---- bulk posteriors ----------------------------------------------------
+
+    def _bulk_posteriors(self, adash_hist, asum_hist, beta_hist, x_tpn,
+                         N, T, P):
+        # per-slot values, reduced into pdf bins per chunk
+        import jax
+        import jax.numpy as jnp
+        L, F = self.lay.L, self.lay.F
         inv_hist = jnp.where(asum_hist > 0, 1.0 / asum_hist, 0.0)  # [T, N]
         bytes_per_frame = self.n_slots * N * 4 * 4
         Tc = int(min(T, max(1, self.hoist_bytes // max(1, bytes_per_frame))))
@@ -649,4 +767,4 @@ class StructuredKernels:
 
         posts = jax.lax.map(chunk_posts, (ad_c, be_c, x_c, inv_c))
         posteriors = jnp.transpose(posts, (3, 0, 2, 1)).reshape(N, Tpad, P)
-        return log_prob, posteriors[:, :T]
+        return posteriors[:, :T]

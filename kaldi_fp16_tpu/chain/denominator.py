@@ -126,7 +126,7 @@ class DenominatorComputation:
     def __init__(self, graph: DenominatorGraph, leaky: float = 1e-5,
                  mode: str = "exact", hoist_bytes: int = 1 << 30,
                  posterior_reduce: str = "einsum", layout: str = "auto",
-                 matmul_impl: str = "auto"):
+                 matmul_impl: str = "auto", scan_impl: str = "auto"):
         assert mode in ("exact", "fast")
         assert posterior_reduce in ("einsum", "pallas")
         assert layout in ("auto", "structured", "blocked")
@@ -162,7 +162,8 @@ class DenominatorComputation:
             lay = analyze_chain_structure(graph)
             if lay is not None:
                 self._structured = StructuredKernels(
-                    lay, leaky, mode, hoist_bytes, matmul_impl=matmul_impl)
+                    lay, leaky, mode, hoist_bytes, matmul_impl=matmul_impl,
+                    scan_impl=scan_impl)
             elif layout == "structured":
                 raise ValueError(
                     "layout='structured' requested but the graph does not "

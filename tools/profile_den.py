@@ -40,7 +40,10 @@ def main():
     ap.add_argument("--frames", type=int, default=49)
     ap.add_argument("--pdfs", type=int, default=3080)
     ap.add_argument("--iters", type=int, default=10)
-    ap.add_argument("--impls", default="high,split3,pallas")
+    ap.add_argument("--impls", default="high,fused",
+                    help="comma list: high | split3 | pallas (matmul "
+                         "lowerings, XLA scan) | fused (Pallas scan "
+                         "kernels)")
     args = ap.parse_args()
 
     import jax
@@ -60,7 +63,13 @@ def main():
     report = {"config": {"B": N, "T": T, "P": P,
                          "S": graph.num_states, "A": graph.num_transitions}}
     for impl in args.impls.split(","):
-        den = DenominatorComputation(graph, leaky=1e-5, matmul_impl=impl)
+        if impl == "fused":
+            den = DenominatorComputation(graph, leaky=1e-5,
+                                         scan_impl="fused")
+        else:
+            den = DenominatorComputation(graph, leaky=1e-5,
+                                         matmul_impl=impl,
+                                         scan_impl="xla")
         sk = den._structured
         assert sk is not None
         F = sk.lay.F
