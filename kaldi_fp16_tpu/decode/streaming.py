@@ -1,0 +1,298 @@
+"""Streaming (online) inference: chunked acoustic forward + incremental
+Viterbi with bounded latency.
+
+The reference has no serving/online path at all (SURVEY §6: no decoder;
+training egs arrive pre-chunked with context baked in).  This module is
+the TPU-native equivalent of Kaldi's online2 nnet3 pipeline, built for
+static shapes and one-compile steady state:
+
+* **StreamingEncoder** — the acoustic model consumes fixed-size input
+  chunks (`subsample * chunk_out` frames) and emits `chunk_out`
+  posterior frames per step once warm.  Each step runs the network on a
+  fixed window of `left_ctx + chunk_in + right_ctx` frames (one XLA
+  compile, reused for the whole stream) and keeps the central outputs.
+  The edge convention matches Kaldi online2: the stream is padded with
+  replicated first/last frames, so streaming output equals the OFFLINE
+  forward of that edge-padded utterance exactly — and is chunk-size
+  invariant (the serving-critical property; tests/test_streaming.py
+  pins both).  The window context comes from `Model.time_context()`, a
+  per-layer receptive-field sum (an over-estimate costs overlap
+  compute, never correctness).  Inherent algorithmic latency =
+  right_ctx input frames, rounded up to whole chunks.
+
+* **StreamingDecoder** — incremental Viterbi over an epsilon-free
+  DecodingGraph: the [S, B] score front carries across chunks through
+  the SAME frame recursion as the offline SparseViterbiDecoder
+  (tpu_viterbi._make_arc_step), so `finalize()` reproduces
+  `decode_batch()` on the concatenated log-likes EXACTLY (words,
+  alignment, costs, tie-breaks).  Per-chunk backpointer tables
+  ([C, S, B] int32) stay DEVICE-resident and tracebacks run on device
+  chunk by chunk, so only [C, B] int32 ever crosses to the host — on a
+  tunneled backend the first (host-side-bps) cut paid ~60 ms/feed of
+  D2H for a 1.2 MB table at 20 MB/s; this shape pays none.  `partial()`
+  gives the current best hypothesis without final weights at any
+  point.  Device memory grows T*S*B*4 bytes per stream (196 MB for a
+  2-minute utterance at S=2048, B=8); HCLG-scale streams should use
+  windowed commits — documented future work, docs/SERVING.md.
+
+* **StreamingPipeline** — features in, hypotheses out; hides the
+  encoder warmup lag from the decoder.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kaldi_fp16_tpu.decode.tpu_viterbi import (
+    NEG_INF, ArcGraph, _arc_viterbi_chunk,
+)
+
+
+# ---------------------------------------------------------------------------
+# acoustic encoder
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class EncoderState:
+    buf: Optional[jnp.ndarray]      # [B, Wbuf, D] rolling padded window
+    ivectors: Optional[jnp.ndarray]
+    fed: int                        # chunks fed
+    emitted: int                    # chunks emitted
+
+
+class StreamingEncoder:
+    """Chunked acoustic-model forward with context carry (see module
+    docstring).  Stateless apply over an explicit EncoderState."""
+
+    def __init__(self, model, params, state, chunk_out: int = 16,
+                 subsample: int = 3, context=None,
+                 compute_dtype=jnp.bfloat16, output: Optional[str] = None):
+        from kaldi_fp16_tpu.models.network import forward
+        self.model = model
+        self.chunk_out = int(chunk_out)
+        self.subsample = int(subsample)
+        self.cin = self.subsample * self.chunk_out
+        ctx_l, ctx_r = context if context is not None \
+            else model.time_context()
+        self.ctx_l, self.ctx_r = int(ctx_l), int(ctx_r)
+        self.W = self.ctx_l + self.cin + self.ctx_r
+        self.lag = -(-self.ctx_r // self.cin)            # chunks of latency
+        self.Wbuf = self.ctx_l + (self.lag + 1) * self.cin
+        out_name = output or model.chain_output().name
+
+        def _fwd(p, s, window, iv):
+            outs, _ = forward(model, p, s, window, iv, train=False,
+                              compute_dtype=compute_dtype)
+            y = outs[out_name]                           # [B, W, P]
+            lo = self.ctx_l
+            hi = lo + (self.chunk_out - 1) * self.subsample + 1
+            return y[:, lo:hi:self.subsample]            # [B, C, P]
+
+        self._fwd = jax.jit(lambda window, iv: _fwd(params, state,
+                                                    window, iv))
+        self._shift = jax.jit(
+            lambda buf, x: jnp.concatenate([buf[:, x.shape[1]:], x], 1))
+
+    def init(self, ivectors=None) -> EncoderState:
+        return EncoderState(buf=None, ivectors=ivectors, fed=0, emitted=0)
+
+    def feed(self, st: EncoderState, x) -> tuple:
+        """x [B, chunk_in, D] -> (state', posteriors [B, k*chunk_out, P])
+        with k == 0 during warmup (the first `lag` feeds) and 1 after."""
+        x = jnp.asarray(x)
+        assert x.shape[1] == self.cin, \
+            f"fixed chunk size {self.cin} required, got {x.shape[1]}"
+        if st.buf is None:
+            pad = jnp.repeat(x[:, :1], self.Wbuf - self.cin, axis=1)
+            buf = jnp.concatenate([pad, x], axis=1)
+        else:
+            buf = self._shift(st.buf, x)
+        fed = st.fed + 1
+        if fed <= self.lag:                              # warming up
+            return replace(st, buf=buf, fed=fed), \
+                jnp.zeros((x.shape[0], 0, 1), jnp.float32)
+        posts = self._fwd(buf[:, :self.W], st.ivectors)
+        return (replace(st, buf=buf, fed=fed, emitted=st.emitted + 1),
+                posts)
+
+    def flush(self, st: EncoderState) -> tuple:
+        """Emit the pending `lag` chunks by feeding last-frame padding."""
+        if st.buf is None:
+            return st, jnp.zeros((0, 0, 1), jnp.float32)
+        outs = []
+        for _ in range(self.lag):
+            st, p = self.feed(st, jnp.repeat(st.buf[:, -1:], self.cin,
+                                             axis=1))
+            if p.shape[1]:
+                outs.append(p)
+        cat = (jnp.concatenate(outs, axis=1) if outs
+               else jnp.zeros((st.buf.shape[0], 0, 1), jnp.float32))
+        return st, cat
+
+    def offline_reference(self, params, state, x_full, ivectors=None,
+                          compute_dtype=jnp.bfloat16,
+                          output: Optional[str] = None):
+        """The contract oracle: offline forward of the edge-padded
+        utterance, outputs at stride `subsample` from offset ctx_l.
+        x_full [B, T, D] with T a multiple of chunk_in."""
+        from kaldi_fp16_tpu.models.network import forward
+        out_name = output or self.model.chain_output().name
+        pad_l = jnp.repeat(x_full[:, :1], self.ctx_l, axis=1)
+        pad_r = jnp.repeat(x_full[:, -1:], self.lag * self.cin, axis=1)
+        padded = jnp.concatenate([pad_l, x_full, pad_r], axis=1)
+        outs, _ = forward(self.model, params, state, padded, ivectors,
+                          train=False, compute_dtype=compute_dtype)
+        y = outs[out_name]
+        n_out = x_full.shape[1] // self.subsample
+        lo = self.ctx_l
+        hi = lo + (n_out - 1) * self.subsample + 1
+        return y[:, lo:hi:self.subsample]
+
+
+# ---------------------------------------------------------------------------
+# incremental Viterbi
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class DecoderState:
+    score: jnp.ndarray              # [S, B]
+    bps: tuple                      # DEVICE int32 [C, S, B] per chunk
+    frames: int
+
+
+class StreamingDecoder:
+    """Incremental exact Viterbi (see module docstring)."""
+
+    def __init__(self, graph, acoustic_scale: float = 1.0):
+        self.arcs = ArcGraph.from_graph(graph)
+        a = self.arcs
+        self._dev = tuple(jnp.asarray(v) for v in
+                          (a.src, a.dst, a.pdf, a.weight))
+        self._final = np.asarray(a.final)
+        self._scale = jnp.float32(acoustic_scale)
+
+        src = self._dev[0]
+        A = len(a.src)
+
+        @jax.jit
+        def tb_chunk(bps, state):
+            """One chunk of device traceback: bps [C, S, B], state [B]
+            -> (state', arcs [C, B]).  Same walk as _arc_viterbi's
+            reverse scan, so tie-breaks match the offline decoder."""
+            def back(st, bp_t):
+                arc = jnp.take_along_axis(bp_t, st[None, :], axis=0)[0]
+                safe = jnp.clip(arc, 0, A - 1)
+                prev = jnp.where(arc < A, jnp.take(src, safe), st)
+                return prev, arc
+            return jax.lax.scan(back, state, bps, reverse=True)
+
+        self._tb_chunk = tb_chunk
+
+    def init(self, batch: int) -> DecoderState:
+        S = self.arcs.num_states
+        score = jnp.full((S, batch), NEG_INF, jnp.float32)
+        score = score.at[self.arcs.start, :].set(0.0)
+        return DecoderState(score=score, bps=(), frames=0)
+
+    def feed(self, st: DecoderState, loglikes) -> DecoderState:
+        """loglikes [B, C, P]; C may vary per call (one compile per
+        distinct C)."""
+        ll = jnp.asarray(loglikes, jnp.float32)
+        src, dst, pdf, weight = self._dev
+        score, bps = _arc_viterbi_chunk(src, dst, pdf, weight, st.score,
+                                        ll, self._scale,
+                                        num_states=self.arcs.num_states)
+        return DecoderState(score=score,
+                            bps=st.bps + (bps,),
+                            frames=st.frames + ll.shape[1])
+
+    # -- device traceback (chunk-wise; only [C, B] ints reach the host) -------
+
+    def _traceback(self, st: DecoderState, last: np.ndarray) -> np.ndarray:
+        state = jnp.asarray(last)
+        out = []
+        for bps in reversed(st.bps):
+            state, arcs = self._tb_chunk(bps, state)
+            out.append(np.asarray(arcs))
+        return (np.concatenate(out[::-1], axis=0) if out
+                else np.zeros((0, len(last)), np.int32))
+
+    def _results(self, best, arcs_taken) -> List[dict]:
+        # identical post-processing to SparseViterbiDecoder.decode_batch
+        A = len(self.arcs.src)
+        B = best.shape[0]
+        oks = (best > NEG_INF / 2) & (arcs_taken < A).all(axis=0)
+        safe = np.minimum(arcs_taken, A - 1)
+        il = self.arcs.ilabel[safe]
+        ol = self.arcs.olabel[safe]
+        results = []
+        for b in range(B):
+            ok = bool(oks[b])
+            words = ol[:, b][ol[:, b] > 0].tolist() if ok else []
+            results.append({"words": words,
+                            "alignment": il[:, b].tolist() if ok else [],
+                            "total_cost": -float(best[b]),
+                            "final_reached": ok})
+        return results
+
+    def partial(self, st: DecoderState) -> List[dict]:
+        """Best hypothesis so far, ignoring final weights (results carry
+        final_reached=False semantics of an unfinished stream)."""
+        if st.frames == 0:
+            return []
+        score = np.asarray(st.score)
+        last = score.argmax(axis=0).astype(np.int32)
+        best = score.max(axis=0)
+        arcs = self._traceback(st, last)
+        res = self._results(best, arcs)
+        for r in res:
+            r["final_reached"] = False
+        return res
+
+    def finalize(self, st: DecoderState) -> List[dict]:
+        """Apply final weights and trace back — equals the offline
+        SparseViterbiDecoder.decode_batch on the concatenated frames."""
+        score = np.asarray(st.score)
+        total = score + self._final[:, None]
+        best = total.max(axis=0)
+        last = total.argmax(axis=0).astype(np.int32)
+        arcs = self._traceback(st, last)
+        return self._results(best, arcs)
+
+
+# ---------------------------------------------------------------------------
+# end-to-end pipeline
+# ---------------------------------------------------------------------------
+
+class StreamingPipeline:
+    """Features in, hypotheses out; hides the encoder warmup lag."""
+
+    def __init__(self, encoder: StreamingEncoder,
+                 decoder: StreamingDecoder):
+        self.enc = encoder
+        self.dec = decoder
+
+    def init(self, batch: int, ivectors=None):
+        return (self.enc.init(ivectors), self.dec.init(batch))
+
+    def feed(self, st, features):
+        enc_st, dec_st = st
+        enc_st, posts = self.enc.feed(enc_st, features)
+        if posts.shape[1]:
+            dec_st = self.dec.feed(dec_st, posts)
+        return (enc_st, dec_st)
+
+    def partial(self, st) -> List[dict]:
+        return self.dec.partial(st[1])
+
+    def finalize(self, st) -> List[dict]:
+        enc_st, dec_st = st
+        enc_st, posts = self.enc.flush(enc_st)
+        if posts.shape[1]:
+            dec_st = self.dec.feed(dec_st, posts)
+        return self.dec.finalize(dec_st)

@@ -716,6 +716,46 @@ def _tree_viterbi_ckpt(bsrc, bpdf, bw, barc, levels, src_of_arc, final,
     return best, last, arcs_taken
 
 
+def _make_arc_step(src, dst, pdf, weight, acoustic_scale, S: int):
+    """The arc-parallel Viterbi frame step shared by the offline scan
+    (_arc_viterbi) and the streaming chunk kernel (_arc_viterbi_chunk):
+    candidate = score[src] + w + scale*ll[pdf], sorted segment-max into
+    destinations, winning-arc backpointer = smallest arc id achieving
+    the max."""
+    A = src.shape[0]
+    arc_ids = jnp.arange(A, dtype=jnp.int32)
+
+    def step(score, ll_t):
+        cand = (jnp.take(score, src, axis=0)
+                + weight[:, None]
+                + acoustic_scale * jnp.take(ll_t, pdf, axis=0))   # [A, B]
+        nxt = jax.ops.segment_max(cand, dst, num_segments=S,
+                                  indices_are_sorted=True)        # [S, B]
+        nxt = jnp.maximum(nxt, NEG_INF)   # segment_max pads with -inf
+        win = cand >= jnp.take(nxt, dst, axis=0)
+        bp = jax.ops.segment_min(
+            jnp.where(win, arc_ids[:, None], jnp.int32(A)), dst,
+            num_segments=S, indices_are_sorted=True)              # [S, B]
+        return nxt, bp
+
+    return step
+
+
+@functools.partial(jax.jit, static_argnames=("num_states",))
+def _arc_viterbi_chunk(src, dst, pdf, weight, score, loglikes,
+                       acoustic_scale, num_states: int):
+    """Streaming chunk step: carry `score` [S, B] across calls.
+
+    loglikes [B, C, P] -> (score' [S, B], bps [C, S, B]).  The score
+    recursion is identical to _arc_viterbi's, so a stream fed chunk by
+    chunk reproduces the offline decode exactly (decode/streaming.py
+    owns the host-side backpointer accumulation and traceback)."""
+    ll_tpb = jnp.transpose(loglikes, (1, 2, 0))          # [C, P, B]
+    step = _make_arc_step(src, dst, pdf, weight, acoustic_scale,
+                          num_states)
+    return jax.lax.scan(step, score, ll_tpb)
+
+
 @functools.partial(jax.jit, static_argnames=("num_states",))
 def _arc_viterbi(src, dst, pdf, weight, final, start, loglikes,
                  acoustic_scale, num_states: int):
@@ -734,21 +774,7 @@ def _arc_viterbi(src, dst, pdf, weight, final, start, loglikes,
 
     score0 = jnp.full((S, B), NEG_INF, dtype=jnp.float32)
     score0 = score0.at[start, :].set(0.0)
-    arc_ids = jnp.arange(A, dtype=jnp.int32)
-
-    def step(score, ll_t):
-        cand = (jnp.take(score, src, axis=0)
-                + weight[:, None]
-                + acoustic_scale * jnp.take(ll_t, pdf, axis=0))   # [A, B]
-        nxt = jax.ops.segment_max(cand, dst, num_segments=S,
-                                  indices_are_sorted=True)        # [S, B]
-        nxt = jnp.maximum(nxt, NEG_INF)   # segment_max pads with -inf
-        # winning arc per destination: smallest arc id achieving the max
-        win = cand >= jnp.take(nxt, dst, axis=0)
-        bp = jax.ops.segment_min(
-            jnp.where(win, arc_ids[:, None], jnp.int32(A)), dst,
-            num_segments=S, indices_are_sorted=True)              # [S, B]
-        return nxt, bp
+    step = _make_arc_step(src, dst, pdf, weight, acoustic_scale, S)
 
     final_score, bps = jax.lax.scan(step, score0, ll_tpb)         # [T, S, B]
     total = final_score + final[:, None]

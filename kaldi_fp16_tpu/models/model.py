@@ -82,6 +82,36 @@ class Model:
                 total += s.input_dim * s.output_dim + s.output_dim
         return total
 
+    def time_context(self) -> tuple:
+        """(left, right) INPUT-frame receptive-field radius of the net.
+
+        Upper bound by summing each layer's temporal reach along the
+        execution order (branches/bypass can only need less): conv
+        time-offsets, TDNN-F's two one-sided splices (±time_stride),
+        restricted attention's num-left/right-inputs x time_stride.
+        Used by the streaming encoder (decode/streaming.py) to size the
+        per-chunk context overlap — an over-estimate costs overlap
+        compute, never correctness.  (The reference never computes this:
+        its egs arrive pre-chunked with context baked in — docs
+        kaldi-egs-format.md t=-31..171; this is the serving-side
+        equivalent.)"""
+        from kaldi_fp16_tpu.models.layers import (
+            AttentionSpec, ConvReluBNSpec, TDNNFSpec,
+        )
+        left = right = 0
+        for l in self.layers:
+            s = l.spec
+            if isinstance(s, ConvReluBNSpec):
+                left += max(0, -min(s.time_offsets))
+                right += max(0, max(s.time_offsets))
+            elif isinstance(s, TDNNFSpec):
+                left += s.time_stride
+                right += s.time_stride
+            elif isinstance(s, AttentionSpec):
+                left += s.num_left_inputs * s.time_stride
+                right += s.num_right_inputs * s.time_stride
+        return left, right
+
     def summary(self) -> str:
         lines = [f"{'#':>3} {'name':<22} {'type':<28} {'in':>6} {'out':>6}  input"]
         for i, l in enumerate(self.layers):
