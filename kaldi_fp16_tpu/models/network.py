@@ -495,6 +495,84 @@ def _fwd_combine_feature_maps(spec: CombineFeatureMapsSpec, x: jnp.ndarray
 
 
 # ---------------------------------------------------------------------------
+# Time-grid analysis (the nnet3 computation-compiler equivalent)
+# ---------------------------------------------------------------------------
+
+def grid_layers(model: Model, stride: int) -> frozenset:
+    """Layers that can run on the stride-`stride` time grid.
+
+    Real Kaldi's nnet3 compiler only computes each component at the
+    frames its consumers actually request; with frame-subsampling-factor
+    3 the whole post-CNN stack therefore runs at 1/3 the frame rate
+    (ref: chain_loss.go:245-254 consumes every 3rd output row; the
+    reference network, lacking a computation compiler, computed ALL
+    layers at ALL frames — forward.go:148-202 — and so does our full-rate
+    path).  A layer is grid-eligible iff
+
+      * its own time offsets are all multiples of `stride` (pointwise
+        layers trivially qualify; tdnnf time-stride 3 and attention
+        time-stride 3 qualify at stride 3; conv offsets -1,0,1 do not),
+      * every consumer of its activation is grid-eligible (model outputs
+        only need grid frames, so output layers seed the set).
+
+    Computed by one reverse pass over the execution order (consumers
+    always come later).  SpecAugment is held full-rate so augmentation
+    statistics (mask widths in real frames) never change meaning.
+    """
+    if stride <= 1:
+        return frozenset()
+    order = model.execution_order()
+    consumers: Dict[str, list] = {l.name: [] for l in order}
+    prev = None
+    for layer in order:
+        if layer.type == LayerType.INPUT:
+            prev = layer.name
+            continue
+        ref = layer.input.ref
+        names = (list(layer.input.names) if ref.type != InputType.PREVIOUS
+                 else [prev])
+        for n in names:
+            consumers[n].append(layer.name)
+        prev = layer.name
+
+    def offsets_ok(layer: Layer) -> bool:
+        t, s = layer.type, layer.spec
+        if t == LayerType.TDNNF:
+            return s.time_stride % stride == 0
+        if t == LayerType.ATTENTION_RELU_BATCHNORM:
+            return s.time_stride % stride == 0
+        if t == LayerType.CONV_RELU_BATCHNORM:
+            return all(o % stride == 0 for o in s.time_offsets)
+        if t in (LayerType.INPUT, LayerType.SPEC_AUGMENT):
+            return False
+        return True     # pointwise: idct/linear/bn/combine/prefinal/output
+
+    grid = set()
+    for layer in reversed(order):
+        if not offsets_ok(layer):
+            continue
+        cons = consumers[layer.name]
+        is_out = layer.type == LayerType.OUTPUT
+        if (is_out and not cons) or (cons and all(c in grid for c in cons)):
+            grid.add(layer.name)
+    return frozenset(grid)
+
+
+def _grid_spec(layer: Layer, stride: int):
+    """Layer spec with time offsets rescaled to grid steps."""
+    import dataclasses
+    t, s = layer.type, layer.spec
+    if t == LayerType.TDNNF and s.time_stride:
+        return dataclasses.replace(s, time_stride=s.time_stride // stride)
+    if t == LayerType.ATTENTION_RELU_BATCHNORM and s.time_stride:
+        return dataclasses.replace(s, time_stride=s.time_stride // stride)
+    if t == LayerType.CONV_RELU_BATCHNORM and any(s.time_offsets):
+        return dataclasses.replace(
+            s, time_offsets=tuple(o // stride for o in s.time_offsets))
+    return s
+
+
+# ---------------------------------------------------------------------------
 # Full forward
 # ---------------------------------------------------------------------------
 
@@ -516,13 +594,27 @@ def forward(model: Model, params: Params, state: State,
             *, train: bool = False, rng=None,
             compute_dtype=jnp.bfloat16,
             ng_taps: Optional[dict] = None,
-            collect_ng: bool = False):
+            collect_ng: bool = False,
+            time_subsample: Optional[tuple] = None):
     """Run the network.  Returns ({output_name: [B, T, dim]}, new_state)
     — plus the dict of per-site matmul inputs when collect_ng=True (the
     natural-gradient statistics path, see NGContext).
 
     Output frames are NOT subsampled here; use `subsample_output` to pick
     the chain-supervision frames (ref: chain_loss.go:245-254).
+
+    time_subsample=(stride, offset, n_grid) runs every grid-eligible
+    layer (see grid_layers) on the frame grid {offset + k*stride,
+    k < n_grid} instead of all T frames — the nnet3-compiler frame-rate
+    optimization (~3x less compute/traffic for the post-CNN stack at
+    frame-subsampling-factor 3).  `offset` may be a traced value;
+    `stride` and `n_grid` must be static.  Grid-layer outputs come back
+    with n_grid frames (time axis = grid steps); grid-layer BatchNorm
+    statistics accumulate over grid frames only, exactly as real Kaldi's
+    compiled computation does.  Edge clamping happens at grid edges
+    (full Kaldi computes context rows outside the supervised range when
+    the eg provides them; at chunk boundaries both designs replicate
+    edges).
     """
     ng = (NGContext(ng_taps, collect_ng)
           if (ng_taps is not None or collect_ng) else None)
@@ -532,20 +624,38 @@ def forward(model: Model, params: Params, state: State,
     new_state: State = dict(state)
     outputs: Dict[str, jnp.ndarray] = {}
 
+    grid: frozenset = frozenset()
+    g_stride = 1
+    if time_subsample is not None:
+        g_stride, g_offset, n_grid = time_subsample
+        grid = grid_layers(model, g_stride)
+
+    def to_grid(a: jnp.ndarray) -> jnp.ndarray:
+        """Full-rate [B, T, ...] -> grid [B, n_grid, ...]."""
+        sl = jax.lax.dynamic_slice_in_dim(
+            a, g_offset, (n_grid - 1) * g_stride + 1, axis=1)
+        return sl[:, ::g_stride]
+
     def get_input(layer: Layer, prev_name: Optional[str]) -> jnp.ndarray:
         ref = layer.input.ref
+        on_grid = layer.name in grid
         if ref.type == InputType.PREVIOUS:
             assert prev_name is not None, f"{layer.name}: no previous layer"
-            return acts[prev_name]
-        if ref.type in (InputType.SIMPLE, InputType.REPLACE_INDEX):
-            return acts[layer.input.names[0]]
-        # APPEND
-        return jnp.concatenate([acts[n] for n in layer.input.names], axis=-1)
+            names = [prev_name]
+        else:
+            names = list(layer.input.names)
+        parts = []
+        for n in names:
+            a = acts[n]
+            if on_grid and n not in grid:
+                a = to_grid(a)          # the full->grid cut
+            parts.append(a)
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts, -1)
 
     prev_name: Optional[str] = None
     for layer in model.execution_order():
         t = layer.type
-        s = layer.spec
+        s = _grid_spec(layer, g_stride) if layer.name in grid else layer.spec
         if t == LayerType.INPUT:
             if layer.name == "ivector":
                 assert ivectors is not None, "model requires ivectors"
@@ -675,14 +785,19 @@ def ng_sites(model: Model):
     return sites
 
 
-def make_ng_taps(sites, B: int, T: int) -> Dict[str, jnp.ndarray]:
-    """Zero tap arrays for one batch geometry."""
+def make_ng_taps(sites, B: int, T: int,
+                 grid: frozenset = frozenset(),
+                 n_grid: int = 0) -> Dict[str, jnp.ndarray]:
+    """Zero tap arrays for one batch geometry.  Sites on the subsampled
+    time grid (see grid_layers / forward's time_subsample) tap n_grid
+    frames instead of T."""
     taps = {}
     for s in sites:
+        Ts = n_grid if s["layer"] in grid else T
         if s["tap"][0] == "BT":
-            taps[s["name"]] = jnp.zeros((B, T, s["tap"][1]), jnp.float32)
+            taps[s["name"]] = jnp.zeros((B, Ts, s["tap"][1]), jnp.float32)
         else:  # BTH: conv, [B, T, H_out, nf_out]
-            taps[s["name"]] = jnp.zeros((B, T, s["tap"][1], s["tap"][2]),
+            taps[s["name"]] = jnp.zeros((B, Ts, s["tap"][1], s["tap"][2]),
                                         jnp.float32)
     return taps
 

@@ -29,7 +29,8 @@ from kaldi_fp16_tpu.chain.objective import (
 )
 from kaldi_fp16_tpu.models.model import Model
 from kaldi_fp16_tpu.models.network import (
-    forward, make_ng_taps, ng_sites, subsample_output, trainable_mask,
+    forward, grid_layers, make_ng_taps, ng_sites, subsample_output,
+    trainable_mask,
 )
 from kaldi_fp16_tpu.training.natural_gradient import (
     NGConfig, init_ng_state, ng_update, precondition_grad,
@@ -71,6 +72,12 @@ class TrainConfig:
     # bottleneck linears every N non-skipped steps (0 disables; Kaldi
     # uses a random ~1/4 of steps — training/orthonormal.py)
     orthonormal_interval: int = 4
+    # run grid-eligible layers (post-CNN stack in the flagship) only at
+    # the chain-supervision frame rate — the nnet3 computation-compiler
+    # optimization (models/network.py grid_layers); ~3x less compute for
+    # those layers.  Grid-layer BN stats then accumulate over grid
+    # frames, matching real Kaldi's compiled computation.
+    grid_subsample: bool = True
 
 
 class TrainStepOutput(NamedTuple):
@@ -191,9 +198,31 @@ def make_train_step(model: Model,
         dws_arg = (jnp.ones((B, n_out), jnp.float32) if dws is None
                    else dws.astype(jnp.float32))
 
-        def pick_frames(full):
+        # frame-grid subsampling (nnet3-compiler equivalent): run the
+        # grid-eligible suffix of the network only at frames
+        # {left_context % stride + k*stride}; output heads then come back
+        # already on the grid and pick_frames is a unit-stride slice.
+        grid = (grid_layers(model, stride) if config.grid_subsample
+                else frozenset())
+        chain_head_name = model.chain_output().name
+        use_grid = chain_head_name in grid
+        n_grid = (T_in - stride) // stride + 1 if use_grid else 0
+        if use_grid and n_out > n_grid:
+            # degenerate geometry (chunk shorter than the supervision
+            # span): fall back to the full-rate program rather than let
+            # dynamic_slice clamp the pick silently
+            use_grid, grid, n_grid = False, frozenset(), 0
+        time_subsample = ((stride, left_context % stride, n_grid)
+                          if use_grid else None)
+
+        def pick_frames(full, on_grid=False):
             """Supervision frames: rows left_context, +stride, ... — via
-            dynamic slice so left_context may be a traced value."""
+            dynamic slice so left_context may be a traced value.  Grid
+            outputs hold only grid frames, so the pick is a unit-stride
+            slice at grid index left_context // stride."""
+            if on_grid:
+                return jax.lax.dynamic_slice_in_dim(
+                    full, left_context // stride, n_out, axis=1)
             sl = jax.lax.dynamic_slice_in_dim(
                 full, left_context, (n_out - 1) * stride + 1, axis=1)
             return sl[:, ::stride]
@@ -202,10 +231,12 @@ def make_train_step(model: Model,
             if taps is not None:
                 return forward(
                     model, p, net_state, feats, ivecs, train=True, rng=rng,
-                    compute_dtype=dtype, ng_taps=taps, collect_ng=True)
+                    compute_dtype=dtype, ng_taps=taps, collect_ng=True,
+                    time_subsample=time_subsample)
             outs, new_state = forward(model, p, net_state, feats, ivecs,
                                       train=True, rng=rng,
-                                      compute_dtype=dtype)
+                                      compute_dtype=dtype,
+                                      time_subsample=time_subsample)
             return outs, new_state, {}
 
         if config.remat:
@@ -213,14 +244,15 @@ def make_train_step(model: Model,
 
         def loss_fn(p, taps):
             outs, new_state, xs = net_apply(p, taps)
-            chain_head = model.chain_output().name
-            out = pick_frames(outs[chain_head].astype(jnp.float32))
+            out = pick_frames(outs[chain_head_name].astype(jnp.float32),
+                              on_grid=use_grid)
             objf, result, num_post = objf_fn(out, weights, dws_arg)
             loss = -objf
             xent_objf = jnp.zeros((), jnp.float32)
             xent_layer = model.xent_output()
             if xent_regularize > 0 and xent_layer is not None:
-                xent = pick_frames(outs[xent_layer.name].astype(jnp.float32))
+                xent = pick_frames(outs[xent_layer.name].astype(jnp.float32),
+                                   on_grid=xent_layer.name in grid)
                 xent = xent * dws_arg[:, :, None]
                 xent_objf = jnp.sum(weights[:, None, None] * num_post * xent)
                 loss = loss - xent_regularize * xent_objf
@@ -229,7 +261,7 @@ def make_train_step(model: Model,
             return loss, (result, new_state, xent_objf, xs)
 
         if config.natural_gradient:
-            taps = make_ng_taps(sites, B, T_in)
+            taps = make_ng_taps(sites, B, T_in, grid=grid, n_grid=n_grid)
             ((loss, (result, new_state, xent_objf, xs)),
              (grads, tap_grads)) = jax.value_and_grad(
                 loss_fn, argnums=(0, 1), has_aux=True)(params, taps)

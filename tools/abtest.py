@@ -13,6 +13,10 @@ Modes (--ab):
             denominator — REVOKED at flagship scale r3 (0.13 objf drift)
   bn-lowp   fp32-upcast batchnorm vs bf16 BN with fp32-accumulated
             stats (+16% step throughput at flagship B=128)
+  grid      full-rate post-CNN stack ("exact" arm) vs frame-grid
+            subsampling ("fast" arm; models/network.py grid_layers) —
+            two legitimate semantics (grid BN stats = real Kaldi's
+            compiled computation); vets convergence equivalence
 
 Usage: python tools/abtest.py [--ab den-mode|bn-lowp] [--workdir ...]
            [--epochs 6] [--batch 16] [--pdfs 96] [--cpu]
@@ -46,7 +50,7 @@ def main():
     _common.enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--ab", default="den-mode",
-                    choices=["den-mode", "bn-lowp"],
+                    choices=["den-mode", "bn-lowp", "grid"],
                     help="which numerics mode to A/B (see module doc)")
     ap.add_argument("--workdir", default="/tmp/abtest")
     ap.add_argument("--epochs", type=int, default=6)
@@ -104,7 +108,13 @@ output-layer name=output dim={args.pdfs} include-log-softmax=false
     arms = {"den-mode": (("exact", ["--den-mode", "exact"]),
                          ("fast", ["--den-mode", "fast"])),
             "bn-lowp": (("exact", []),
-                        ("fast", ["--bn-lowp"]))}[args.ab]
+                        ("fast", ["--bn-lowp"])),
+            # full-rate (pre-r4) vs frame-grid subsampling.  Unlike the
+            # two numerics A/Bs this compares two LEGITIMATE model
+            # semantics (grid BN stats = what real Kaldi computes); the
+            # question is convergence equivalence, not drift.
+            "grid": (("exact", ["--no-grid"]),
+                     ("fast", []))}[args.ab]
 
     result = {"config": vars(args), "runs": {}}
     for mode, extra in arms:
@@ -151,7 +161,8 @@ output-layer name=output dim={args.pdfs} include-log-softmax=false
                   f"{abs(ex[i] - fa[i]):.2e} |")
     print(json.dumps({
         "metric": {"den-mode": "den_fast_mode_ab",
-                   "bn-lowp": "bn_lowp_ab"}[args.ab],
+                   "bn-lowp": "bn_lowp_ab",
+                   "grid": "grid_subsample_ab"}[args.ab],
         "final_objf_exact": ex[-1] if ex else None,
         "final_objf_fast": fa[-1] if fa else None,
         "final_objf_diff": result["final_objf_diff"],

@@ -62,6 +62,12 @@ def main():
                          "measured 2.31 max objf/frame trajectory "
                          "divergence over 112 steps; measurement hook "
                          "only (see docs/PERFORMANCE.md)")
+    ap.add_argument("--no-grid", action="store_true",
+                    help="disable frame-grid subsampling: run the "
+                         "grid-eligible (post-CNN) stack at the full "
+                         "input frame rate instead of only at "
+                         "chain-supervision frames (the nnet3-compiler "
+                         "behavior; see models/network.py grid_layers)")
     ap.add_argument("--frame-subsampling", type=int, default=3)
     ap.add_argument("--shuffle-buffer", type=int, default=1024)
     ap.add_argument("--prefetch", type=int, default=2,
@@ -148,7 +154,8 @@ def main():
                          xent_regularize=args.xent_regularize,
                          natural_gradient=args.natural_gradient,
                          orthonormal_interval=args.orthonormal_interval,
-                         use_loss_scaling=args.loss_scaling)
+                         use_loss_scaling=args.loss_scaling,
+                         grid_subsample=not args.no_grid)
     chain_opts = ChainTrainingOpts(l2_regularize=args.l2_regularize,
                                    leaky_hmm_coefficient=args.leaky_hmm,
                                    xent_regularize=args.xent_regularize)

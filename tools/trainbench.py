@@ -34,6 +34,10 @@ def main():
     ap.add_argument("--xconfig", default="configs/cnn_tdnn.xconfig")
     ap.add_argument("--natural-gradient", action="store_true")
     ap.add_argument("--mode", default="exact", choices=["exact", "fast"])
+    ap.add_argument("--no-grid", action="store_true",
+                    help="disable frame-grid subsampling (run the post-CNN "
+                         "stack at the full input frame rate, the pre-r4 "
+                         "behavior)")
     ap.add_argument("--remat", action="store_true",
                     help="jax.checkpoint the network forward (trade FLOPs "
                          "for activation HBM traffic)")
@@ -108,7 +112,8 @@ def main():
     config = TrainConfig(learning_rate=1e-3, momentum=0.9,
                          frame_subsampling_factor=stride, left_context=left,
                          natural_gradient=args.natural_gradient,
-                         remat=args.remat)
+                         remat=args.remat,
+                         grid_subsample=not args.no_grid)
     step = make_train_step(model, den, num_graph, ChainTrainingOpts(), config,
                            num_frames_out=T_out, donate=True)
     params, net_state, opt_state, scale_state = init_train_state(

@@ -42,6 +42,8 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--pdfs", type=int, default=48)
     ap.add_argument("--lr", type=float, default=0.01)
+    ap.add_argument("--no-grid", action="store_true",
+                    help="disable frame-grid subsampling (A/B hook)")
     ap.add_argument("--bench-json", action="store_true",
                     help="emit one benchmark JSON line at the end")
     ap.add_argument("--cpu", action="store_true",
@@ -98,7 +100,8 @@ output-layer name=output dim={args.pdfs} include-log-softmax=false
     den = DenominatorComputation(den_graph, leaky=1e-5)
 
     config = TrainConfig(learning_rate=args.lr, momentum=0.5,
-                         frame_subsampling_factor=3)
+                         frame_subsampling_factor=3,
+                         grid_subsample=not args.no_grid)
     trainer = Trainer(model, den, config, ChainTrainingOpts(),
                       fst_pad_states=64, fst_pad_arcs=128)
 
