@@ -319,7 +319,8 @@ def _even_spacing(offsets) -> Optional[int]:
 
 
 def _fwd_conv_relu_bn(spec: ConvReluBNSpec, p: dict, bn: dict, x: jnp.ndarray,
-                      train: bool, dtype, ng=None, lname="") -> Tuple[jnp.ndarray, dict]:
+                      train: bool, dtype, ng=None, lname="",
+                      grid_cut=None) -> Tuple[jnp.ndarray, dict]:
     """Convolution over (time, height).  x: [B, T, H_in*nf_in] (filter
     fastest).
 
@@ -350,6 +351,37 @@ def _fwd_conv_relu_bn(spec: ConvReluBNSpec, p: dict, bn: dict, x: jnp.ndarray,
     dh = _even_spacing(h_offs)
     direct = (ng is None and dt is not None and dh is not None
               and min(t_offs) <= 0 and min(h_offs) <= 0 <= max(h_offs))
+    if grid_cut is not None:
+        # cut conv (conv_cut_layers): full-rate input -> grid output via
+        # a strided convolution window.  out[j] = the full-rate conv at
+        # frame g_offset + j*g_stride, bit-equal to the unstrided conv at
+        # those frames (same zero padding); only the frames in between
+        # are never computed.  g_offset may be traced, so the padded
+        # input is dynamic-sliced to start the first window at it.
+        assert direct, "cut conv requires the direct lowering"
+        g_stride, g_offset, n_grid = grid_cut
+        xs = x.reshape(B, T, H_in, nf_in).astype(dtype)
+        kernel = p["w"].reshape(len(t_offs), len(h_offs), nf_in,
+                                nf_out).astype(dtype)
+        ext = max(t_offs) - min(t_offs) + 1        # dilated kernel extent
+        xpad = jnp.pad(xs, ((0, 0), (-min(t_offs), max(t_offs)),
+                            (0, 0), (0, 0)))
+        need = (n_grid - 1) * g_stride + ext
+        xsl = jax.lax.dynamic_slice_in_dim(xpad, g_offset, need, axis=1)
+        out = jax.lax.conv_general_dilated(
+            xsl, kernel,
+            window_strides=(g_stride, sub),
+            padding=((0, 0), (pad_lo, pad_hi)),
+            rhs_dilation=(dt, dh),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=(jax.lax.Precision.HIGHEST
+                       if dtype == jnp.float32
+                       else jax.lax.Precision.DEFAULT))
+        out = (out[:, :, :H_out].astype(jnp.float32)
+               + p["b"].astype(jnp.float32))
+        out = jax.nn.relu(out)
+        out = out.reshape(B, n_grid, H_out * nf_out).astype(dtype)
+        return _batchnorm(out, bn, spec.target_rms, 1e-3, train)
     if direct:
         xs = x.reshape(B, T, H_in, nf_in).astype(dtype)
         kernel = p["w"].reshape(len(t_offs), len(h_offs), nf_in,
@@ -498,7 +530,8 @@ def _fwd_combine_feature_maps(spec: CombineFeatureMapsSpec, x: jnp.ndarray
 # Time-grid analysis (the nnet3 computation-compiler equivalent)
 # ---------------------------------------------------------------------------
 
-def grid_layers(model: Model, stride: int) -> frozenset:
+def grid_layers(model: Model, stride: int,
+                conv_cut: bool = False) -> frozenset:
     """Layers that can run on the stride-`stride` time grid.
 
     Real Kaldi's nnet3 compiler only computes each component at the
@@ -518,22 +551,25 @@ def grid_layers(model: Model, stride: int) -> frozenset:
     Computed by one reverse pass over the execution order (consumers
     always come later).  SpecAugment is held full-rate so augmentation
     statistics (mask widths in real frames) never change meaning.
+
+    conv_cut=True additionally admits "cut convolutions": a conv whose
+    consumers are all grid layers emits grid frames DIRECTLY via a
+    time-strided convolution window over its full-rate input (see
+    conv_cut_layers) — bit-equal to full-rate conv + subsample (zero
+    padding, no clamp semantics), at 1/stride the conv cost.  Cut convs
+    keep full-rate inputs, so they never cascade upstream.
     """
     if stride <= 1:
         return frozenset()
+    base = _grid_base(model, stride)
+    if not conv_cut:
+        return base
+    return base | conv_cut_layers(model, stride)
+
+
+def _grid_base(model: Model, stride: int) -> frozenset:
     order = model.execution_order()
-    consumers: Dict[str, list] = {l.name: [] for l in order}
-    prev = None
-    for layer in order:
-        if layer.type == LayerType.INPUT:
-            prev = layer.name
-            continue
-        ref = layer.input.ref
-        names = (list(layer.input.names) if ref.type != InputType.PREVIOUS
-                 else [prev])
-        for n in names:
-            consumers[n].append(layer.name)
-        prev = layer.name
+    consumers = _consumers(model)
 
     def offsets_ok(layer: Layer) -> bool:
         t, s = layer.type, layer.spec
@@ -556,6 +592,54 @@ def grid_layers(model: Model, stride: int) -> frozenset:
         if (is_out and not cons) or (cons and all(c in grid for c in cons)):
             grid.add(layer.name)
     return frozenset(grid)
+
+
+def _consumers(model: Model) -> Dict[str, list]:
+    order = model.execution_order()
+    consumers: Dict[str, list] = {l.name: [] for l in order}
+    prev = None
+    for layer in order:
+        if layer.type == LayerType.INPUT:
+            prev = layer.name
+            continue
+        ref = layer.input.ref
+        names = (list(layer.input.names) if ref.type != InputType.PREVIOUS
+                 else [prev])
+        for n in names:
+            consumers[n].append(layer.name)
+        prev = layer.name
+    return consumers
+
+
+def conv_cut_layers(model: Model, stride: int) -> frozenset:
+    """Convs at the full->grid boundary that can emit grid frames via a
+    time-strided convolution window (window_strides time = `stride`)
+    over their FULL-RATE input.  Values are bit-equal to the full-rate
+    conv at grid frames (zero padding either way — no clamp-semantics
+    change; BN inside the layer then pools grid frames, as everywhere on
+    the grid).  Requires the direct conv lowering (regular offset grids;
+    _fwd_conv_relu_bn), so candidates with irregular offsets stay
+    full-rate.  No cascade: a cut conv consumes full-rate input, so its
+    producers never become grid-eligible through it."""
+    if stride <= 1:
+        return frozenset()
+    base = _grid_base(model, stride)
+    consumers = _consumers(model)
+    cut = set()
+    for layer in model.execution_order():
+        if layer.type != LayerType.CONV_RELU_BATCHNORM:
+            continue
+        if layer.name in base:
+            continue                     # already grid via divisible offsets
+        s = layer.spec
+        cons = consumers[layer.name]
+        direct_ok = (_even_spacing(s.time_offsets) is not None
+                     and _even_spacing(s.height_offsets) is not None
+                     and min(s.time_offsets) <= 0
+                     and min(s.height_offsets) <= 0 <= max(s.height_offsets))
+        if direct_ok and cons and all(c in base for c in cons):
+            cut.add(layer.name)
+    return frozenset(cut)
 
 
 def _grid_spec(layer: Layer, stride: int):
@@ -625,10 +709,16 @@ def forward(model: Model, params: Params, state: State,
     outputs: Dict[str, jnp.ndarray] = {}
 
     grid: frozenset = frozenset()
+    cut: frozenset = frozenset()
     g_stride = 1
     if time_subsample is not None:
         g_stride, g_offset, n_grid = time_subsample
         grid = grid_layers(model, g_stride)
+        # cut convs need the direct lowering, which the NG tap path
+        # disables (Fisher factors tap the materialized patch)
+        if ng is None:
+            cut = conv_cut_layers(model, g_stride)
+            grid = grid | cut
 
     def to_grid(a: jnp.ndarray) -> jnp.ndarray:
         """Full-rate [B, T, ...] -> grid [B, n_grid, ...]."""
@@ -638,7 +728,9 @@ def forward(model: Model, params: Params, state: State,
 
     def get_input(layer: Layer, prev_name: Optional[str]) -> jnp.ndarray:
         ref = layer.input.ref
-        on_grid = layer.name in grid
+        # cut convs consume FULL-RATE input (the stride lives in their
+        # convolution window), so no subsample at read time
+        on_grid = layer.name in grid and layer.name not in cut
         if ref.type == InputType.PREVIOUS:
             assert prev_name is not None, f"{layer.name}: no previous layer"
             names = [prev_name]
@@ -655,7 +747,11 @@ def forward(model: Model, params: Params, state: State,
     prev_name: Optional[str] = None
     for layer in model.execution_order():
         t = layer.type
-        s = _grid_spec(layer, g_stride) if layer.name in grid else layer.spec
+        # cut convs keep their original offsets (the stride lives in the
+        # convolution window), so no offset rescale for them
+        s = (_grid_spec(layer, g_stride)
+             if layer.name in grid and layer.name not in cut
+             else layer.spec)
         if t == LayerType.INPUT:
             if layer.name == "ivector":
                 assert ivectors is not None, "model requires ivectors"
@@ -687,9 +783,12 @@ def forward(model: Model, params: Params, state: State,
         elif t == LayerType.COMBINE_FEATURE_MAPS:
             out = _fwd_combine_feature_maps(s, x)
         elif t == LayerType.CONV_RELU_BATCHNORM:
+            gc = ((g_stride, g_offset, n_grid)
+                  if layer.name in cut else None)
             out, ns = _fwd_conv_relu_bn(s, params[layer.name],
                                         state[layer.name], x, train, dtype,
-                                        ng=ng, lname=layer.name)
+                                        ng=ng, lname=layer.name,
+                                        grid_cut=gc)
             new_state[layer.name] = ns
         elif t == LayerType.TDNNF:
             out, ns = _fwd_tdnnf(s, params[layer.name], state[layer.name],

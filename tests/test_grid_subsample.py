@@ -27,7 +27,7 @@ from kaldi_fp16_tpu.chain.graph import (
 from kaldi_fp16_tpu.chain.objective import ChainTrainingOpts
 from kaldi_fp16_tpu.models.model import build_model_from_string
 from kaldi_fp16_tpu.models.network import (
-    forward, grid_layers, init_params, subsample_output,
+    conv_cut_layers, forward, grid_layers, init_params, subsample_output,
 )
 from kaldi_fp16_tpu.training.train_step import (
     TrainConfig, init_train_state, make_train_step,
@@ -93,6 +93,29 @@ output-layer name=output include-log-softmax=false dim=16
         assert "cnn2" not in g
         assert "output" in g            # pointwise head itself still fine
 
+    def test_conv_cut_at_boundary(self):
+        """The conv feeding the grid suffix becomes a CUT conv: grid
+        output from full-rate input via a strided window."""
+        model = _model()
+        cut = conv_cut_layers(model, 3)
+        assert cut == frozenset({"cnn1"})
+        # and the union view includes it
+        assert "cnn1" in grid_layers(model, 3, conv_cut=True)
+        assert "cnn1" not in grid_layers(model, 3)
+
+    def test_conv_cut_not_cascading(self):
+        """A conv feeding a cut conv stays full-rate (the cut conv needs
+        full-rate input)."""
+        model = build_model_from_string("""
+input name=input dim=8
+conv-relu-batchnorm-layer name=cnn1 height-in=8 height-out=8 time-offsets=-1,0,1 height-offsets=-1,0,1 num-filters-out=4
+conv-relu-batchnorm-layer name=cnn2 height-in=8 height-out=8 time-offsets=-1,0,1 height-offsets=-1,0,1 num-filters-out=4
+tdnnf-layer name=tdnnf3 dim=32 bottleneck-dim=8 time-stride=3
+output-layer name=output include-log-softmax=false dim=16
+""")
+        cut = conv_cut_layers(model, 3)
+        assert cut == frozenset({"cnn2"})
+
     def test_conv_with_multiple_offsets_eligible(self):
         model = build_model_from_string("""
 input name=input dim=8
@@ -130,6 +153,36 @@ class TestGridForwardParity:
             interior = slice(2, n_grid - 2)
             np.testing.assert_allclose(got[:, interior], ref[:, interior],
                                        rtol=1e-5, atol=1e-5)
+
+    def test_cut_conv_bit_exact_at_grid_frames(self):
+        """The cut conv itself (conv+bias+relu before BN) is bit-equal
+        to the full-rate conv at grid frames — same zero padding, only
+        the in-between frames are skipped.  Eval-mode BN is pointwise,
+        so the cut layer's OUTPUT matches full-rate at every grid frame
+        including chunk edges."""
+        model = build_model_from_string("""
+input name=input dim=8
+conv-relu-batchnorm-layer name=cnn1 height-in=8 height-out=8 time-offsets=-1,0,1 height-offsets=-1,0,1 num-filters-out=4
+prefinal-layer name=prefinal-chain input=cnn1 big-dim=24 small-dim=12
+output-layer name=output include-log-softmax=false dim=16
+""")
+        assert conv_cut_layers(model, 3) == frozenset({"cnn1"})
+        params, state = init_params(model, jax.random.PRNGKey(0))
+        rng = np.random.default_rng(5)
+        B, T, stride = 3, 30, 3
+        feats = jnp.asarray(rng.normal(size=(B, T, 8)).astype(np.float32))
+        for offset in (0, 1, 2):
+            n_grid = (T - stride) // stride + 1
+            full, _ = forward(model, params, state, feats, train=False,
+                              compute_dtype=jnp.float32)
+            gridded, _ = forward(model, params, state, feats, train=False,
+                                 compute_dtype=jnp.float32,
+                                 time_subsample=(stride, offset, n_grid))
+            ref = np.asarray(full["output"])[:, offset::stride][:, :n_grid]
+            got = np.asarray(gridded["output"])
+            # downstream of the conv everything is pointwise: equality
+            # holds at EVERY grid frame, edges included
+            np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
 
     def test_traced_offset(self):
         """offset may be a traced value (the Trainer passes left_context
