@@ -486,6 +486,12 @@ def to_kaldi_components(model: Nnet3Model):
             elif tag in c.vectors:
                 setattr(kc, attr, c.vectors[tag])
         # bias/stats are vectors in Kaldi; matrices dict holds 2-d only
+        ivs = c.int_vectors
+        if "<Offsets>" in ivs:
+            flat = ivs["<Offsets>"].tolist()
+            kc.offsets = list(zip(flat[0::2], flat[1::2]))
+        if "<TimeOffsets>" in ivs:
+            kc.time_offsets = ivs["<TimeOffsets>"].tolist()
         out[c.name] = kc
     return out
 
@@ -560,18 +566,30 @@ def components_from_text(components: Dict) -> List[BinaryComponent]:
         elif (kc.type == "TimeHeightConvolutionComponent"
               and kc.linear_params is not None):
             # Kaldi's Write(): WriteUpdatableCommon, ConvolutionModel
-            # (<NumFiltersIn> <NumFiltersOut> <HeightIn> <HeightOut> ...),
+            # (<NumFiltersIn> <NumFiltersOut> <HeightIn> <HeightOut>
+            # <HeightSubsampleOut> <Offsets> <RequiredTimeOffsets>),
             # <Params>, <BiasParams> (ref: Kaldi
-            # nnet-convolutional-component.cc).  The text bridge carries
-            # no offset lists (weight_loader.go:617-728 never parses
-            # them), so the ConvolutionModel here is PARTIAL — canonical
-            # tag order, zero-valued ints included, but real Kaldi also
-            # needs <Offsets>/<RequiredTimeOffsets> to Read it.
+            # nnet-convolutional-component.cc).  The offset lists come
+            # from the text bridge's "<Offsets> [ t,h ... ]" (which
+            # export_weights_text emits and parse_nnet3_text carries;
+            # weight_loader.go:617-728 never parses them, so a model
+            # imported THROUGH the reference's text dialect has none —
+            # then the tags are omitted and the model is PARTIAL).
+            # <Offsets> is encoded as this repo's intvec (flat
+            # [t0,h0,t1,h1,...]); our reader round-trips it.
             updatable_prologue(bc, kc)
             bc.set_int("<NumFiltersIn>", kc.num_filters_in)
             bc.set_int("<NumFiltersOut>", kc.num_filters_out)
             bc.set_int("<HeightIn>", kc.height_in)
             bc.set_int("<HeightOut>", kc.height_out)
+            if kc.offsets:
+                bc.set_int("<HeightSubsampleOut>", kc.height_subsample or 1)
+                bc.set_intvec("<Offsets>",
+                              np.asarray([v for th in kc.offsets for v in th],
+                                         np.int32))
+                bc.set_intvec("<RequiredTimeOffsets>",
+                              np.asarray(sorted({t for t, _ in kc.offsets}),
+                                         np.int32))
             bc.set_matrix("<Params>", kc.linear_params)
             bc.set_vector("<BiasParams>",
                           kc.bias_params if kc.bias_params is not None
@@ -582,9 +600,14 @@ def components_from_text(components: Dict) -> List[BinaryComponent]:
             # <LinearParams>, <BiasParams> (present only when the
             # component has a bias), <OrthonormalConstraint>,
             # <UseNaturalGradient> (ref: Kaldi nnet-tdnn-component.cc).
-            # <TimeOffsets> is not representable from the text bridge —
-            # same caveat as the conv model above.
+            # <TimeOffsets> comes from the text bridge's
+            # "<TimeOffsets> [ t ... ]" (export_weights_text emits it;
+            # the reference's text dialect has none — then the tag is
+            # omitted and the component is PARTIAL, as before).
             updatable_prologue(bc, kc)
+            if kc.time_offsets:
+                bc.set_intvec("<TimeOffsets>",
+                              np.asarray(kc.time_offsets, np.int32))
             bc.set_matrix("<LinearParams>", kc.linear_params)
             if kc.bias_params is not None:
                 bc.set_vector("<BiasParams>", kc.bias_params)

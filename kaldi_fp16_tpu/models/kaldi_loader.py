@@ -55,6 +55,12 @@ class KaldiComponent:
     key_dim: int = 0
     value_dim: int = 0
     key_scale: float = 0.0
+    height_subsample: int = 0
+    # conv (time,height) offset pairs / tdnn time offsets, as written by
+    # export_weights_text ("<Offsets> [ t,h ... ]" / "<TimeOffsets> [ t ... ]");
+    # carried so the binary bridge can emit real Kaldi's offset lists
+    offsets: Optional[List[Tuple[int, int]]] = None
+    time_offsets: Optional[List[int]] = None
 
 
 _FLOAT_TAGS = {
@@ -65,6 +71,7 @@ _FLOAT_TAGS = {
 _INT_TAGS = {
     "<NumFiltersIn>": "num_filters_in", "<NumFiltersOut>": "num_filters_out",
     "<HeightIn>": "height_in", "<HeightOut>": "height_out",
+    "<HeightSubsampleOut>": "height_subsample",
     "<NumHeads>": "num_heads", "<KeyDim>": "key_dim", "<ValueDim>": "value_dim",
 }
 _MATRIX_TAGS = {
@@ -141,6 +148,31 @@ def parse_nnet3_text(text: str) -> Dict[str, KaldiComponent]:
                     setattr(current, attr, int(v))
                 except ValueError:
                     pass
+
+        # bracketed offset lists: "<Offsets> [ t,h t,h ... ]" (conv) and
+        # "<TimeOffsets> [ t t ... ]" (tdnn) — always single-line in the
+        # text format (export_weights_text writes them inline)
+        for tag, attr, pairs in (("<Offsets>", "offsets", True),
+                                 ("<TimeOffsets>", "time_offsets", False)):
+            idx = line.find(tag)
+            if idx < 0 or getattr(current, attr) is not None:
+                continue
+            bracket = line.find("[", idx)
+            if bracket < 0:
+                continue
+            inner = line[bracket + 1:]
+            if "]" in inner:
+                inner = inner[:inner.index("]")]
+            try:
+                if pairs:
+                    setattr(current, attr,
+                            [tuple(int(x) for x in tok.split(","))
+                             for tok in inner.split()])
+                else:
+                    setattr(current, attr,
+                            [int(tok) for tok in inner.split()])
+            except ValueError:
+                pass
 
         started = False
         for tag, attr in _MATRIX_TAGS.items():

@@ -55,6 +55,14 @@ class TestParseNnet3Text:
                               "cnn1.conv", "cnn1.batchnorm", "tdnnf7.linear",
                               "output.affine"}
 
+    def test_offset_lists(self):
+        comps = parse_nnet3_text(FIXTURE)
+        conv = comps["cnn1.conv"]
+        assert conv.offsets == [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 0),
+                                (0, 1), (1, -1), (1, 0), (1, 1)]
+        assert conv.height_subsample == 1
+        assert comps["tdnnf7.linear"].time_offsets == [0]
+
     def test_idct(self):
         c = parse_nnet3_text(FIXTURE)["idct"]
         assert c.type == "FixedAffineComponent"

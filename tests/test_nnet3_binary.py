@@ -345,6 +345,24 @@ class TestCanonicalTokenSequences:
             "<LearningRate>", "<NumFiltersIn>", "<NumFiltersOut>",
             "<HeightIn>", "<HeightOut>", "<Params>", "<BiasParams>"]
 
+    def test_conv_sequence_with_offsets(self):
+        # offsets present (our own text dialect) -> the full
+        # ConvolutionModel tag run in Kaldi's Write() order
+        kc = self._kc(name="c", type="TimeHeightConvolutionComponent",
+                      linear_params=np.ones((8, 6), np.float32),
+                      num_filters_in=2, num_filters_out=8,
+                      height_in=3, height_out=3,
+                      offsets=[(-1, 0), (-1, 1), (0, 0), (0, 1)])
+        [bc] = components_from_text({kc.name: kc})
+        assert [t for t, _, _ in bc.items] == [
+            "<LearningRate>", "<NumFiltersIn>", "<NumFiltersOut>",
+            "<HeightIn>", "<HeightOut>", "<HeightSubsampleOut>",
+            "<Offsets>", "<RequiredTimeOffsets>", "<Params>",
+            "<BiasParams>"]
+        assert bc.int_vectors["<Offsets>"].tolist() == [-1, 0, -1, 1, 0, 0, 0, 1]
+        assert bc.int_vectors["<RequiredTimeOffsets>"].tolist() == [-1, 0]
+        assert bc.ints["<HeightSubsampleOut>"] == 1
+
     def test_tdnn_sequence(self):
         kc = self._kc(name="t", type="TdnnComponent",
                       linear_params=np.ones((4, 8), np.float32),
@@ -352,6 +370,18 @@ class TestCanonicalTokenSequences:
         assert self._tags(kc) == [
             "<LearningRate>", "<LinearParams>", "<BiasParams>",
             "<OrthonormalConstraint>", "<UseNaturalGradient>"]
+
+    def test_tdnn_sequence_with_offsets(self):
+        kc = self._kc(name="t", type="TdnnComponent",
+                      linear_params=np.ones((4, 8), np.float32),
+                      bias_params=np.zeros(4, np.float32),
+                      time_offsets=[-3, 0])
+        [bc] = components_from_text({kc.name: kc})
+        assert [t for t, _, _ in bc.items] == [
+            "<LearningRate>", "<TimeOffsets>", "<LinearParams>",
+            "<BiasParams>", "<OrthonormalConstraint>",
+            "<UseNaturalGradient>"]
+        assert bc.int_vectors["<TimeOffsets>"].tolist() == [-3, 0]
 
     def test_tdnn_no_bias_sequence(self):
         kc = self._kc(name="t", type="TdnnComponent",

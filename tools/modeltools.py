@@ -89,6 +89,14 @@ def cmd_copy(args):
         lines = []
         for name, c in comps.items():
             fields = [f"<ComponentName> {name} <{c.type}>"]
+            # offset lists ride the header line block (the parser reads
+            # them from any line of the component)
+            if c.offsets:
+                fields.append("<Offsets> [ " + " ".join(
+                    f"{t},{h}" for t, h in c.offsets) + " ]")
+            if c.time_offsets:
+                fields.append("<TimeOffsets> [ " + " ".join(
+                    str(t) for t in c.time_offsets) + " ]")
             if c.linear_params is not None:
                 tag = ("<Params>"
                        if c.type == "TimeHeightConvolutionComponent"
