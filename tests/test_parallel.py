@@ -138,6 +138,127 @@ def test_param_sharding_rules():
     assert rules["linear1"]["w"].spec == P()
 
 
+GRID_XCONFIG = f"""\
+input name=input dim=8
+conv-relu-batchnorm-layer name=cnn1 height-in=8 height-out=8 time-offsets=-1,0,1 height-offsets=-1,0,1 num-filters-out=4
+tdnnf-layer name=tdnnf2 dim=32 bottleneck-dim=16 time-stride=3 bypass-scale=0.66
+prefinal-layer name=prefinal small-dim=16 big-dim=32
+output-layer name=output dim={NUM_PDFS} include-log-softmax=false
+"""
+
+
+def _setup_grid():
+    """Grid-eligible flagship-shaped slice: a conv at the full->grid
+    boundary (cut-conv candidate) + a stride-3 TDNN-F suffix, so the
+    production grid path (dynamic supervision slice + strided cut-conv
+    window) is actually exercised — VERDICT r4 flagged that the sharded
+    parity tests rode a grid-INeligible model and could silently no-op."""
+    rng = np.random.default_rng(33)
+    model = build_model_from_string(GRID_XCONFIG)
+    den_graph = DenominatorGraph.from_fst(
+        make_simple_den_fst(num_pdfs=NUM_PDFS, num_states=5, seed=9), NUM_PDFS)
+    den = DenominatorComputation(den_graph, leaky=1e-4)
+    csrs = [fst_to_csr(random_fst(rng, num_pdfs=NUM_PDFS, T=T_OUT,
+                                  num_states=2 * (T_OUT + 1)))
+            for _ in range(B)]
+    num_graph = build_numerator_batch(csrs)
+    batch = {
+        "features": jnp.asarray(rng.normal(size=(B, T_IN, 8)).astype(np.float32)),
+        "weights": jnp.ones(B, jnp.float32),
+    }
+    config = TrainConfig(learning_rate=0.01, momentum=0.5,
+                         frame_subsampling_factor=STRIDE,
+                         compute_dtype="float32", grid_subsample=True)
+    return model, den, num_graph, batch, config
+
+
+class TestGridSharded:
+    """Grid + cut-conv under meshes (VERDICT r4 item 2a): the frame-grid
+    program — dynamic full->grid cut slice, strided cut-conv window, grid
+    BN statistics — must reproduce single-device numbers when the batch
+    AND the feature time axis are sharded."""
+
+    def test_grid_path_active(self):
+        from kaldi_fp16_tpu.models.network import conv_cut_layers, grid_layers
+        model = build_model_from_string(GRID_XCONFIG)
+        g = grid_layers(model, STRIDE)
+        assert g, "grid must be non-empty or the sharded test no-ops"
+        assert {"tdnnf2", "prefinal", "output"} <= g
+        assert conv_cut_layers(model, STRIDE) == frozenset({"cnn1"})
+        # geometry: n_grid >= n_out so the train step keeps the grid on
+        assert (T_IN - STRIDE) // STRIDE + 1 >= T_OUT
+
+    @pytest.mark.parametrize("mesh_cfg", [MeshConfig(data=2, seq=2, model=1),
+                                          MeshConfig(data=2, seq=2, model=2),
+                                          MeshConfig(data=4, model=2)])
+    def test_grid_sharded_matches_single_device(self, mesh_cfg):
+        model, den, num_graph, batch, config = _setup_grid()
+        opts = ChainTrainingOpts()
+
+        step1 = make_train_step(model, den, num_graph, opts, config,
+                                num_frames_out=T_OUT, donate=False)
+        params, net_state, opt_state, scale_state = init_train_state(
+            model, jax.random.PRNGKey(0), config)
+        rng = jax.random.PRNGKey(5)
+        p1, ns1, os1, ss1, out1 = step1(params, net_state, opt_state,
+                                        scale_state, batch, rng)
+
+        mesh = make_mesh(mesh_cfg)
+        pure = make_train_step(model, den, num_graph, opts, config,
+                               num_frames_out=T_OUT, donate=False, jit=False)
+        params2, net_state2, opt_state2, scale_state2 = init_train_state(
+            model, jax.random.PRNGKey(0), config)
+        sbatch = shard_batch(batch, mesh)
+        sstep, placed = make_sharded_train_step(
+            pure, mesh, model, params2, net_state2, opt_state2, scale_state2,
+            sbatch)
+        p2, ns2, os2, ss2, out2 = sstep(*placed, sbatch, rng)
+
+        np.testing.assert_allclose(float(out1.loss), float(out2.loss),
+                                   rtol=1e-5)
+        for lname in p1:
+            for pname in p1[lname]:
+                np.testing.assert_allclose(
+                    np.asarray(p1[lname][pname]), np.asarray(p2[lname][pname]),
+                    rtol=2e-5, atol=1e-6,
+                    err_msg=f"{lname}/{pname} mismatch under {mesh_cfg}")
+        # grid-layer BN statistics (pool grid frames only) must agree
+        leaves1, treedef1 = jax.tree_util.tree_flatten(ns1)
+        leaves2, treedef2 = jax.tree_util.tree_flatten(ns2)
+        assert treedef1 == treedef2
+        for a, b in zip(leaves1, leaves2):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=5e-7,
+                err_msg=f"net_state mismatch under {mesh_cfg}")
+
+    def test_grid_vs_fullrate_differ(self):
+        """Sanity: the grid program is actually a different program (grid
+        BN stats), so the parity above is not vacuous."""
+        from dataclasses import replace
+        model, den, num_graph, batch, config = _setup_grid()
+        opts = ChainTrainingOpts()
+        params, net_state, opt_state, scale_state = init_train_state(
+            model, jax.random.PRNGKey(0), config)
+        rng = jax.random.PRNGKey(5)
+        step_g = make_train_step(model, den, num_graph, opts, config,
+                                 num_frames_out=T_OUT, donate=False)
+        step_f = make_train_step(model, den, num_graph, opts,
+                                 replace(config, grid_subsample=False),
+                                 num_frames_out=T_OUT, donate=False)
+        _, ns_g, _, _, out_g = step_g(params, net_state, opt_state,
+                                      scale_state, batch, rng)
+        _, ns_f, _, _, out_f = step_f(params, net_state, opt_state,
+                                      scale_state, batch, rng)
+        # train-mode BN pools grid frames only on the grid program, so the
+        # accumulated statistics must differ from the full-rate program's
+        flat_g = jax.tree_util.tree_leaves(ns_g)
+        flat_f = jax.tree_util.tree_leaves(ns_f)
+        assert any(not np.allclose(np.asarray(a), np.asarray(b))
+                   for a, b in zip(flat_g, flat_f)), (
+            "grid and full-rate programs produced identical BN state -- "
+            "the grid path is not active")
+
+
 def test_multi_step_stability():
     """Several sharded steps in a row keep improving the objective."""
     model, den, num_graph, batch, config = _setup()

@@ -72,6 +72,13 @@ def main():
     ap.add_argument("--xconfig", default=None,
                     help="default: a small tdnnf recipe written into "
                          "workdir")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="training seed (init/shuffle) for BOTH arms — "
+                         "run several seeds to separate a real "
+                         "trajectory effect from seed noise")
+    ap.add_argument("--data-seed", type=int, default=0,
+                    help="synthetic-egs generation seed (new workdir "
+                         "per data seed, or the cached egs are reused)")
     args = ap.parse_args()
 
     os.makedirs(args.workdir, exist_ok=True)
@@ -86,6 +93,7 @@ def main():
              "--den-states", str(args.den_states),
              "--frames-in", str(args.frames_in),
              "--frames-out", str(args.frames_out),
+             "--seed", str(args.data_seed),
              "--den-topology", "phone-lm"],
             os.path.join(args.workdir, "egs.log"))
 
@@ -129,7 +137,8 @@ output-layer name=output dim={args.pdfs} include-log-softmax=false
              "--epochs", str(args.epochs), "--batch", str(args.batch),
              "--lr", str(args.lr), "--momentum", "0.5",
              "--metrics", metrics,
-             "--seed", "0"] + extra + (["--cpu"] if args.cpu else []),
+             "--seed", str(args.seed)] + extra
+            + (["--cpu"] if args.cpu else []),
             os.path.join(args.workdir, f"train_{mode}.log"))
         rows = [r for r in read_metrics(metrics) if "objf_per_frame" in r]
         result["runs"][mode] = {

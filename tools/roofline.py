@@ -70,7 +70,14 @@ def main():
                     help="bf16 MXU peak of the chip (v5e default)")
     ap.add_argument("--peak-gbs", type=float, default=819.0,
                     help="HBM bandwidth peak (v5e default)")
-    ap.add_argument("--stages", default="fwd,bwd,den,step")
+    ap.add_argument("--stages", default="fwd,bwd,den,num,step")
+    ap.add_argument("--topology", choices=["phone-lm", "random"],
+                    default="phone-lm",
+                    help="phone-lm (default) = the production den.fst "
+                         "class, which decomposes into the STRUCTURED "
+                         "den layout (the promoted path); random = "
+                         "locality-free graph that falls back to the "
+                         "generic blocked path")
     ap.add_argument("--iters", type=int, default=5)
     args = ap.parse_args()
     stages = set(args.stages.split(","))
@@ -115,14 +122,22 @@ def main():
         )
         S, A, An = 7052, 113380, 256
         T_out = 49
-        dst = np.sort(rng.integers(0, S, size=A).astype(np.int32))
-        graph = DenominatorGraph(
-            src=rng.integers(0, S, size=A).astype(np.int32), dst=dst,
-            pdf=rng.integers(0, P, size=A).astype(np.int32),
-            prob=rng.uniform(0.1, 1.0, size=A).astype(np.float32),
-            initial=(lambda v: v / v.sum())(
-                rng.uniform(0, 1, S).astype(np.float32)),
-            num_states=S, num_pdfs=P, start_state=0)
+        if args.topology == "phone-lm":
+            from kaldi_fp16_tpu.chain.graph import make_phone_lm_den_fst
+            kw = {} if P >= 3080 else dict(
+                num_phones=max(2, P // 2), states_per_phone=2,
+                branching=min(8, max(2, P // 4)))
+            graph = DenominatorGraph.from_fst(
+                make_phone_lm_den_fst(num_pdfs=P, **kw), P)
+        else:
+            dst = np.sort(rng.integers(0, S, size=A).astype(np.int32))
+            graph = DenominatorGraph(
+                src=rng.integers(0, S, size=A).astype(np.int32), dst=dst,
+                pdf=rng.integers(0, P, size=A).astype(np.int32),
+                prob=rng.uniform(0.1, 1.0, size=A).astype(np.float32),
+                initial=(lambda v: v / v.sum())(
+                    rng.uniform(0, 1, S).astype(np.float32)),
+                num_states=S, num_pdfs=P, start_state=0)
         den = DenominatorComputation(graph, leaky=1e-5)
         x_out = jnp.asarray(
             rng.normal(size=(B, T_out, P)).astype(np.float32) * 0.1)
