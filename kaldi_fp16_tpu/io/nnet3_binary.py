@@ -63,13 +63,25 @@ _INT_TAGS = {
     "<NumFiltersOut>", "<HeightIn>", "<HeightOut>", "<NumHeads>",
     "<KeyDim>", "<ValueDim>", "<RankIn>", "<RankOut>", "<Rank>",
     "<UpdatePeriod>", "<NumRepeats>", "<NumBlocks>",
+    # first value of Kaldi's two-int <RankInOut> (the second, untagged
+    # int is typed by the payload heuristic)
+    "<RankInOut>",
 }
 
 # tags whose payload is Kaldi WriteIntegerVector: sized count then the
 # RAW int32 array (no per-element size bytes)
 _INTVEC_TAGS = {
-    "<TimeOffsets>", "<RequiredTimeOffsets>", "<Offsets>", "<Context>",
+    "<TimeOffsets>", "<RequiredTimeOffsets>", "<Context>",
     "<ColumnMap>", "<Sizes>", "<Pdfs>",
+}
+
+# tags whose payload is Kaldi WriteIntegerPairVector: sized count = the
+# number of PAIRS, then 2*count raw int32s (kaldi io-funcs-inl.h; used
+# by ConvolutionModel's (time, height) offset list — convolution.cc).
+# Stored flat [t0, h0, t1, h1, ...] with kind 'intpairvec' so the writer
+# re-emits the pair-vector framing, not a flat WriteIntegerVector.
+_INTPAIRVEC_TAGS = {
+    "<Offsets>",
 }
 
 
@@ -119,7 +131,9 @@ class BinaryComponent:
 
     @property
     def int_vectors(self) -> Dict[str, np.ndarray]:
-        return self._view(("intvec",))
+        # pair vectors are exposed flat [t0, h0, t1, h1, ...] — the
+        # consumers (to_kaldi_components) re-pair them
+        return self._view(("intvec", "intpairvec"))
 
     @property
     def flags(self) -> Tuple[str, ...]:
@@ -144,8 +158,24 @@ class BinaryComponent:
     def set_intvec(self, tag: str, v: np.ndarray) -> None:
         self.items.append((tag, "intvec", np.asarray(v, np.int32)))
 
+    def set_intpairvec(self, tag: str, flat: np.ndarray) -> None:
+        a = np.asarray(flat, np.int32)
+        assert a.size % 2 == 0, "pair vector needs an even flat length"
+        self.items.append((tag, "intpairvec", a))
+
+    def set_double(self, tag: str, v: float) -> None:
+        self.items.append((tag, "double", float(v)))
+
     def set_flag(self, tag: str) -> None:
         self.items.append((tag, "flag", None))
+
+    # untagged values: Kaldi writes some tags with TWO payloads
+    # (<AlphaInOut> f f, <RankInOut> i i); the second rides tag None
+    def append_untagged_float(self, v: float) -> None:
+        self.items.append((None, "float", float(v)))
+
+    def append_untagged_int(self, v: int) -> None:
+        self.items.append((None, "int", int(v)))
 
 
 @dataclass
@@ -274,12 +304,23 @@ def read_component(r: BinaryReader) -> BinaryComponent:
                 comp.items.append((pending, "intvec", _read_intvec(r)))
                 pending = None
                 continue
+            if pending in _INTPAIRVEC_TAGS:
+                n = r.read_basic_int()
+                if n < 0 or n > 50_000_000:
+                    raise ValueError(
+                        f"implausible integer-pair-vector length {n}")
+                raw = r.read_bytes(n * 8)
+                comp.items.append(
+                    (pending, "intpairvec",
+                     np.frombuffer(raw, dtype=np.int32).copy()))
+                pending = None
+                continue
             r.read_byte()
             raw4 = r.read_bytes(4)
             iv = struct.unpack("<i", raw4)[0]
             if pending in _INT_TAGS:
                 comp.items.append((pending, "int", iv))
-            elif (pending is not None and not _plausible_float(raw4)
+            elif (not _plausible_float(raw4)
                   and -100_000_000 < iv < 100_000_000):
                 # unknown tag whose bits are not a sane float but ARE a
                 # sane int (counts/dims): int is the safer interpretation;
@@ -328,6 +369,13 @@ def _write_item(w: BinaryWriter, tag: Optional[str], kind: str,
         a = np.ascontiguousarray(v, np.int32)
         w.write_byte(4)
         w.write_bytes(struct.pack("<i", len(a)))
+        w.write_bytes(a.tobytes())
+    elif kind == "intpairvec":
+        # Kaldi WriteIntegerPairVector: count = #pairs, then 2*count raw
+        # int32s (io-funcs-inl.h)
+        a = np.ascontiguousarray(v, np.int32)
+        w.write_byte(4)
+        w.write_bytes(struct.pack("<i", len(a) // 2))
         w.write_bytes(a.tobytes())
     elif kind == "vector":
         a = np.ascontiguousarray(v, np.float32)
@@ -559,51 +607,79 @@ def components_from_text(components: Dict) -> List[BinaryComponent]:
             bc.set_float("<Epsilon>", kc.epsilon or 1.0e-3)
             bc.set_float("<TargetRms>", kc.target_rms or 1.0)
             bc.set_bool("<TestMode>", False)
-            bc.set_float("<Count>", kc.count)
+            # count_ is a double in Kaldi (nnet-normalize-component.h),
+            # written as an 8-byte WriteBasicType<double>
+            bc.set_double("<Count>", kc.count)
             bc.set_vector("<StatsMean>", kc.stats_mean)
             if kc.stats_var is not None:
                 bc.set_vector("<StatsVar>", kc.stats_var)
         elif (kc.type == "TimeHeightConvolutionComponent"
               and kc.linear_params is not None):
-            # Kaldi's Write(): WriteUpdatableCommon, ConvolutionModel
-            # (<NumFiltersIn> <NumFiltersOut> <HeightIn> <HeightOut>
-            # <HeightSubsampleOut> <Offsets> <RequiredTimeOffsets>),
-            # <Params>, <BiasParams> (ref: Kaldi
-            # nnet-convolutional-component.cc).  The offset lists come
-            # from the text bridge's "<Offsets> [ t,h ... ]" (which
-            # export_weights_text emits and parse_nnet3_text carries;
-            # weight_loader.go:617-728 never parses them, so a model
+            # Kaldi's Write() (nnet-convolutional-component.cc):
+            # WriteUpdatableCommon, then ConvolutionModel::Write
+            # (convolution.cc: <ConvolutionModel> <NumFiltersIn>
+            # <NumFiltersOut> <HeightIn> <HeightOut> <HeightSubsampleOut>
+            # <Offsets> [pair vector] <RequiredTimeOffsets> [int vector]
+            # </ConvolutionModel>), then <LinearParams> <BiasParams>
+            # <MaxMemoryMb> and the natural-gradient tail
+            # <UseNaturalGradient> <NumMinibatchesHistory> <AlphaInOut>
+            # (two floats) <RankInOut> (two ints) — ExpectToken-required
+            # by Kaldi's Read.  The <Model> token before the block is
+            # pinned by the captured text fixture
+            # (tests/test_kaldi_loader.py FIXTURE cnn1.conv line, a
+            # mirror of real nnet3-copy output).  The offset lists come
+            # from the text
+            # bridge's "<Offsets> [ t,h ... ]" (export_weights_text emits
+            # them; weight_loader.go:617-728 never parses them, so a model
             # imported THROUGH the reference's text dialect has none —
-            # then the tags are omitted and the model is PARTIAL).
-            # <Offsets> is encoded as this repo's intvec (flat
-            # [t0,h0,t1,h1,...]); our reader round-trips it.
+            # then the ConvolutionModel block is omitted and the
+            # component is PARTIAL, readable by this repo only).
             updatable_prologue(bc, kc)
-            bc.set_int("<NumFiltersIn>", kc.num_filters_in)
-            bc.set_int("<NumFiltersOut>", kc.num_filters_out)
-            bc.set_int("<HeightIn>", kc.height_in)
-            bc.set_int("<HeightOut>", kc.height_out)
             if kc.offsets:
+                bc.set_flag("<Model>")
+                bc.set_flag("<ConvolutionModel>")
+                bc.set_int("<NumFiltersIn>", kc.num_filters_in)
+                bc.set_int("<NumFiltersOut>", kc.num_filters_out)
+                bc.set_int("<HeightIn>", kc.height_in)
+                bc.set_int("<HeightOut>", kc.height_out)
                 bc.set_int("<HeightSubsampleOut>", kc.height_subsample or 1)
-                bc.set_intvec("<Offsets>",
-                              np.asarray([v for th in kc.offsets for v in th],
-                                         np.int32))
+                bc.set_intpairvec(
+                    "<Offsets>",
+                    np.asarray([v for th in kc.offsets for v in th],
+                               np.int32))
                 bc.set_intvec("<RequiredTimeOffsets>",
                               np.asarray(sorted({t for t, _ in kc.offsets}),
                                          np.int32))
-            bc.set_matrix("<Params>", kc.linear_params)
+                bc.set_flag("</ConvolutionModel>")
+            else:
+                bc.set_int("<NumFiltersIn>", kc.num_filters_in)
+                bc.set_int("<NumFiltersOut>", kc.num_filters_out)
+                bc.set_int("<HeightIn>", kc.height_in)
+                bc.set_int("<HeightOut>", kc.height_out)
+            bc.set_matrix("<LinearParams>", kc.linear_params)
             bc.set_vector("<BiasParams>",
                           kc.bias_params if kc.bias_params is not None
                           else np.zeros(kc.linear_params.shape[0],
                                         np.float32))
+            if kc.offsets:
+                bc.set_float("<MaxMemoryMb>", 200.0)
+                bc.set_bool("<UseNaturalGradient>", True)
+                bc.set_float("<NumMinibatchesHistory>", 4.0)
+                bc.set_float("<AlphaInOut>", 4.0)
+                bc.append_untagged_float(4.0)
+                bc.set_int("<RankInOut>", 20)
+                bc.append_untagged_int(80)
         elif kc.type == "TdnnComponent" and kc.linear_params is not None:
-            # Kaldi's Write(): WriteUpdatableCommon, <TimeOffsets>,
-            # <LinearParams>, <BiasParams> (present only when the
-            # component has a bias), <OrthonormalConstraint>,
-            # <UseNaturalGradient> (ref: Kaldi nnet-tdnn-component.cc).
-            # <TimeOffsets> comes from the text bridge's
-            # "<TimeOffsets> [ t ... ]" (export_weights_text emits it;
-            # the reference's text dialect has none — then the tag is
-            # omitted and the component is PARTIAL, as before).
+            # Kaldi's Write() (nnet-tdnn-component.cc):
+            # WriteUpdatableCommon, <TimeOffsets>, <LinearParams>,
+            # <BiasParams> (present only when the component has a bias),
+            # <OrthonormalConstraint>, <UseNaturalGradient>, then the
+            # natural-gradient tail <NumSamplesHistory> <AlphaInOut>
+            # (two floats) <RankInOut> (two ints) — ExpectToken-required
+            # by Kaldi's Read.  <TimeOffsets> comes from the text
+            # bridge's "<TimeOffsets> [ t ... ]" (export_weights_text
+            # emits it; the reference's text dialect has none — then the
+            # tag is omitted and the component is PARTIAL, as before).
             updatable_prologue(bc, kc)
             if kc.time_offsets:
                 bc.set_intvec("<TimeOffsets>",
@@ -613,6 +689,12 @@ def components_from_text(components: Dict) -> List[BinaryComponent]:
                 bc.set_vector("<BiasParams>", kc.bias_params)
             bc.set_float("<OrthonormalConstraint>", 0.0)
             bc.set_bool("<UseNaturalGradient>", True)
+            if kc.time_offsets:
+                bc.set_float("<NumSamplesHistory>", 2000.0)
+                bc.set_float("<AlphaInOut>", 4.0)
+                bc.append_untagged_float(4.0)
+                bc.set_int("<RankInOut>", 20)
+                bc.append_untagged_int(80)
         elif kc.type == "RestrictedAttentionComponent":
             # Kaldi's Write(): <NumHeads> <KeyDim> <ValueDim> ...context
             # ints... <KeyScale> <StatsCount> (ref: Kaldi

@@ -288,9 +288,12 @@ class TestCanonicalTokenSequences:
     """components_from_text must emit each component family's tags in
     Kaldi's ExpectToken Write() order (zero-valued required tags
     included) so order-strict real-Kaldi readers can consume the
-    affine/linear/batchnorm output; conv/tdnn/attention are canonical
-    but PARTIAL (the text bridge carries no offset lists — documented
-    in the emitter)."""
+    output.  With offset lists present (the text bridge carries them
+    since r4) conv/tdnn emit the COMPLETE grammar incl. the
+    ConvolutionModel block and natural-gradient tails; without them the
+    components stay PARTIAL (readable by this repo only), as documented
+    in the emitter.  tests/test_foreign_bytes.py pins the same grammar
+    against hand-built byte streams."""
 
     @staticmethod
     def _tags(kc):
@@ -343,11 +346,14 @@ class TestCanonicalTokenSequences:
                       height_in=0, height_out=0)   # zeros still emitted
         assert self._tags(kc) == [
             "<LearningRate>", "<NumFiltersIn>", "<NumFiltersOut>",
-            "<HeightIn>", "<HeightOut>", "<Params>", "<BiasParams>"]
+            "<HeightIn>", "<HeightOut>", "<LinearParams>", "<BiasParams>"]
 
     def test_conv_sequence_with_offsets(self):
-        # offsets present (our own text dialect) -> the full
-        # ConvolutionModel tag run in Kaldi's Write() order
+        # offsets present -> the COMPLETE TimeHeightConvolutionComponent
+        # Write() grammar: <Model> + ConvolutionModel block (pair-vector
+        # <Offsets>), params, and the natural-gradient tail with the
+        # two-payload <AlphaInOut>/<RankInOut> tags (the second value of
+        # each rides an untagged item)
         kc = self._kc(name="c", type="TimeHeightConvolutionComponent",
                       linear_params=np.ones((8, 6), np.float32),
                       num_filters_in=2, num_filters_out=8,
@@ -355,11 +361,16 @@ class TestCanonicalTokenSequences:
                       offsets=[(-1, 0), (-1, 1), (0, 0), (0, 1)])
         [bc] = components_from_text({kc.name: kc})
         assert [t for t, _, _ in bc.items] == [
-            "<LearningRate>", "<NumFiltersIn>", "<NumFiltersOut>",
+            "<LearningRate>", "<Model>", "<ConvolutionModel>",
+            "<NumFiltersIn>", "<NumFiltersOut>",
             "<HeightIn>", "<HeightOut>", "<HeightSubsampleOut>",
-            "<Offsets>", "<RequiredTimeOffsets>", "<Params>",
-            "<BiasParams>"]
+            "<Offsets>", "<RequiredTimeOffsets>", "</ConvolutionModel>",
+            "<LinearParams>", "<BiasParams>", "<MaxMemoryMb>",
+            "<UseNaturalGradient>", "<NumMinibatchesHistory>",
+            "<AlphaInOut>", None, "<RankInOut>", None]
         assert bc.int_vectors["<Offsets>"].tolist() == [-1, 0, -1, 1, 0, 0, 0, 1]
+        assert dict(
+            (t, k) for t, k, _ in bc.items)["<Offsets>"] == "intpairvec"
         assert bc.int_vectors["<RequiredTimeOffsets>"].tolist() == [-1, 0]
         assert bc.ints["<HeightSubsampleOut>"] == 1
 
@@ -380,7 +391,8 @@ class TestCanonicalTokenSequences:
         assert [t for t, _, _ in bc.items] == [
             "<LearningRate>", "<TimeOffsets>", "<LinearParams>",
             "<BiasParams>", "<OrthonormalConstraint>",
-            "<UseNaturalGradient>"]
+            "<UseNaturalGradient>", "<NumSamplesHistory>",
+            "<AlphaInOut>", None, "<RankInOut>", None]
         assert bc.int_vectors["<TimeOffsets>"].tolist() == [-3, 0]
 
     def test_tdnn_no_bias_sequence(self):
