@@ -91,6 +91,14 @@ class CheckpointManager:
                  if f.startswith("ckpt_")]  # pragma: no cover
         return max(steps) if steps else None  # pragma: no cover
 
+    def all_steps(self) -> list:
+        """Retained checkpoint steps, ascending (bounded by max_to_keep
+        — size it >= N when averaging the last N models)."""
+        if self._mgr is not None:
+            return sorted(self._mgr.all_steps())
+        return sorted(int(f[5:-4]) for f in os.listdir(self.directory)
+                      if f.startswith("ckpt_"))  # pragma: no cover
+
     def restore(self, step: Optional[int], params, net_state, opt_state,
                 scale_state):
         """Restore into the given template structures.  Returns

@@ -380,3 +380,107 @@ def init_train_state(model: Model, key, config: TrainConfig = TrainConfig()):
             }
     scale_state = init_loss_scale() if config.use_loss_scaling else init_loss_scale(1.0)
     return params, net_state, opt_state, scale_state
+
+
+class EvalStepOutput(NamedTuple):
+    objf_per_frame: jnp.ndarray
+    num_logprob: jnp.ndarray
+    den_logprob: jnp.ndarray
+    xent_objf: jnp.ndarray
+    weight_frames: jnp.ndarray
+    ok: jnp.ndarray
+
+
+def make_eval_step(model: Model,
+                   den: DenominatorComputation,
+                   chain_opts: ChainTrainingOpts = ChainTrainingOpts(),
+                   config: TrainConfig = TrainConfig(),
+                   num_frames_out: Optional[int] = None,
+                   jit: bool = True):
+    """Held-out diagnostic step — the `nnet3-chain-compute-prob` analog
+    (Kaldi's training recipes run it per iteration on train_diagnostic
+    and valid_diagnostic egs; the reference had no equivalent — its
+    trained-model objf baseline ~-0.17/frame in BASELINE.md came from
+    Kaldi's own compute_prob logs).
+
+    Forward runs in EVAL mode: BatchNorm uses accumulated (running)
+    stats and SpecAugment/dropout are off — matching compute-prob's
+    defaults `--batchnorm-test-mode=true --dropout-test-mode=true`
+    (kaldi nnet3-chain-compute-prob.cc).  No derivative, no state or
+    parameter updates.  Graph-in-args like the Trainer's train step so
+    one compilation serves every batch of a bucket geometry.
+
+    step(params, net_state, batch, arc_src, arc_dst, arc_pdf, arc_logw,
+         arc_mask, start, final_logw, left_context) -> EvalStepOutput
+    """
+    dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32
+    xent_regularize = config.xent_regularize or chain_opts.xent_regularize
+
+    def step(params, net_state, batch, arc_src, arc_dst, arc_pdf,
+             arc_logw, arc_mask, start, final_logw, left_context):
+        g = NumeratorGraphBatch(
+            arc_src=arc_src, arc_dst=arc_dst, arc_pdf=arc_pdf,
+            arc_logw=arc_logw, arc_mask=arc_mask, start=start,
+            final_logw=final_logw, num_states=final_logw.shape[1],
+            num_arcs=arc_src.shape[1])
+        objf_fn = make_chain_objf_with_post(g, den, chain_opts)
+
+        feats = batch["features"]
+        ivecs = batch.get("ivectors")
+        weights = batch.get("weights")
+        dws = batch.get("deriv_weights")
+        B, T_in, _ = feats.shape
+        stride = config.frame_subsampling_factor
+        n_out = num_frames_out or (
+            T_in - config.left_context + stride - 1) // stride
+        if weights is None:
+            weights = jnp.ones(B, jnp.float32)
+        dws_arg = (jnp.ones((B, n_out), jnp.float32) if dws is None
+                   else dws.astype(jnp.float32))
+
+        # same frame-grid geometry as the train step (train_step.py
+        # step_body); in eval mode interior grid frames are bit-equal to
+        # the full-rate program (tests/test_grid_subsample.py)
+        grid = (grid_layers(model, stride) if config.grid_subsample
+                else frozenset())
+        chain_head_name = model.chain_output().name
+        use_grid = chain_head_name in grid
+        n_grid = (T_in - stride) // stride + 1 if use_grid else 0
+        if use_grid and n_out > n_grid:
+            use_grid, grid, n_grid = False, frozenset(), 0
+        time_subsample = ((stride, left_context % stride, n_grid)
+                          if use_grid else None)
+
+        def pick_frames(full, on_grid=False):
+            if on_grid:
+                return jax.lax.dynamic_slice_in_dim(
+                    full, left_context // stride, n_out, axis=1)
+            sl = jax.lax.dynamic_slice_in_dim(
+                full, left_context, (n_out - 1) * stride + 1, axis=1)
+            return sl[:, ::stride]
+
+        outs, _ = forward(model, params, net_state, feats, ivecs,
+                          train=False, compute_dtype=dtype,
+                          time_subsample=time_subsample)
+        out = pick_frames(outs[chain_head_name].astype(jnp.float32),
+                          on_grid=use_grid)
+        objf, result, num_post = objf_fn(out, weights, dws_arg)
+
+        xent_objf = jnp.zeros((), jnp.float32)
+        xent_layer = model.xent_output()
+        if xent_regularize > 0 and xent_layer is not None:
+            xent = pick_frames(outs[xent_layer.name].astype(jnp.float32),
+                               on_grid=xent_layer.name in grid)
+            xent = xent * dws_arg[:, :, None]
+            xent_objf = jnp.sum(weights[:, None, None] * num_post * xent)
+
+        w_frames = jnp.sum(weights) * n_out
+        return EvalStepOutput(
+            objf_per_frame=result.objf_per_frame,
+            num_logprob=result.num_logprob.mean(),
+            den_logprob=result.den_logprob.mean(),
+            xent_objf=xent_objf,
+            weight_frames=w_frames,
+            ok=result.ok.all())
+
+    return jax.jit(step) if jit else step

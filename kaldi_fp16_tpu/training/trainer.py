@@ -250,6 +250,47 @@ class Trainer:
         self._flush_pending()
         return self._metrics
 
+    def eval_batch(self, batch: ChainBatch):
+        """Held-out diagnostic on one batch (compute_prob analog): eval
+        -mode forward + chain objf, no updates.  Returns the device
+        EvalStepOutput (async — stack them and device_get in bulk)."""
+        self._validate_geometry(batch)
+        key = ("eval", batch.features.shape, batch.frames_per_seq,
+               batch.num_graph.num_states, batch.num_graph.num_arcs)
+        if key not in self._steps:
+            from kaldi_fp16_tpu.training.train_step import make_eval_step
+            self._steps[key] = make_eval_step(
+                self.model, self.den, self.chain_opts, self.config,
+                num_frames_out=batch.frames_per_seq)
+        arrays, graph_args = self.place_batch(batch)
+        return self._steps[key](self.params, self.net_state, arrays,
+                                *graph_args,
+                                jnp.asarray(batch.left_context, jnp.int32))
+
+    def eval_epoch(self, batches):
+        """Weighted objf/frame + xent over a held-out set (one pass).
+        Returns dict(objf_per_frame, num_logprob, den_logprob,
+        xent_objf, frames, batches) — the per-epoch 'valid' diagnostic
+        line Kaldi prints from compute_prob_valid.*.log."""
+        outs = [self.eval_batch(b) for b in batches]
+        if not outs:
+            return None
+        vals = jax.device_get([(o.objf_per_frame, o.num_logprob,
+                                o.den_logprob, o.xent_objf,
+                                o.weight_frames) for o in outs])
+        tot_w = sum(float(v[4]) for v in vals)
+        if tot_w == 0:
+            return None
+        return {
+            "objf_per_frame": sum(float(v[0]) * float(v[4])
+                                  for v in vals) / tot_w,
+            "num_logprob": float(np.mean([v[1] for v in vals])),
+            "den_logprob": float(np.mean([v[2] for v in vals])),
+            "xent_objf": float(np.sum([v[3] for v in vals])),
+            "frames": tot_w,
+            "batches": len(vals),
+        }
+
     def train_epoch(self, batches, log_every: int = 0,
                     log_fn=print) -> TrainerMetrics:
         """Pipelined epoch loop: batch i+1 is uploaded (device_put, async)

@@ -79,7 +79,20 @@ def main():
                          "--prefetch overlap")
     ap.add_argument("--ckpt-dir")
     ap.add_argument("--ckpt-every", type=int, default=500)
+    ap.add_argument("--ckpt-keep", type=int, default=3,
+                    help="checkpoints retained (size >= --average-last)")
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--valid-egs",
+                    help="held-out cegs glob: per-epoch valid objf/frame "
+                         "diagnostics (compute_prob analog — eval-mode "
+                         "forward, no updates; Kaldi baseline for a "
+                         "trained model: ~-0.17/frame, BASELINE.md)")
+    ap.add_argument("--average-last", type=int, default=0,
+                    help="after training, average the params of the last "
+                         "N checkpoints (Kaldi final-model combination's "
+                         "equal-weight analog) and save as the final "
+                         "model; reports valid objf for both when "
+                         "--valid-egs is given")
     ap.add_argument("--metrics")
     ap.add_argument("--log-every", type=int, default=10)
     ap.add_argument("--steps-per-epoch", type=int, default=0,
@@ -173,7 +186,36 @@ def main():
                       seed=args.seed, fst_pad_states=args.fst_pad_states,
                       fst_pad_arcs=args.fst_pad_arcs, mesh=mesh)
 
-    mgr = CheckpointManager(args.ckpt_dir) if args.ckpt_dir else None
+    mgr = (CheckpointManager(args.ckpt_dir,
+                             max_to_keep=max(args.ckpt_keep,
+                                             args.average_last))
+           if args.ckpt_dir else None)
+    if args.average_last > 1 and not mgr:
+        sys.exit("error: --average-last needs --ckpt-dir")
+
+    def run_valid(tag="valid"):
+        """One eval pass over --valid-egs; logs+returns objf/frame."""
+        if not args.valid_egs:
+            return None
+        v_cfg = DataLoaderConfig(batch_size=args.batch,
+                                 label_dim=args.pdfs,
+                                 shuffle_files=False,
+                                 max_fst_states=args.fst_pad_states,
+                                 max_fst_arcs=args.fst_pad_arcs)
+        res = trainer.eval_epoch(DataLoader(args.valid_egs, v_cfg))
+        if res is None:
+            print(f"warning: no full batches in --valid-egs "
+                  f"{args.valid_egs!r} at --batch {args.batch}")
+            return None
+        print(f"{tag} objf/frame={res['objf_per_frame']:.4f} "
+              f"num={res['num_logprob']:.4f} den={res['den_logprob']:.4f} "
+              f"({res['batches']} batches, {res['frames']:.0f} frames)")
+        if metrics:
+            metrics.log(trainer.global_step,
+                        **{f"{tag}_objf_per_frame": res["objf_per_frame"],
+                           f"{tag}_num": res["num_logprob"],
+                           f"{tag}_den": res["den_logprob"]})
+        return res["objf_per_frame"]
     start_epoch = 0
     skip_batches = 0   # fast-forward count for the first resumed epoch
     if args.resume and mgr and mgr.latest_step() is not None:
@@ -277,11 +319,48 @@ def main():
                 batches.close()  # stop producers on early break
         print(f"epoch {epoch}: avg objf/frame = {np.mean(epoch_objf):.4f}  "
               f"{timer.summary()}")
+        run_valid()
 
     if mgr:
         mgr.save(trainer.global_step, trainer.params, trainer.net_state,
                  trainer.opt_state, trainer.scale_state,
                  DataPosition(epoch=args.epochs, rng_key=trainer.rng_key))
+
+    if args.average_last > 1 and mgr:
+        # Kaldi-style final-model combination, equal-weight analog:
+        # average the PARAMS of the last N retained checkpoints (BN
+        # stats / optimizer state stay the final model's — averaging
+        # momentum or Fisher factors has no Kaldi meaning)
+        steps = mgr.all_steps()[-args.average_last:]
+        if len(steps) < 2:
+            print(f"--average-last {args.average_last}: only "
+                  f"{len(steps)} checkpoints retained, skipping")
+        else:
+            final_valid = run_valid("final")
+            acc = None
+            for s in steps:
+                p_s = mgr.restore(s, trainer.params, trainer.net_state,
+                                  trainer.opt_state, trainer.scale_state)[0]
+                acc = (p_s if acc is None else jax.tree_util.tree_map(
+                    lambda a, b: a + b, acc, p_s))
+            trainer.params = jax.tree_util.tree_map(
+                lambda a: (a / len(steps)).astype(a.dtype), acc)
+            trainer.place_states()
+            print(f"averaged params over checkpoints {steps}")
+            avg_valid = run_valid("averaged")
+            if (final_valid is not None and avg_valid is not None
+                    and avg_valid < final_valid):
+                print("note: averaged model scored below the final model "
+                      "on valid — keeping the averaged save anyway "
+                      "(pick by the metrics log)")
+            mgr.save(trainer.global_step + 1, trainer.params,
+                     trainer.net_state, trainer.opt_state,
+                     trainer.scale_state,
+                     DataPosition(epoch=args.epochs,
+                                  rng_key=trainer.rng_key))
+            print(f"averaged model saved as step {trainer.global_step + 1}")
+
+    if mgr:
         mgr.close()
     if metrics:
         metrics.close()
