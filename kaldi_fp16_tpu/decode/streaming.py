@@ -49,7 +49,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from kaldi_fp16_tpu.decode.tpu_viterbi import (
-    NEG_INF, ArcGraph, _arc_viterbi_chunk,
+    NEG_INF, ArcGraph, TreeEllGraph, _arc_viterbi_chunk,
+    _tree_viterbi_chunk,
 )
 
 
@@ -263,6 +264,205 @@ class StreamingDecoder:
         last = total.argmax(axis=0).astype(np.int32)
         arcs = self._traceback(st, last)
         return self._results(best, arcs)
+
+
+# ---------------------------------------------------------------------------
+# HCLG-scale streaming: windowed commits
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class WindowedDecoderState:
+    score: jnp.ndarray          # [S, B] carried Viterbi front
+    bps: tuple                  # DEVICE int32 [C_i, S, B] window chunks
+    frames: int                 # total frames fed
+    committed: tuple            # HOST np int32 [F_j, B] locked arc ids
+
+    @property
+    def window_frames(self) -> int:
+        return sum(int(b.shape[0]) for b in self.bps)
+
+    @property
+    def committed_frames(self) -> int:
+        return sum(int(c.shape[0]) for c in self.committed)
+
+
+class WindowedStreamingDecoder:
+    """Streaming Viterbi for HCLG-scale graphs with BOUNDED device
+    memory: a sliding `window`-frame backpointer buffer with traceback-
+    delay commits (VERDICT r4 item 3; StreamingDecoder grows T*S*B*4
+    bytes with stream length — 3-26 GB at S=100K serving shapes).
+
+    Mechanics per feed of a C-frame loglike chunk:
+      1. the frame recursion runs on device through the SAME kernels as
+         the offline SparseViterbiDecoder — `_arc_viterbi_chunk` below
+         64K arcs, the capped tree-ELL `_tree_viterbi_chunk` above
+         (the layout that decodes S=100K/390K arcs at 131.8 audio-sec/s
+         offline, docs/PERFORMANCE.md) — appending [C, S, B] winning-arc
+         tables to the window;
+      2. while the window exceeds `window` frames, the decoder traces
+         back from the CURRENT best state over the buffered chunks
+         (device walk, only [C, B] int32 per chunk reaches the host)
+         and COMMITS the arcs of the oldest chunk(s), dropping their
+         backpointer tables.
+
+    Exactness contract (delay-adjusted, pinned by
+    tests/test_streaming.py): frames committed at delay >= `window` are
+    locked from the best path at commit time.  finalize() equals the
+    offline decode_batch EXACTLY whenever every commit-time best path
+    agrees with the final best path over the committed prefix — the
+    standard online-decoding traceback-delay guarantee (Kaldi online2's
+    partial traceback; beams that have converged by `window` frames
+    back never differ).  Under pathological late evidence the committed
+    prefix may differ from offline; the tail (last <= window frames) is
+    always exact.
+
+    Device memory: score [S, B] + at most (window + C) backpointer
+    frames of [S, B] int32 — INDEPENDENT of stream length (e.g. 165 MB
+    at S=100K, B=4, window=96+32, vs 4.8 GB/minute unbounded)."""
+
+    AUTO_TREE_ARCS = 1 << 16
+
+    def __init__(self, graph, acoustic_scale: float = 1.0,
+                 window: int = 96, layout: str = "auto",
+                 tree_max_width: int = 128):
+        self.arcs = ArcGraph.from_graph(graph)
+        a = self.arcs
+        A = len(a.src)
+        if layout == "auto":
+            layout = "tree" if A > self.AUTO_TREE_ARCS else "arc"
+        self.layout = layout
+        self.window = int(window)
+        self._scale = jnp.float32(acoustic_scale)
+        self._final = np.asarray(a.final)
+        self._src_j = jnp.asarray(a.src)
+        self._A = A
+        if layout == "tree":
+            self._tree_dev = jax.tree.map(
+                jnp.asarray,
+                TreeEllGraph.from_arcs(
+                    a, "in", max_width=tree_max_width).device_arrays())
+        else:
+            self._dev = tuple(jnp.asarray(v) for v in
+                              (a.src, a.dst, a.pdf, a.weight))
+
+        src = self._src_j
+
+        @jax.jit
+        def tb_chunk(bps, state):
+            """Reverse walk over one chunk: bps [C, S, B], state [B] ->
+            (state at chunk start [B], arcs [C, B]).  Identical to the
+            offline back_step, so tie-breaks match decode_batch."""
+            def back(st, bp_t):
+                arc = jnp.take_along_axis(bp_t, st[None, :], axis=0)[0]
+                safe = jnp.clip(arc, 0, A - 1)
+                prev = jnp.where(arc < A, jnp.take(src, safe), st)
+                return prev, arc
+            return jax.lax.scan(back, state, bps, reverse=True)
+
+        self._tb_chunk = tb_chunk
+
+    def init(self, batch: int) -> WindowedDecoderState:
+        S = self.arcs.num_states
+        score = jnp.full((S, batch), NEG_INF, jnp.float32)
+        score = score.at[self.arcs.start, :].set(0.0)
+        return WindowedDecoderState(score=score, bps=(), frames=0,
+                                    committed=())
+
+    def _fwd_chunk(self, score, ll):
+        if self.layout == "tree":
+            bsrc, bpdf, bw, barc, levels = self._tree_dev
+            return _tree_viterbi_chunk(bsrc, bpdf, bw, barc, levels,
+                                       score, ll, self._scale,
+                                       num_arcs=self._A)
+        src, dst, pdf, weight = self._dev
+        return _arc_viterbi_chunk(src, dst, pdf, weight, score, ll,
+                                  self._scale,
+                                  num_states=self.arcs.num_states)
+
+    def _window_traceback(self, st: WindowedDecoderState,
+                          last) -> List[np.ndarray]:
+        """Device traceback over the buffered window from `last` [B];
+        returns per-chunk host arc arrays in time order."""
+        state = jnp.asarray(last)
+        out = []
+        for bps in reversed(st.bps):
+            state, arcs = self._tb_chunk(bps, state)
+            out.append(np.asarray(arcs))
+        return out[::-1]
+
+    def feed(self, st: WindowedDecoderState,
+             loglikes) -> WindowedDecoderState:
+        """loglikes [B, C, P].  Runs the recursion, then commits any
+        frames older than `window` via traceback from the current best
+        state."""
+        ll = jnp.asarray(loglikes, jnp.float32)
+        score, bps_new = self._fwd_chunk(st.score, ll)
+        bps = st.bps + (bps_new,)
+        frames = st.frames + int(ll.shape[1])
+        committed = st.committed
+        buffered = sum(int(b.shape[0]) for b in bps)
+        if buffered > self.window:
+            # one traceback commits every chunk that has fully left the
+            # window (chunk-granularity commits keep the walk cost at
+            # one [B]-row gather per buffered frame per feed)
+            last = jnp.argmax(score, axis=0).astype(jnp.int32)
+            tmp = WindowedDecoderState(score=score, bps=bps,
+                                       frames=frames, committed=committed)
+            arcs_by_chunk = self._window_traceback(tmp, last)
+            # drop the oldest chunks while >= `window` frames stay
+            # buffered (so every commit is at traceback delay >= window)
+            sizes = [int(b.shape[0]) for b in bps]
+            n_drop = 0
+            while (n_drop < len(sizes)
+                   and buffered - sum(sizes[:n_drop + 1]) >= self.window):
+                n_drop += 1
+            if n_drop:
+                committed = committed + tuple(arcs_by_chunk[:n_drop])
+                bps = bps[n_drop:]
+        return WindowedDecoderState(score=score, bps=bps, frames=frames,
+                                    committed=committed)
+
+    def _assemble(self, best, committed, tail_arcs) -> List[dict]:
+        arcs_all = ([c for c in committed] + tail_arcs)
+        arcs_taken = (np.concatenate(arcs_all, axis=0) if arcs_all
+                      else np.zeros((0, len(best)), np.int32))
+        A = self._A
+        oks = (best > NEG_INF / 2) & (arcs_taken < A).all(axis=0)
+        safe = np.minimum(arcs_taken, A - 1)
+        il = self.arcs.ilabel[safe]
+        ol = self.arcs.olabel[safe]
+        out = []
+        for b in range(best.shape[0]):
+            ok = bool(oks[b])
+            out.append({"words": ol[:, b][ol[:, b] > 0].tolist()
+                        if ok else [],
+                        "alignment": il[:, b].tolist() if ok else [],
+                        "total_cost": -float(best[b]),
+                        "final_reached": ok})
+        return out
+
+    def partial(self, st: WindowedDecoderState) -> List[dict]:
+        """Committed prefix + current-window best continuation, final
+        weights ignored."""
+        if st.frames == 0:
+            return []
+        score = np.asarray(st.score)
+        last = score.argmax(axis=0).astype(np.int32)
+        tail = self._window_traceback(st, last)
+        res = self._assemble(score.max(axis=0), st.committed, tail)
+        for r in res:
+            r["final_reached"] = False
+        return res
+
+    def finalize(self, st: WindowedDecoderState) -> List[dict]:
+        """Final-weighted traceback of the window appended to the
+        committed prefix."""
+        score = np.asarray(st.score)
+        total = score + self._final[:, None]
+        best = total.max(axis=0)
+        last = total.argmax(axis=0).astype(np.int32)
+        tail = self._window_traceback(st, last)
+        return self._assemble(best, st.committed, tail)
 
 
 # ---------------------------------------------------------------------------

@@ -756,6 +756,26 @@ def _arc_viterbi_chunk(src, dst, pdf, weight, score, loglikes,
     return jax.lax.scan(step, score, ll_tpb)
 
 
+@functools.partial(jax.jit, static_argnames=("num_arcs",))
+def _tree_viterbi_chunk(bsrc, bpdf, bw, barc, levels, score, loglikes,
+                        acoustic_scale, num_arcs: int):
+    """Streaming chunk step over the capped tree-ELL layout: carry
+    `score` [S, B] across calls, loglikes [B, C, P] -> (score' [S, B],
+    bps [C, S, B] winning ArcGraph arc ids).  The frame recursion is
+    _tree_max_step — identical to the offline _tree_viterbi — so a
+    stream fed chunk by chunk reproduces the offline decode exactly.
+    This is what lets the HCLG-scale (>64K-arc) windowed streaming
+    decoder reuse the offline kernels (decode/streaming.py
+    WindowedStreamingDecoder)."""
+    ll_tpb = jnp.transpose(loglikes, (1, 2, 0))          # [C, P, B]
+
+    def step(s, ll_t):
+        return _tree_max_step(bsrc, bpdf, bw, barc, levels, num_arcs,
+                              s, ll_t, acoustic_scale)
+
+    return jax.lax.scan(step, score, ll_tpb)
+
+
 @functools.partial(jax.jit, static_argnames=("num_states",))
 def _arc_viterbi(src, dst, pdf, weight, final, start, loglikes,
                  acoustic_scale, num_states: int):
