@@ -1409,6 +1409,27 @@ def _lattice_masks_tree_ckpt(tin, tout, rstate, final_cost, start,
     return packed, best
 
 
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _compact_nonzero_bytes(packed, cap: int):
+    """Device-side compaction of the packed keep-mask BEFORE transfer
+    (VERDICT r4 item 4): kept bits are ~0.1-5% dense at real lattice
+    beams, so shipping the full [T, nbytes, B] byte tensor (143 MB at
+    S=100K, B=8, T=300) wastes the D2H link on zeros — on the tunneled
+    backend that transfer WAS the lattice decode (docs/PERFORMANCE.md:
+    1.9 audio-sec/s with ~60 of 92 s in mask D2H at B=64).
+
+    Returns (idx [cap] int32 flat indices into packed.reshape(-1),
+    vals [cap] uint8, count [] int32).  count > cap means overflow —
+    the caller falls back to the dense transfer (correctness is never
+    beam-dependent).  Cost on device: one != + cumsum-based nonzero
+    over T*nbytes*B u8 elements — bandwidth-bound milliseconds."""
+    flat = packed.reshape(-1)
+    nz = flat != 0
+    count = nz.sum().astype(jnp.int32)
+    idx = jnp.nonzero(nz, size=cap, fill_value=0)[0].astype(jnp.int32)
+    return idx, flat[idx], count
+
+
 class DeviceLatticeDecoder:
     """Exact beam-pruned lattice generation on device for epsilon-free
     graphs; host assembly into decode.lattice.Lattice objects.
@@ -1416,12 +1437,23 @@ class DeviceLatticeDecoder:
     (capped multi-level scatter-free reductions) above — same rationale
     as SparseViterbiDecoder; layout='ell' is the uncapped scatter-free
     opt-in.  `mesh`/`data_axis`: batch-shard the decode over a device
-    mesh (see SparseViterbiDecoder)."""
+    mesh (see SparseViterbiDecoder).
+
+    `transfer='auto'` (default) compacts the packed keep-mask ON DEVICE
+    (_compact_nonzero_bytes) and ships only the nonzero mask bytes +
+    indices when the mask tensor is large; 'dense' always ships the
+    full packed tensor; 'compact' forces compaction.  `compact_cap` is
+    the shipped-entry budget (int32 idx + u8 val = 5 bytes/entry);
+    overflow falls back to the dense transfer automatically."""
+
+    # compact the mask transfer above this many packed-mask bytes
+    AUTO_COMPACT_BYTES = 1 << 22
 
     def __init__(self, graph: DecodingGraph, acoustic_scale: float = 1.0,
                  lattice_beam: float = 8.0, layout: str = "auto",
                  mesh=None, data_axis: str = "data",
-                 tree_max_width: int = 128):
+                 tree_max_width: int = 128, transfer: str = "auto",
+                 compact_cap: int = 1 << 22):
         self.graph = graph
         self.arcs = ArcGraph.from_graph(graph)
         self.acoustic_scale = acoustic_scale
@@ -1430,6 +1462,9 @@ class DeviceLatticeDecoder:
             layout = ("tree" if len(self.arcs.src)
                       > SparseViterbiDecoder.AUTO_TREE_ARCS else "segment")
         self.layout = layout
+        assert transfer in ("auto", "dense", "compact"), transfer
+        self.transfer = transfer
+        self.compact_cap = int(compact_cap)
         # above this, decode_batch switches to the checkpointed-alpha
         # kernel (rematerialized forward; enables HCLG-scale lattices)
         self.alpha_hist_limit = 1 << 30
@@ -1522,7 +1557,34 @@ class DeviceLatticeDecoder:
                 self._src, self._dst, self._pdf, self._gcost, self._fcost,
                 self._start, ll, self._scale_j, self._beam_j,
                 num_states=self.arcs.num_states)
-        packed = np.asarray(packed)                   # [T, bits/8, B]
+        nbytes_row = int(packed.shape[1])
+        total_mask_bytes = int(np.prod(packed.shape))
+        use_compact = ((self.transfer == "compact"
+                        or (self.transfer == "auto"
+                            and total_mask_bytes > self.AUTO_COMPACT_BYTES))
+                       and total_mask_bytes < (1 << 31))   # int32 indices
+        sparse_by_b = None
+        if use_compact:
+            idx, vals, count = _compact_nonzero_bytes(
+                packed, cap=self.compact_cap)
+            n = int(jax.device_get(count))
+            if n <= self.compact_cap:
+                # slice on DEVICE first so the D2H ships only the live
+                # entries (5 bytes each), not the cap
+                k = max(n, 1)
+                idx_h = np.asarray(idx[:k])[:n]
+                vals_h = np.asarray(vals[:k])[:n]
+                bcol = idx_h % B
+                rem = idx_h // B
+                byts_all = rem % nbytes_row
+                ts8_all = rem // nbytes_row
+                sparse_by_b = [
+                    (ts8_all[m], byts_all[m], vals_h[m])
+                    for m in (bcol == b for b in range(B))]
+            # overflow (count > cap): dense fallback keeps correctness
+            # independent of the beam
+        if sparse_by_b is None:
+            packed = np.asarray(packed)               # [T, bits/8, B]
         best = np.asarray(best)
         a = self.arcs
         A = len(a.src)
@@ -1535,14 +1597,20 @@ class DeviceLatticeDecoder:
             # keys ascending, and in an exact lattice every frame-0
             # source is the start state (alpha[0] is finite only there),
             # so node 0 is always (0, start) as Lattice requires.
-            # Kept bits are sparse (~1-5% of slots at real beams), so
+            # Kept bits are sparse (~0.1-5% of slots at real beams), so
             # unpack only the NONZERO BYTES: a dense
             # unpackbits+nonzero over [T, nbits] costs ~1.5 s/utterance
             # at HCLG scale (477K slots x 300 frames) and dominated the
             # whole decode at B=64; this path is ~byte-density bound.
-            pb = packed[:, :, b]                        # [T, nbytes]
-            ts8, byts = np.nonzero(pb)
-            bits = np.unpackbits(pb[ts8, byts])         # MSB-first
+            # With the compact transfer the nonzero bytes arrive
+            # pre-extracted from the device.
+            if sparse_by_b is not None:
+                ts8, byts, nzvals = sparse_by_b[b]
+            else:
+                pb = packed[:, :, b]                    # [T, nbytes]
+                ts8, byts = np.nonzero(pb)
+                nzvals = pb[ts8, byts]
+            bits = np.unpackbits(nzvals)                # MSB-first
             slots = (byts[:, None] * 8
                      + np.arange(8, dtype=byts.dtype)[None, :]).ravel()
             sel = (bits > 0) & (slots < nbits)

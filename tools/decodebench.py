@@ -119,6 +119,13 @@ def main():
                          "(alpha+beta scans + bit-packed arc masks + "
                          "host assembly) instead of best-path Viterbi")
     ap.add_argument("--lattice-beam", type=float, default=4.0)
+    ap.add_argument("--transfer", default="auto",
+                    choices=["auto", "dense", "compact"],
+                    help="lattice mask D2H: compact = device-side "
+                         "nonzero-byte extraction (ships ~5 bytes per "
+                         "kept mask byte instead of the full packed "
+                         "tensor; the 143 MB@B=8 mask transfer WAS the "
+                         "HCLG lattice decode on the tunnel)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (correctness smokes / "
                          "TPU-tunnel outages)")
@@ -143,7 +150,8 @@ def main():
     if args.lattice:
         dec = DeviceLatticeDecoder(graph, acoustic_scale=1.0,
                                    lattice_beam=args.lattice_beam,
-                                   layout=args.layout)
+                                   layout=args.layout,
+                                   transfer=args.transfer)
     elif args.dense:
         dec = DenseViterbiDecoder(graph, acoustic_scale=1.0)
     else:
