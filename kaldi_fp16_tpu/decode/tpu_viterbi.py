@@ -1421,8 +1421,11 @@ def _compact_nonzero_bytes(packed, cap: int):
     Returns (idx [cap] int32 flat indices into packed.reshape(-1),
     vals [cap] uint8, count [] int32).  count > cap means overflow —
     the caller falls back to the dense transfer (correctness is never
-    beam-dependent).  Cost on device: one != + cumsum-based nonzero
-    over T*nbytes*B u8 elements — bandwidth-bound milliseconds."""
+    beam-dependent).  Cost on device: one != + cumsum-based nonzero —
+    bandwidth-bound milliseconds.  NOTE: XLA materializes the nonzero
+    cumsum as int32 over every element, so callers must SLAB large
+    masks (an un-slabbed [300, 62500, 64] mask OOMed 18 GB of HLO temp
+    at B=64); DeviceLatticeDecoder slabs over frames."""
     flat = packed.reshape(-1)
     nz = flat != 0
     count = nz.sum().astype(jnp.int32)
@@ -1559,21 +1562,39 @@ class DeviceLatticeDecoder:
                 num_states=self.arcs.num_states)
         nbytes_row = int(packed.shape[1])
         total_mask_bytes = int(np.prod(packed.shape))
-        use_compact = ((self.transfer == "compact"
-                        or (self.transfer == "auto"
-                            and total_mask_bytes > self.AUTO_COMPACT_BYTES))
-                       and total_mask_bytes < (1 << 31))   # int32 indices
+        use_compact = (self.transfer == "compact"
+                       or (self.transfer == "auto"
+                           and total_mask_bytes > self.AUTO_COMPACT_BYTES))
         sparse_by_b = None
         if use_compact:
-            idx, vals, count = _compact_nonzero_bytes(
-                packed, cap=self.compact_cap)
-            n = int(jax.device_get(count))
-            if n <= self.compact_cap:
+            # slab over frames: the nonzero lowering materializes an
+            # int32 cumsum of EVERY element, so one pass over the whole
+            # [T, nbytes, B] mask costs 4*size bytes of HLO temp (x2
+            # with padding) — 18 GB at T=300/S=100K/B=64.  ~128M
+            # elements per slab keeps the temp ~0.5-1 GB.
+            slab_elems = 1 << 27
+            slab_t = max(1, slab_elems // max(nbytes_row * B, 1))
+            idx_parts, val_parts = [], []
+            ok = True
+            for t0 in range(0, int(packed.shape[0]), slab_t):
+                slab = packed[t0:t0 + slab_t]
+                idx, vals, count = _compact_nonzero_bytes(
+                    slab, cap=self.compact_cap)
+                n = int(jax.device_get(count))
+                if n > self.compact_cap:
+                    ok = False      # overflow: dense fallback below
+                    break
                 # slice on DEVICE first so the D2H ships only the live
                 # entries (5 bytes each), not the cap
                 k = max(n, 1)
-                idx_h = np.asarray(idx[:k])[:n]
-                vals_h = np.asarray(vals[:k])[:n]
+                idx_h = np.asarray(idx[:k])[:n].astype(np.int64)
+                val_parts.append(np.asarray(vals[:k])[:n])
+                idx_parts.append(idx_h + t0 * nbytes_row * B)
+            if ok:
+                idx_h = (np.concatenate(idx_parts)
+                         if idx_parts else np.zeros(0, np.int64))
+                vals_h = (np.concatenate(val_parts)
+                          if val_parts else np.zeros(0, np.uint8))
                 bcol = idx_h % B
                 rem = idx_h // B
                 byts_all = rem % nbytes_row
@@ -1581,8 +1602,6 @@ class DeviceLatticeDecoder:
                 sparse_by_b = [
                     (ts8_all[m], byts_all[m], vals_h[m])
                     for m in (bcol == b for b in range(B))]
-            # overflow (count > cap): dense fallback keeps correctness
-            # independent of the beam
         if sparse_by_b is None:
             packed = np.asarray(packed)               # [T, bits/8, B]
         best = np.asarray(best)
@@ -1590,7 +1609,13 @@ class DeviceLatticeDecoder:
         A = len(a.src)
         S = self.arcs.num_states
         nbits = len(self._slot_arc) if self.layout == "tree" else A
-        lls = np.asarray(ll)
+        # acoustic costs: with the compact transfer, gather ONLY the
+        # kept arcs' loglikes on device (one fancy-indexed gather, ~4
+        # bytes per kept arc) instead of downloading the whole
+        # [B, T, P] tensor — 157 MB at B=64/T=300/P=2048 was the next
+        # transfer wall after the mask compaction
+        lls = None if sparse_by_b is not None else np.asarray(ll)
+        pending = []          # (ts, ais, uniq, inv, ...) per b
         out = []
         for b in range(B):
             # vectorized assembly: node key = frame*S + state; np.unique
@@ -1632,6 +1657,27 @@ class DeviceLatticeDecoder:
             uniq, inv = np.unique(
                 np.concatenate([start_key, src_keys, dst_keys]),
                 return_inverse=True)
+            pending.append((ts, ais, uniq, inv))
+
+        if lls is None:
+            # one batched device gather for every kept arc of every b
+            counts = [len(p[0]) for p in pending]
+            bb = np.repeat(np.arange(B, dtype=np.int32),
+                           np.asarray(counts, np.int64))
+            tt = (np.concatenate([p[0] for p in pending])
+                  if pending else np.zeros(0, np.int64)).astype(np.int32)
+            pp = a.pdf[np.concatenate([p[1] for p in pending])
+                       if pending else np.zeros(0, np.int64)]
+            ac_all = np.asarray(ll[jnp.asarray(bb), jnp.asarray(tt),
+                                   jnp.asarray(pp)]) if len(bb) else \
+                np.zeros(0, np.float32)
+            splits = np.cumsum(counts)[:-1]
+            ac_by_b = np.split(ac_all, splits)
+        else:
+            ac_by_b = [lls[b, p[0], a.pdf[p[1]]]
+                       for b, p in enumerate(pending)]
+
+        for b, (ts, ais, uniq, inv) in enumerate(pending):
             n = len(uniq)
             k = len(ts)
             src_ids = inv[1:1 + k]
@@ -1639,7 +1685,7 @@ class DeviceLatticeDecoder:
             frames = (uniq // S).astype(np.int64)
             arcs = ArcArrays(src_ids, dst_ids, a.ilabel[ais], a.olabel[ais],
                              (-a.weight[ais]).astype(np.float64),
-                             (-lls[b, ts, a.pdf[ais]]).astype(np.float64))
+                             (-ac_by_b[b]).astype(np.float64))
             final = np.full(n, np.inf)
             at_T = frames == T
             if at_T.any():
