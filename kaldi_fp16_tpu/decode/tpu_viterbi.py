@@ -1421,16 +1421,46 @@ def _compact_nonzero_bytes(packed, cap: int):
     Returns (idx [cap] int32 flat indices into packed.reshape(-1),
     vals [cap] uint8, count [] int32).  count > cap means overflow —
     the caller falls back to the dense transfer (correctness is never
-    beam-dependent).  Cost on device: one != + cumsum-based nonzero —
-    bandwidth-bound milliseconds.  NOTE: XLA materializes the nonzero
-    cumsum as int32 over every element, so callers must SLAB large
-    masks (an un-slabbed [300, 62500, 64] mask OOMed 18 GB of HLO temp
-    at B=64); DeviceLatticeDecoder slabs over frames."""
+    beam-dependent).  NOTE: XLA materializes the nonzero cumsum as
+    int32 over every element AND runs it at element rate, so callers
+    must SLAB large masks (an un-slabbed [300, 62500, 64] mask OOMed
+    18 GB of HLO temp at B=64); DeviceLatticeDecoder uses the
+    group-level _compact_nonzero_groups instead — this element-level
+    variant remains for small masks and tests."""
     flat = packed.reshape(-1)
     nz = flat != 0
     count = nz.sum().astype(jnp.int32)
     idx = jnp.nonzero(nz, size=cap, fill_value=0)[0].astype(jnp.int32)
     return idx, flat[idx], count
+
+
+_COMPACT_GROUP = 32
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "group"))
+def _compact_nonzero_groups(packed, cap: int, group: int = _COMPACT_GROUP):
+    """Two-level mask compaction: element-level jnp.nonzero runs at
+    ELEMENT rate on TPU (measured 15.5 of a 21.7 s HCLG lattice decode
+    at B=64 — profile_latdecode r5), so the expensive pass here is a
+    cheap vector reduce: flag nonzero `group`-byte groups (one
+    bandwidth-bound max over the mask), run nonzero only over the
+    group FLAGS (1/group the elements), then row-gather the flagged
+    groups' bytes.  The host extracts the nonzero bytes from the
+    shipped dense groups (~group bytes per kept region; kept bytes
+    cluster by frame, so real payloads stay near survival-sized).
+
+    Returns (gidx [cap] int32 group indices, gvals [cap, group] uint8,
+    count [] int32 nonzero-group count; count > cap = overflow)."""
+    flat = packed.reshape(-1)
+    n = flat.shape[0]
+    padded = ((n + group - 1) // group) * group
+    if padded != n:
+        flat = jnp.pad(flat, (0, padded - n))
+    g = flat.reshape(-1, group)
+    nzg = g.max(axis=1) != 0
+    count = nzg.sum().astype(jnp.int32)
+    gidx = jnp.nonzero(nzg, size=cap, fill_value=0)[0].astype(jnp.int32)
+    return gidx, g[gidx], count
 
 
 class DeviceLatticeDecoder:
@@ -1567,29 +1597,40 @@ class DeviceLatticeDecoder:
                            and total_mask_bytes > self.AUTO_COMPACT_BYTES))
         sparse_by_b = None
         if use_compact:
-            # slab over frames: the nonzero lowering materializes an
-            # int32 cumsum of EVERY element, so one pass over the whole
-            # [T, nbytes, B] mask costs 4*size bytes of HLO temp (x2
-            # with padding) — 18 GB at T=300/S=100K/B=64.  ~128M
-            # elements per slab keeps the temp ~0.5-1 GB.
-            slab_elems = 1 << 27
+            # slab over frames to bound the group-flag temp, then
+            # two-level compaction per slab (see _compact_nonzero_groups
+            # — element-level nonzero runs at ELEMENT rate on TPU and
+            # cost 15.5 s of the 21.7 s B=64 decode)
+            slab_elems = 1 << 28
             slab_t = max(1, slab_elems // max(nbytes_row * B, 1))
+            G = _COMPACT_GROUP
             idx_parts, val_parts = [], []
             ok = True
+            # group cap: kept bytes cluster, but worst-case one group
+            # per kept byte; reuse compact_cap as the per-slab group cap
+            gcap = self.compact_cap
             for t0 in range(0, int(packed.shape[0]), slab_t):
                 slab = packed[t0:t0 + slab_t]
-                idx, vals, count = _compact_nonzero_bytes(
-                    slab, cap=self.compact_cap)
+                gidx, gvals, count = _compact_nonzero_groups(
+                    slab, cap=gcap)
                 n = int(jax.device_get(count))
-                if n > self.compact_cap:
+                if n > gcap:
                     ok = False      # overflow: dense fallback below
                     break
-                # slice on DEVICE first so the D2H ships only the live
-                # entries (5 bytes each), not the cap
+                # slice on DEVICE first so the D2H ships only live
+                # groups (group + 4 bytes each), not the cap
                 k = max(n, 1)
-                idx_h = np.asarray(idx[:k])[:n].astype(np.int64)
-                val_parts.append(np.asarray(vals[:k])[:n])
-                idx_parts.append(idx_h + t0 * nbytes_row * B)
+                gidx_h = np.asarray(gidx[:k])[:n].astype(np.int64)
+                gvals_h = np.asarray(gvals[:k])[:n]
+                # expand groups -> nonzero byte positions on the host
+                pos = (gidx_h[:, None] * G
+                       + np.arange(G, dtype=np.int64)[None, :]).ravel()
+                vals_flat = gvals_h.ravel()
+                nzb = vals_flat != 0
+                slab_size = int(np.prod(slab.shape))
+                keep = nzb & (pos < slab_size)     # drop group padding
+                idx_parts.append(pos[keep] + t0 * nbytes_row * B)
+                val_parts.append(vals_flat[keep])
             if ok:
                 idx_h = (np.concatenate(idx_parts)
                          if idx_parts else np.zeros(0, np.int64))

@@ -56,23 +56,23 @@ def main():
     jax.block_until_ready((packed, best))
     t_kern = time.perf_counter() - t0
 
-    # phase 2: compaction (slab nonzero + count sync + sliced D2H)
+    # phase 2: compaction (slab group-nonzero + count sync + sliced D2H)
     nbytes_row = int(packed.shape[1])
     t0 = time.perf_counter()
-    slab_elems = 1 << 27
+    slab_elems = 1 << 28
     slab_t = max(1, slab_elems // max(nbytes_row * B, 1))
     n_total = 0
     t_sync = 0.0
     for s0 in range(0, T, slab_t):
         slab = packed[s0:s0 + slab_t]
-        idx, vals, count = tv._compact_nonzero_bytes(
+        gidx, gvals, count = tv._compact_nonzero_groups(
             slab, cap=dec.compact_cap)
         ts = time.perf_counter()
         n = int(jax.device_get(count))
         t_sync += time.perf_counter() - ts
         k = max(n, 1)
-        np.asarray(idx[:k])
-        np.asarray(vals[:k])
+        np.asarray(gidx[:k])
+        np.asarray(gvals[:k])
         n_total += n
     t_compact = time.perf_counter() - t0
 

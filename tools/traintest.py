@@ -46,6 +46,15 @@ def main():
                     help="disable frame-grid subsampling (A/B hook)")
     ap.add_argument("--bench-json", action="store_true",
                     help="emit one benchmark JSON line at the end")
+    ap.add_argument("--loader-workers", type=int, default=0,
+                    help="feed batches from N OS-process workers "
+                         "(ProcessLoader) instead of the in-line "
+                         "DataLoader.  Even on a 1-core host this can "
+                         "win in the TRAINING loop: the worker parses "
+                         "and assembles on the CPU that otherwise idles "
+                         "while the device executes the step, and the "
+                         "main process's dispatch thread never fights "
+                         "the GIL (the r3 thread-prefetch failure mode)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (numerics smoke during "
                          "TPU-tunnel outages; perf numbers meaningless)")
@@ -56,11 +65,14 @@ def main():
     egs_dir = args.egs_dir
     if egs_dir is None:
         egs_dir = tempfile.mkdtemp(prefix="egs_")
+        # one full pass must cover the bench (a ProcessLoader restart
+        # costs a 'spawn' process launch mid-measurement)
+        per_file = args.batch * max(4, args.steps // 2 + 3)
         subprocess.run([sys.executable,
                         os.path.join(os.path.dirname(__file__),
                                      "make_synthetic_egs.py"),
                         egs_dir, "--files", "2", "--per-file",
-                        str(args.batch * 4), "--pdfs", str(args.pdfs),
+                        str(per_file), "--pdfs", str(args.pdfs),
                         "--frames-in", str(args.frames_in),
                         "--frames-out", str(args.frames_out)],
                        check=True)
@@ -113,13 +125,21 @@ output-layer name=output dim={args.pdfs} include-log-softmax=false
     t_start = None
     steps = 0
 
+    dl_cfg = DataLoaderConfig(batch_size=args.batch, label_dim=args.pdfs)
+    pattern = os.path.join(egs_dir, "cegs.*.ark")
+
     def batch_stream():
         while True:
-            dl = DataLoader(os.path.join(egs_dir, "cegs.*.ark"),
-                            DataLoaderConfig(batch_size=args.batch,
-                                             label_dim=args.pdfs))
-            for b in dl:
-                yield b
+            if args.loader_workers > 0:
+                from kaldi_fp16_tpu.io.dataloader import ProcessLoader
+                pl = ProcessLoader(pattern, dl_cfg,
+                                   workers=args.loader_workers, depth=4)
+                try:
+                    yield from pl
+                finally:
+                    pl.close()
+            else:
+                yield from DataLoader(pattern, dl_cfg)
 
     # pipelined loop, same shape as Trainer.train_epoch: batch i+1's
     # device_put is issued while step i is still in flight, so the
@@ -132,11 +152,21 @@ output-layer name=output dim={args.pdfs} include-log-softmax=false
     stream = batch_stream()
     nxt = next(stream)
     placed = trainer.place_batch(nxt)
+    phase = {"next": 0.0, "dispatch": 0.0, "place": 0.0, "n": 0}
     while steps < args.steps:
         batch, cur = nxt, placed
+        t0 = time.perf_counter()
         nxt = next(stream)
+        t1 = time.perf_counter()
         out = trainer.train_batch(batch, placed=cur)
+        t2 = time.perf_counter()
         placed = trainer.place_batch(nxt)
+        t3 = time.perf_counter()
+        if steps >= 2:
+            phase["next"] += t1 - t0
+            phase["dispatch"] += t2 - t1
+            phase["place"] += t3 - t2
+            phase["n"] += 1
         outs.append(out)
         steps += 1
         if steps == 2:
@@ -169,6 +199,13 @@ output-layer name=output dim={args.pdfs} include-log-softmax=false
     print(f"throughput: {fps:,.0f} frames/s = {audio_sec_per_s:,.1f} "
           f"audio-sec/s/chip ({step_ms:.1f} ms/step over {timed_steps} "
           f"timed steps, incl. host dataloader)")
+    if phase["n"]:
+        n = phase["n"]
+        print(f"host-phase attribution (ms/step, blocking time on the "
+              f"dispatch thread): next={phase['next'] / n * 1e3:.1f} "
+              f"dispatch={phase['dispatch'] / n * 1e3:.1f} "
+              f"place={phase['place'] / n * 1e3:.1f} "
+              f"(residual = device-bound wait inside dispatch)")
 
     if args.bench_json:
         print(json.dumps({
