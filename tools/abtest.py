@@ -50,7 +50,7 @@ def main():
     _common.enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--ab", default="den-mode",
-                    choices=["den-mode", "bn-lowp", "grid"],
+                    choices=["den-mode", "bn-lowp", "grid", "feats-bf16"],
                     help="which numerics mode to A/B (see module doc)")
     ap.add_argument("--workdir", default="/tmp/abtest")
     ap.add_argument("--epochs", type=int, default=6)
@@ -122,7 +122,12 @@ output-layer name=output dim={args.pdfs} include-log-softmax=false
             # semantics (grid BN stats = what real Kaldi computes); the
             # question is convergence equivalence, not drift.
             "grid": (("exact", ["--no-grid"]),
-                     ("fast", []))}[args.ab]
+                     ("fast", [])),
+            # fp32 vs bf16 feature upload: inputs are consumed in bf16
+            # either way, so this vets the input-rounding placement
+            # (host vs first matmul) — r5 production-loop lever
+            "feats-bf16": (("exact", []),
+                           ("fast", ["--feats-bf16"]))}[args.ab]
 
     result = {"config": vars(args), "runs": {}}
     for mode, extra in arms:

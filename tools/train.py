@@ -68,6 +68,15 @@ def main():
                          "input frame rate instead of only at "
                          "chain-supervision frames (the nnet3-compiler "
                          "behavior; see models/network.py grid_layers)")
+    ap.add_argument("--feats-bf16", action="store_true",
+                    help="cast features to bfloat16 on host before "
+                         "upload: halves the dominant H2D buffer and the "
+                         "transfer-serialization CPU (production loop "
+                         "111->94 ms/step on the 1-core tunneled host, "
+                         "traintest r5).  The network consumes inputs in "
+                         "bf16 anyway; the only numerics delta is input "
+                         "rounding before instead of at the first matmul "
+                         "(convergence A/B: abtest.py --ab feats-bf16)")
     ap.add_argument("--frame-subsampling", type=int, default=3)
     ap.add_argument("--shuffle-buffer", type=int, default=1024)
     ap.add_argument("--prefetch", type=int, default=2,
@@ -253,6 +262,25 @@ def main():
                                      args.prefetch)
         else:
             batches = DataLoader(args.egs, dl_cfg)
+        if args.feats_bf16:
+            import dataclasses as _dc
+            import ml_dtypes
+
+            class _Bf16Feeds:
+                def __init__(self, inner):
+                    self._inner = inner
+
+                def __iter__(self):
+                    for b in self._inner:
+                        yield _dc.replace(
+                            b, features=b.features.astype(
+                                ml_dtypes.bfloat16))
+
+                def close(self, *a, **k):
+                    if hasattr(self._inner, "close"):
+                        self._inner.close(*a, **k)
+
+            batches = _Bf16Feeds(batches)
         epoch_objf = []
         # per-step scalars stay ON DEVICE and are fetched in one
         # device_get per log window: a float() per step is a blocking

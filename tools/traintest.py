@@ -46,6 +46,14 @@ def main():
                     help="disable frame-grid subsampling (A/B hook)")
     ap.add_argument("--bench-json", action="store_true",
                     help="emit one benchmark JSON line at the end")
+    ap.add_argument("--feats-bf16", action="store_true",
+                    help="cast features to bfloat16 ON HOST before "
+                         "upload: halves the dominant H2D buffer and "
+                         "the tunnel client's serialization CPU.  The "
+                         "network computes in bf16 anyway, so the only "
+                         "numerics delta is input rounding happening "
+                         "before instead of at the first matmul "
+                         "(measurement hook; promote only via A/B)")
     ap.add_argument("--loader-workers", type=int, default=0,
                     help="feed batches from N OS-process workers "
                          "(ProcessLoader) instead of the in-line "
@@ -128,6 +136,17 @@ output-layer name=output dim={args.pdfs} include-log-softmax=false
     dl_cfg = DataLoaderConfig(batch_size=args.batch, label_dim=args.pdfs)
     pattern = os.path.join(egs_dir, "cegs.*.ark")
 
+    if args.feats_bf16:
+        import dataclasses
+        import ml_dtypes
+
+        def _cast(b):
+            return dataclasses.replace(
+                b, features=b.features.astype(ml_dtypes.bfloat16))
+    else:
+        def _cast(b):
+            return b
+
     def batch_stream():
         while True:
             if args.loader_workers > 0:
@@ -135,11 +154,11 @@ output-layer name=output dim={args.pdfs} include-log-softmax=false
                 pl = ProcessLoader(pattern, dl_cfg,
                                    workers=args.loader_workers, depth=4)
                 try:
-                    yield from pl
+                    yield from map(_cast, pl)
                 finally:
                     pl.close()
             else:
-                yield from DataLoader(pattern, dl_cfg)
+                yield from map(_cast, DataLoader(pattern, dl_cfg))
 
     # pipelined loop, same shape as Trainer.train_epoch: batch i+1's
     # device_put is issued while step i is still in flight, so the
@@ -183,6 +202,13 @@ output-layer name=output dim={args.pdfs} include-log-softmax=false
     import jax
     jax.block_until_ready(outs[-1].loss)
     wall = time.perf_counter() - t_start if t_start else 1.0
+    # contention probe: the same next(stream) with NO step in flight —
+    # the delta vs the in-loop "next" phase is CPU-core/GIL contention
+    # with the device client while a step executes
+    t0 = time.perf_counter()
+    for _ in range(4):
+        next(stream)
+    idle_next_ms = (time.perf_counter() - t0) / 4 * 1e3
     vals = jax.device_get([(o.loss, o.objf_per_frame, o.ok) for o in outs])
     losses = []
     for i, (loss, opf, ok) in enumerate(vals):
@@ -205,7 +231,9 @@ output-layer name=output dim={args.pdfs} include-log-softmax=false
               f"dispatch thread): next={phase['next'] / n * 1e3:.1f} "
               f"dispatch={phase['dispatch'] / n * 1e3:.1f} "
               f"place={phase['place'] / n * 1e3:.1f} "
-              f"(residual = device-bound wait inside dispatch)")
+              f"idle-next={idle_next_ms:.1f} "
+              f"(in-loop minus idle next = contention with the device "
+              f"client)")
 
     if args.bench_json:
         print(json.dumps({
