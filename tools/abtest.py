@@ -176,7 +176,8 @@ output-layer name=output dim={args.pdfs} include-log-softmax=false
     print(json.dumps({
         "metric": {"den-mode": "den_fast_mode_ab",
                    "bn-lowp": "bn_lowp_ab",
-                   "grid": "grid_subsample_ab"}[args.ab],
+                   "grid": "grid_subsample_ab",
+                   "feats-bf16": "feats_bf16_ab"}[args.ab],
         "final_objf_exact": ex[-1] if ex else None,
         "final_objf_fast": fa[-1] if fa else None,
         "final_objf_diff": result["final_objf_diff"],
