@@ -175,7 +175,9 @@ def main():
             "rtf_per_stream": round(e2e_ms / chunk_audio_ms, 4),
             "streams_at_realtime": int(B * chunk_audio_ms // max(e2e_ms, 1e-9)),
             "algorithmic_latency_ms": alg_latency_ms,
-            "graph": {"S": S, "A": A},
+            "graph": {"S": graph.num_states, "A": len(dec.arcs.src),
+                      "hclg": bool(args.hclg)},
+            "decoder": args.decoder,
         }), flush=True)
 
 
