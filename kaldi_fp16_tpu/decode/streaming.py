@@ -324,7 +324,9 @@ class WindowedStreamingDecoder:
 
     def __init__(self, graph, acoustic_scale: float = 1.0,
                  window: int = 96, layout: str = "auto",
-                 tree_max_width: int = 128):
+                 tree_max_width: int = 128, mesh=None,
+                 data_axis: str = "data"):
+        from kaldi_fp16_tpu.decode.tpu_viterbi import _DataSharding
         self.arcs = ArcGraph.from_graph(graph)
         a = self.arcs
         A = len(a.src)
@@ -332,17 +334,23 @@ class WindowedStreamingDecoder:
             layout = "tree" if A > self.AUTO_TREE_ARCS else "arc"
         self.layout = layout
         self.window = int(window)
-        self._scale = jnp.float32(acoustic_scale)
+        # mesh: batch-shard the streams over the data axis — the graph
+        # replicates, every [.., B] tensor (score front, backpointer
+        # window, traceback walks) shards, zero collectives, same
+        # contract as the offline decoders' mesh= option
+        self._shard = _DataSharding(mesh, data_axis)
+        rep = self._shard.replicate
+        self._scale = rep(np.float32(acoustic_scale))
         self._final = np.asarray(a.final)
-        self._src_j = jnp.asarray(a.src)
+        self._src_j = rep(a.src)
         self._A = A
         if layout == "tree":
             self._tree_dev = jax.tree.map(
-                jnp.asarray,
+                rep,
                 TreeEllGraph.from_arcs(
                     a, "in", max_width=tree_max_width).device_arrays())
         else:
-            self._dev = tuple(jnp.asarray(v) for v in
+            self._dev = tuple(rep(v) for v in
                               (a.src, a.dst, a.pdf, a.weight))
 
         src = self._src_j
@@ -365,8 +373,8 @@ class WindowedStreamingDecoder:
         S = self.arcs.num_states
         score = jnp.full((S, batch), NEG_INF, jnp.float32)
         score = score.at[self.arcs.start, :].set(0.0)
-        return WindowedDecoderState(score=score, bps=(), frames=0,
-                                    committed=())
+        return WindowedDecoderState(score=self._shard.shard_cols(score),
+                                    bps=(), frames=0, committed=())
 
     def _fwd_chunk(self, score, ll):
         if self.layout == "tree":
@@ -395,7 +403,7 @@ class WindowedStreamingDecoder:
         """loglikes [B, C, P].  Runs the recursion, then commits any
         frames older than `window` via traceback from the current best
         state."""
-        ll = jnp.asarray(loglikes, jnp.float32)
+        ll = self._shard.shard_batch(jnp.asarray(loglikes, jnp.float32))
         score, bps_new = self._fwd_chunk(st.score, ll)
         bps = st.bps + (bps_new,)
         frames = st.frames + int(ll.shape[1])

@@ -916,6 +916,7 @@ class _DataSharding:
             self._rep = NamedSharding(mesh, PartitionSpec())
             self._batch = NamedSharding(
                 mesh, PartitionSpec(axis, None, None))
+            self._cols = NamedSharding(mesh, PartitionSpec(None, axis))
             self.n = mesh.shape[axis]
 
     def replicate(self, x):
@@ -929,6 +930,16 @@ class _DataSharding:
             raise ValueError(f"batch {ll.shape[0]} not divisible by "
                              f"data-axis size {self.n}")
         return jax.device_put(ll, self._batch)
+
+    def shard_cols(self, x):
+        """[.., B] tensor sharded on its LAST axis (the score fronts of
+        the streaming decoders)."""
+        if self.mesh is None:
+            return x
+        if x.shape[-1] % self.n:
+            raise ValueError(f"batch {x.shape[-1]} not divisible by "
+                             f"data-axis size {self.n}")
+        return jax.device_put(x, self._cols)
 
 
 class SparseViterbiDecoder:

@@ -368,6 +368,35 @@ class TestDataParallelDecode:
             np.testing.assert_allclose(r["total_cost"], s["total_cost"],
                                        atol=1e-4)
 
+    def test_windowed_streaming_sharded_matches_unsharded(self):
+        """Data-parallel HCLG-style streaming: the windowed decoder's
+        score front, backpointer window, and traceback walks all shard
+        over the batch; commits and finalize must equal the unsharded
+        run exactly (words, alignments, costs, commit boundaries)."""
+        from kaldi_fp16_tpu.decode.streaming import (
+            WindowedStreamingDecoder,
+        )
+        g, P_ = self._graph(seed=12)
+        mesh = make_mesh(MeshConfig(data=8))
+        rng = np.random.default_rng(50)
+        T, C, W = 32, 8, 16
+        ll = rng.normal(size=(8, T, P_)).astype(np.float32) * 3.0
+        outs = []
+        for m in (None, mesh):
+            dec = WindowedStreamingDecoder(g, acoustic_scale=0.7,
+                                           window=W, mesh=m)
+            st = dec.init(8)
+            for t0 in range(0, T, C):
+                st = dec.feed(st, ll[:, t0:t0 + C])
+            assert st.committed_frames > 0
+            outs.append((st.committed_frames, dec.finalize(st)))
+        assert outs[0][0] == outs[1][0]
+        for r, s in zip(outs[0][1], outs[1][1]):
+            assert r["words"] == s["words"]
+            assert r["alignment"] == s["alignment"]
+            np.testing.assert_allclose(r["total_cost"], s["total_cost"],
+                                       atol=1e-4)
+
     def test_viterbi_bad_batch_raises(self):
         from kaldi_fp16_tpu.decode.tpu_viterbi import SparseViterbiDecoder
         g, P_ = self._graph()
