@@ -390,13 +390,16 @@ class WindowedStreamingDecoder:
     def _window_traceback(self, st: WindowedDecoderState,
                           last) -> List[np.ndarray]:
         """Device traceback over the buffered window from `last` [B];
-        returns per-chunk host arc arrays in time order."""
+        returns per-chunk host arc arrays in time order.  The walk
+        dispatches per chunk but transfers ONCE: a per-chunk
+        np.asarray cost one blocking D2H round trip per chunk per feed
+        on the tunnel."""
         state = jnp.asarray(last)
-        out = []
+        dev = []
         for bps in reversed(st.bps):
             state, arcs = self._tb_chunk(bps, state)
-            out.append(np.asarray(arcs))
-        return out[::-1]
+            dev.append(arcs)
+        return jax.device_get(dev)[::-1]
 
     def feed(self, st: WindowedDecoderState,
              loglikes) -> WindowedDecoderState:
