@@ -16,3 +16,10 @@ from kaldi_fp16_tpu.decode.lattice import (
     Lattice, LatticeArc, LatticeDecodeOptions, LatticeDecoder, NGramLM,
     rescore_with_lm,
 )
+from kaldi_fp16_tpu.decode.tpu_viterbi import (
+    DeviceLatticeDecoder, SparseViterbiDecoder,
+)
+from kaldi_fp16_tpu.decode.streaming import (
+    StreamingDecoder, StreamingEncoder, StreamingPipeline,
+    WindowedStreamingDecoder,
+)
