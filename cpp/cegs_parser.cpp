@@ -652,6 +652,42 @@ const float *cegs_sup_deriv_weights(CegsParser *p) {
   return p->ex.deriv_weights.data();
 }
 
+// Packed per-example scalar metadata: ONE ctypes round trip instead of
+// ~15 (each call costs ~1 us of ctypes dispatch; at 128-example batches
+// the scalar getters were a measurable slice of the host loop —
+// docs/PERFORMANCE.md "production loop re-measured", r5).  Layout
+// (int32): [0]=num_inputs [1]=fst_num_states [2]=fst_start
+// [3]=num_arcs [4]=num_finals [5]=num_sequences [6]=frames_per_seq
+// [7]=label_dim [8]=end2end [9]=dw_fmt [10]=sup_num_indexes
+// [11]=num_deriv_weights [12]=bitcast(weight f32) then per input i
+// (i < min(num_inputs, 4)): [13+4i]=rows [14+4i]=cols [15+4i]=fmt
+// [16+4i]=num_indexes.  Returns the number of int32s written.
+int cegs_meta(CegsParser *p, int32_t *out) {
+  const Example &e = p->ex;
+  out[0] = int32_t(e.inputs.size());
+  out[1] = e.fst_num_states;
+  out[2] = e.fst_start;
+  out[3] = int32_t(e.arc_src.size());
+  out[4] = int32_t(e.final_states.size());
+  out[5] = e.num_sequences;
+  out[6] = e.frames_per_seq;
+  out[7] = e.label_dim;
+  out[8] = e.end2end ? 1 : 0;
+  out[9] = e.dw_fmt;
+  out[10] = int32_t(e.sup_indexes.size() / 3);
+  out[11] = int32_t(e.deriv_weights.size());
+  memcpy(&out[12], &e.weight, sizeof(int32_t));
+  int n = 13;
+  int ni = int(e.inputs.size()) < 4 ? int(e.inputs.size()) : 4;
+  for (int i = 0; i < ni; i++) {
+    out[n++] = e.inputs[i].rows;
+    out[n++] = e.inputs[i].cols;
+    out[n++] = e.inputs[i].fmt;
+    out[n++] = int32_t(e.inputs[i].indexes.size() / 3);
+  }
+  return n;
+}
+
 int cegs_fst_num_states(CegsParser *p) { return p->ex.fst_num_states; }
 int cegs_fst_start(CegsParser *p) { return p->ex.fst_start; }
 int cegs_fst_num_arcs(CegsParser *p) { return int(p->ex.arc_src.size()); }

@@ -54,6 +54,9 @@ int cegs_input_fmt(CegsParser *p, int i);       // 0=CM 1=CM2 2=CM3 3=FM
 int cegs_dw_fmt(CegsParser *p);                 // 0=none 1=DW 2=DW2
 
 // Supervision FST (flattened arcs) ------------------------------------------
+/* packed per-example scalar metadata; see cegs_parser.cpp for the
+ * int32 layout.  out must hold >= 32 int32s; returns #written. */
+int cegs_meta(CegsParser *p, int32_t *out);
 int cegs_fst_num_states(CegsParser *p);
 int cegs_fst_start(CegsParser *p);
 int cegs_fst_num_arcs(CegsParser *p);

@@ -88,6 +88,11 @@ def _configure(lib):
         fn = getattr(lib, name)
         fn.restype = res
         fn.argtypes = [c.c_void_p, c.c_int]
+    # packed scalar metadata (one call replaces ~15 scalar getters);
+    # absent in libraries built before r5 — callers feature-detect
+    if hasattr(lib, "cegs_meta"):
+        lib.cegs_meta.restype = c.c_int
+        lib.cegs_meta.argtypes = [c.c_void_p, c.POINTER(c.c_int32)]
 
 
 def native_available() -> bool:
@@ -95,9 +100,17 @@ def native_available() -> bool:
 
 
 def _np_copy(ptr, count, dtype):
+    """Copy `count` elements from a ctypes pointer into a fresh array.
+    np.frombuffer over a from_address view is ~2x faster per call than
+    np.ctypeslib.as_array (which rebuilds an array type every call) —
+    at ~8 copies per example this was a measurable slice of the
+    128-example batch parse (see docs/PERFORMANCE.md r5)."""
     if count == 0:
         return np.empty(0, dtype=dtype)
-    return np.ctypeslib.as_array(ptr, shape=(count,)).astype(dtype, copy=True)
+    nbytes = count * np.dtype(dtype).itemsize
+    buf = (ctypes.c_char * nbytes).from_address(
+        ctypes.cast(ptr, ctypes.c_void_p).value)
+    return np.frombuffer(buf, dtype=dtype).copy()
 
 
 class LazyIndexList:
@@ -209,6 +222,10 @@ class NativeEgsReader:
         self._p = lib.cegs_open(path.encode())
         if not self._p:
             raise OSError(f"cannot open {path}")
+        # reusable packed-metadata buffer (see _configure / cegs_meta);
+        # None with pre-r5 libraries -> per-scalar getter fallback
+        self._meta_buf = ((ctypes.c_int32 * 32)()
+                          if hasattr(lib, "cegs_meta") else None)
 
     def close(self) -> None:
         if self._p:
@@ -240,57 +257,84 @@ class NativeEgsReader:
             raise ValueError(f"native parse error: "
                              f"{err.decode() if err else 'unknown'}")
 
+        # one packed-metadata call replaces ~15 scalar ctypes round
+        # trips per example (r5; libraries without cegs_meta fall back)
+        meta = None
+        if self._meta_buf is not None:
+            lib.cegs_meta(p, self._meta_buf)
+            meta = np.frombuffer(self._meta_buf, dtype=np.int32)
+
+        n_inputs = (int(meta[0]) if meta is not None
+                    else lib.cegs_num_inputs(p))
         inputs = []
-        for i in range(lib.cegs_num_inputs(p)):
-            rows = lib.cegs_input_rows(p, i)
-            cols = lib.cegs_input_cols(p, i)
+        for i in range(n_inputs):
+            if meta is not None and i < 4:
+                rows, cols = int(meta[13 + 4 * i]), int(meta[14 + 4 * i])
+                fmt_i, n_idx = int(meta[15 + 4 * i]), int(meta[16 + 4 * i])
+            else:
+                rows = lib.cegs_input_rows(p, i)
+                cols = lib.cegs_input_cols(p, i)
+                fmt_i = lib.cegs_input_fmt(p, i)
+                n_idx = lib.cegs_input_num_indexes(p, i)
             data = _np_copy(lib.cegs_input_data(p, i), rows * cols,
                             np.float32).reshape(rows, cols)
-            idx = _np_copy(lib.cegs_input_indexes(p, i),
-                           lib.cegs_input_num_indexes(p, i) * 3, np.int32)
-            fmt = ("CM", "CM2", "CM3", "FM", "SM")[lib.cegs_input_fmt(p, i)]
+            idx = _np_copy(lib.cegs_input_indexes(p, i), n_idx * 3,
+                           np.int32)
             inputs.append(IoBlock(name=lib.cegs_input_name(p, i).decode(),
                                   indexes=_indexes_from(idx), data=data,
-                                  fmt=fmt))
+                                  fmt=("CM", "CM2", "CM3", "FM", "SM")[fmt_i]))
 
         # rebuild the supervision FST: flat arrays as the source of truth
         # (sparse.fst_to_coo consumes them directly via fst.flat); the
         # per-state FstState/FstArc objects materialize only if someone
         # actually walks .states (writers, egstools totext)
+        if meta is not None:
+            ns, start, na, nf = (int(meta[1]), int(meta[2]), int(meta[3]),
+                                 int(meta[4]))
+            num_seq, fps, label_dim = (int(meta[5]), int(meta[6]),
+                                       int(meta[7]))
+            end2end, dw_fmt_i = int(meta[8]), int(meta[9])
+            n_sup_idx, ndw = int(meta[10]), int(meta[11])
+            weight = float(meta[12:13].view(np.float32)[0])
+        else:
+            ns, start = lib.cegs_fst_num_states(p), lib.cegs_fst_start(p)
+            na, nf = lib.cegs_fst_num_arcs(p), lib.cegs_fst_num_finals(p)
+            num_seq = lib.cegs_sup_num_sequences(p)
+            fps = lib.cegs_sup_frames_per_seq(p)
+            label_dim = lib.cegs_sup_label_dim(p)
+            end2end = lib.cegs_sup_end2end(p)
+            dw_fmt_i = lib.cegs_dw_fmt(p)
+            n_sup_idx = lib.cegs_sup_num_indexes(p)
+            ndw = lib.cegs_sup_num_deriv_weights(p)
+            weight = float(lib.cegs_sup_weight(p))
         fst = None
-        ns = lib.cegs_fst_num_states(p)
         if ns > 0:
-            na = lib.cegs_fst_num_arcs(p)
             src = _np_copy(lib.cegs_fst_arc_src(p), na, np.int32)
             dst = _np_copy(lib.cegs_fst_arc_dst(p), na, np.int32)
             lab = _np_copy(lib.cegs_fst_arc_label(p), na, np.int32)
             wgt = _np_copy(lib.cegs_fst_arc_weight(p), na, np.float32)
-            nf = lib.cegs_fst_num_finals(p)
             fs = _np_copy(lib.cegs_fst_final_states(p), nf, np.int32)
             fw = _np_copy(lib.cegs_fst_final_weights(p), nf, np.float32)
             flat = (src, dst, lab, wgt, fs, fw)
-            fst = Fst(start=lib.cegs_fst_start(p),
-                      states=LazyStates(ns, flat))
+            fst = Fst(start=start, states=LazyStates(ns, flat))
             fst.flat = flat
 
-        ndw = lib.cegs_sup_num_deriv_weights(p)
         dw = (_np_copy(lib.cegs_sup_deriv_weights(p), ndw, np.float32)
               if ndw else None)
-        sup_idx = _np_copy(lib.cegs_sup_indexes(p),
-                           lib.cegs_sup_num_indexes(p) * 3, np.int32)
+        sup_idx = _np_copy(lib.cegs_sup_indexes(p), n_sup_idx * 3,
+                           np.int32)
         sup_name = lib.cegs_sup_name(p)
-        dw_fmt = ("DW2", "DW", "DW2")[lib.cegs_dw_fmt(p)]
         sup = Supervision(
             name=(sup_name.decode() if sup_name else "output") or "output",
-            weight=float(lib.cegs_sup_weight(p)),
-            num_sequences=lib.cegs_sup_num_sequences(p),
-            frames_per_seq=lib.cegs_sup_frames_per_seq(p),
-            label_dim=lib.cegs_sup_label_dim(p),
-            end2end=bool(lib.cegs_sup_end2end(p)),
+            weight=weight,
+            num_sequences=num_seq,
+            frames_per_seq=fps,
+            label_dim=label_dim,
+            end2end=bool(end2end),
             fst=fst,
             indexes=_indexes_from(sup_idx),
             deriv_weights=dw,
-            deriv_weights_fmt=dw_fmt)
+            deriv_weights_fmt=("DW2", "DW", "DW2")[dw_fmt_i])
         return Example(key=lib.cegs_key(p).decode(), inputs=inputs,
                        supervision=sup)
 
