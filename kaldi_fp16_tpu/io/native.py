@@ -20,10 +20,16 @@ import numpy as np
 from kaldi_fp16_tpu.io.egs import Example, Index, IoBlock, Supervision
 from kaldi_fp16_tpu.io.fst import Fst, FstArc, FstState
 
-_LIB_PATHS = [
+_LIB_PATHS = [p for p in [
+    # explicit override (containerized / relocated deployments)
+    os.environ.get("KALDI_FP16_TPU_NATIVE_LIB"),
+    # source tree: <repo>/cpp/build/libcegs_parser.so
     os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__)))), "cpp", "build", "libcegs_parser.so"),
-]
+    # installed package: kaldi_fp16_tpu/_native/ (make -C cpp install-pkg)
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 "_native", "libcegs_parser.so"),
+] if p]
 
 _lib = None
 _load_failed = False
