@@ -166,6 +166,43 @@ class DecoderState:
     frames: int
 
 
+def _make_tb_chunk(src, A: int):
+    """One chunk of device traceback: bps [C, S, B], state [B] ->
+    (state at chunk start [B], arcs taken [C, B]).  Identical to the
+    offline decoders' reverse walk, so tie-breaks match decode_batch.
+    BOTH streaming decoders build theirs here — a divergence between
+    their walks would silently break the offline-parity contracts."""
+    @jax.jit
+    def tb_chunk(bps, state):
+        def back(st, bp_t):
+            arc = jnp.take_along_axis(bp_t, st[None, :], axis=0)[0]
+            safe = jnp.clip(arc, 0, A - 1)
+            prev = jnp.where(arc < A, jnp.take(src, safe), st)
+            return prev, arc
+        return jax.lax.scan(back, state, bps, reverse=True)
+    return tb_chunk
+
+
+def _hyps_from_arcs(arcs, best, arcs_taken) -> List[dict]:
+    """Arc-id path [T, B] + final scores [B] -> hypothesis dicts;
+    identical post-processing to SparseViterbiDecoder.decode_batch,
+    shared by both streaming decoders."""
+    A = len(arcs.src)
+    oks = (best > NEG_INF / 2) & (arcs_taken < A).all(axis=0)
+    safe = np.minimum(arcs_taken, A - 1)
+    il = arcs.ilabel[safe]
+    ol = arcs.olabel[safe]
+    results = []
+    for b in range(best.shape[0]):
+        ok = bool(oks[b])
+        results.append({"words": ol[:, b][ol[:, b] > 0].tolist()
+                        if ok else [],
+                        "alignment": il[:, b].tolist() if ok else [],
+                        "total_cost": -float(best[b]),
+                        "final_reached": ok})
+    return results
+
+
 class StreamingDecoder:
     """Incremental exact Viterbi (see module docstring)."""
 
@@ -176,23 +213,7 @@ class StreamingDecoder:
                           (a.src, a.dst, a.pdf, a.weight))
         self._final = np.asarray(a.final)
         self._scale = jnp.float32(acoustic_scale)
-
-        src = self._dev[0]
-        A = len(a.src)
-
-        @jax.jit
-        def tb_chunk(bps, state):
-            """One chunk of device traceback: bps [C, S, B], state [B]
-            -> (state', arcs [C, B]).  Same walk as _arc_viterbi's
-            reverse scan, so tie-breaks match the offline decoder."""
-            def back(st, bp_t):
-                arc = jnp.take_along_axis(bp_t, st[None, :], axis=0)[0]
-                safe = jnp.clip(arc, 0, A - 1)
-                prev = jnp.where(arc < A, jnp.take(src, safe), st)
-                return prev, arc
-            return jax.lax.scan(back, state, bps, reverse=True)
-
-        self._tb_chunk = tb_chunk
+        self._tb_chunk = _make_tb_chunk(self._dev[0], len(a.src))
 
     def init(self, batch: int) -> DecoderState:
         S = self.arcs.num_states
@@ -224,22 +245,7 @@ class StreamingDecoder:
                 else np.zeros((0, len(last)), np.int32))
 
     def _results(self, best, arcs_taken) -> List[dict]:
-        # identical post-processing to SparseViterbiDecoder.decode_batch
-        A = len(self.arcs.src)
-        B = best.shape[0]
-        oks = (best > NEG_INF / 2) & (arcs_taken < A).all(axis=0)
-        safe = np.minimum(arcs_taken, A - 1)
-        il = self.arcs.ilabel[safe]
-        ol = self.arcs.olabel[safe]
-        results = []
-        for b in range(B):
-            ok = bool(oks[b])
-            words = ol[:, b][ol[:, b] > 0].tolist() if ok else []
-            results.append({"words": words,
-                            "alignment": il[:, b].tolist() if ok else [],
-                            "total_cost": -float(best[b]),
-                            "final_reached": ok})
-        return results
+        return _hyps_from_arcs(self.arcs, best, arcs_taken)
 
     def partial(self, st: DecoderState) -> List[dict]:
         """Best hypothesis so far, ignoring final weights (results carry
@@ -353,21 +359,7 @@ class WindowedStreamingDecoder:
             self._dev = tuple(rep(v) for v in
                               (a.src, a.dst, a.pdf, a.weight))
 
-        src = self._src_j
-
-        @jax.jit
-        def tb_chunk(bps, state):
-            """Reverse walk over one chunk: bps [C, S, B], state [B] ->
-            (state at chunk start [B], arcs [C, B]).  Identical to the
-            offline back_step, so tie-breaks match decode_batch."""
-            def back(st, bp_t):
-                arc = jnp.take_along_axis(bp_t, st[None, :], axis=0)[0]
-                safe = jnp.clip(arc, 0, A - 1)
-                prev = jnp.where(arc < A, jnp.take(src, safe), st)
-                return prev, arc
-            return jax.lax.scan(back, state, bps, reverse=True)
-
-        self._tb_chunk = tb_chunk
+        self._tb_chunk = _make_tb_chunk(self._src_j, A)
 
     def init(self, batch: int) -> WindowedDecoderState:
         S = self.arcs.num_states
@@ -413,22 +405,28 @@ class WindowedStreamingDecoder:
         committed = st.committed
         buffered = sum(int(b.shape[0]) for b in bps)
         if buffered > self.window:
-            # one traceback commits every chunk that has fully left the
-            # window (chunk-granularity commits keep the walk cost at
-            # one [B]-row gather per buffered frame per feed)
-            last = jnp.argmax(score, axis=0).astype(jnp.int32)
-            tmp = WindowedDecoderState(score=score, bps=bps,
-                                       frames=frames, committed=committed)
-            arcs_by_chunk = self._window_traceback(tmp, last)
-            # drop the oldest chunks while >= `window` frames stay
-            # buffered (so every commit is at traceback delay >= window)
+            # how many of the oldest chunks have fully left the window
+            # (every commit happens at traceback delay >= window)?
+            # n_drop depends only on host-known chunk sizes — compute it
+            # FIRST so a feed that commits nothing (window not aligned
+            # to the chunk size) skips the device walk + D2H entirely
             sizes = [int(b.shape[0]) for b in bps]
             n_drop = 0
             while (n_drop < len(sizes)
                    and buffered - sum(sizes[:n_drop + 1]) >= self.window):
                 n_drop += 1
             if n_drop:
-                committed = committed + tuple(arcs_by_chunk[:n_drop])
+                # one traceback commits every dropped chunk: the device
+                # walk must thread state through ALL buffered chunks to
+                # reach the oldest, but only the committed chunks' arcs
+                # ([C, B] each) are shipped to the host
+                state = jnp.argmax(score, axis=0).astype(jnp.int32)
+                dev = []
+                for bp in reversed(bps):
+                    state, arcs = self._tb_chunk(bp, state)
+                    dev.append(arcs)
+                committed = committed + tuple(
+                    jax.device_get(dev[::-1][:n_drop]))
                 bps = bps[n_drop:]
         return WindowedDecoderState(score=score, bps=bps, frames=frames,
                                     committed=committed)
@@ -437,20 +435,7 @@ class WindowedStreamingDecoder:
         arcs_all = ([c for c in committed] + tail_arcs)
         arcs_taken = (np.concatenate(arcs_all, axis=0) if arcs_all
                       else np.zeros((0, len(best)), np.int32))
-        A = self._A
-        oks = (best > NEG_INF / 2) & (arcs_taken < A).all(axis=0)
-        safe = np.minimum(arcs_taken, A - 1)
-        il = self.arcs.ilabel[safe]
-        ol = self.arcs.olabel[safe]
-        out = []
-        for b in range(best.shape[0]):
-            ok = bool(oks[b])
-            out.append({"words": ol[:, b][ol[:, b] > 0].tolist()
-                        if ok else [],
-                        "alignment": il[:, b].tolist() if ok else [],
-                        "total_cost": -float(best[b]),
-                        "final_reached": ok})
-        return out
+        return _hyps_from_arcs(self.arcs, best, arcs_taken)
 
     def partial(self, st: WindowedDecoderState) -> List[dict]:
         """Committed prefix + current-window best continuation, final

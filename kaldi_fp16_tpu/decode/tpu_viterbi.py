@@ -1618,10 +1618,15 @@ class DeviceLatticeDecoder:
             idx_parts, val_parts = [], []
             ok = True
             # group cap: kept bytes cluster, but worst-case one group
-            # per kept byte; reuse compact_cap as the per-slab group cap
-            gcap = self.compact_cap
+            # per kept byte; compact_cap bounds a FULL slab — a partial
+            # slab (small mask or ragged tail) can never hold more
+            # groups than its own byte count / G, so clamp the static
+            # nonzero/gather size to that (an unclamped cap gathers
+            # cap*G bytes of temp per slab however small the mask)
             for t0 in range(0, int(packed.shape[0]), slab_t):
                 slab = packed[t0:t0 + slab_t]
+                gcap = min(self.compact_cap,
+                           -(-int(np.prod(slab.shape)) // G))
                 gidx, gvals, count = _compact_nonzero_groups(
                     slab, cap=gcap)
                 n = int(jax.device_get(count))

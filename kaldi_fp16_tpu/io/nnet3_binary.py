@@ -249,6 +249,20 @@ def _plausible_float(raw4: bytes) -> bool:
 # component reader (generic, tag-driven)
 # ---------------------------------------------------------------------------
 
+def _looks_like_tag(b: bytes) -> bool:
+    """Do these peeked bytes begin a Kaldi ASCII token like '<Tag>' or
+    '</Tag>'?  Used only by the <Offsets> legacy-framing sniff."""
+    if not b.startswith(b"<"):
+        return False
+    end = b.find(b">")
+    if end <= 1:
+        return False
+    body = b[1:end]
+    return all(c == ord("/") or c == ord("-") or c == ord("_")
+               or c == ord(".") or 48 <= c <= 57
+               or 65 <= c <= 90 or 97 <= c <= 122 for c in body)
+
+
 def _read_intvec(r: BinaryReader) -> np.ndarray:
     """Kaldi ReadIntegerVector: sized int32 count, then the RAW int32
     array (one block, no per-element size bytes)."""
@@ -309,10 +323,21 @@ def read_component(r: BinaryReader) -> BinaryComponent:
                 if n < 0 or n > 50_000_000:
                     raise ValueError(
                         f"implausible integer-pair-vector length {n}")
-                raw = r.read_bytes(n * 8)
-                comp.items.append(
-                    (pending, "intpairvec",
-                     np.frombuffer(raw, dtype=np.int32).copy()))
+                raw = r.read_bytes(n * 4)
+                # Legacy sniff: pre-pair-vector exporters of this repo
+                # framed <Offsets> as WriteIntegerVector (count = number
+                # of INTS, so the payload is complete after 4n bytes and
+                # the next bytes start the following '<Tag>').  Kaldi's
+                # WriteIntegerPairVector (count = number of PAIRS,
+                # convolution.cc) has 4n data bytes still to come, which
+                # cannot begin a plausible ASCII tag — offset ints would
+                # need to spell '<Xyz...>' byte-for-byte.
+                if n % 2 == 0 and _looks_like_tag(_peek_marker(r, 34)):
+                    flat = np.frombuffer(raw, dtype=np.int32).copy()
+                else:
+                    flat = np.frombuffer(raw + r.read_bytes(n * 4),
+                                         dtype=np.int32).copy()
+                comp.items.append((pending, "intpairvec", flat))
                 pending = None
                 continue
             r.read_byte()

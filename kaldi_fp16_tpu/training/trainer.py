@@ -281,11 +281,19 @@ class Trainer:
         tot_w = sum(float(v[4]) for v in vals)
         if tot_w == 0:
             return None
+        # num/den carry the same weight_frames weighting as objf so the
+        # reported decomposition moves consistently with objf_per_frame
+        # (unweighted batch means would misattribute objf movement when
+        # batches differ in frames or supervision weight); xent_objf is
+        # a per-batch TOTAL (train_step sums weights*posts*xent), so the
+        # epoch aggregate is a plain sum.
         return {
             "objf_per_frame": sum(float(v[0]) * float(v[4])
                                   for v in vals) / tot_w,
-            "num_logprob": float(np.mean([v[1] for v in vals])),
-            "den_logprob": float(np.mean([v[2] for v in vals])),
+            "num_logprob": sum(float(v[1]) * float(v[4])
+                               for v in vals) / tot_w,
+            "den_logprob": sum(float(v[2]) * float(v[4])
+                               for v in vals) / tot_w,
             "xent_objf": float(np.sum([v[3] for v in vals])),
             "frames": tot_w,
             "batches": len(vals),

@@ -417,3 +417,43 @@ class TestCanonicalTokenSequences:
         tags = self._tags(kc)
         # declared-map order, learning_rate/count kept even at zero
         assert tags == ["<LearningRate>", "<Count>", "<LinearParams>"]
+
+
+class TestLegacyOffsetsFraming:
+    """Pre-pair-vector exports of this repo framed <Offsets> as
+    WriteIntegerVector (count = number of INTS); the reader sniffs that
+    framing and still parses those models (same data bytes, only the
+    count differs — the bytes after the payload begin an ASCII tag in
+    the legacy framing and raw int pairs in the Kaldi framing)."""
+
+    def _conv(self):
+        import struct
+        c = BinaryComponent(type="TimeHeightConvolutionComponent")
+        c.set_intpairvec("<Offsets>", np.array(
+            [-1, 0, -1, 1, 0, 0, 0, 1, 1, 0, 1, 1], np.int32))  # 6 pairs
+        c.set_intvec("<RequiredTimeOffsets>", np.array([0], np.int32))
+        c.set_matrix("<LinearParams>", np.ones((4, 6), np.float32))
+        w = BinaryWriter()
+        write_component(w, c)
+        return c, w.getvalue(), struct
+
+    def test_modern_framing_roundtrips(self):
+        c, raw, _ = self._conv()
+        r = read_component(BinaryReader(raw))
+        np.testing.assert_array_equal(r.int_vectors["<Offsets>"],
+                                      c.int_vectors["<Offsets>"])
+
+    def test_legacy_intvec_framing_parses(self):
+        c, raw, struct = self._conv()
+        # patch the pair count (6) to the legacy int count (12); the
+        # data bytes are identical between the two framings
+        needle = b"<Offsets> \x04" + struct.pack("<i", 6)
+        assert raw.count(needle) == 1
+        legacy = raw.replace(needle,
+                             b"<Offsets> \x04" + struct.pack("<i", 12))
+        r = read_component(BinaryReader(legacy))
+        np.testing.assert_array_equal(r.int_vectors["<Offsets>"],
+                                      c.int_vectors["<Offsets>"])
+        np.testing.assert_array_equal(
+            r.int_vectors["<RequiredTimeOffsets>"], [0])
+        assert r.matrices["<LinearParams>"].shape == (4, 6)

@@ -77,12 +77,19 @@ def main():
     parse_s = time.perf_counter() - t0
     n = len(examples)
     per_batch = args.batch
+    if n < per_batch:
+        raise SystemExit(f"--egs-dir yielded {n} examples < one "
+                         f"--batch {per_batch}; point at a bigger set "
+                         f"or lower --batch")
 
     buckets = {}
     for ex in examples:
         buckets.setdefault(bucket_key(ex), []).append(ex)
     groups = [v[i:i + per_batch] for v in buckets.values()
               for i in range(0, len(v) - per_batch + 1, per_batch)]
+    if not groups:
+        raise SystemExit(f"{n} examples never filled a homogeneous "
+                         f"bucket of {per_batch}; lower --batch")
 
     # -- slice 3: feature/weight stacking ------------------------------------
     t0 = time.perf_counter()

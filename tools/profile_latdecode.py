@@ -44,15 +44,21 @@ def main():
     # warm everything once
     dec.decode_batch(ll)
 
-    # phase 1: kernels only — call the same kernel routing and sync
+    # phase 1: kernels only — same kernel routing as decode_batch (the
+    # layout is auto-selected: tree above ~64K arcs, segment below)
     S = dec.arcs.num_states
     t0 = time.perf_counter()
-    hist_bytes = T * S * B * 4
     chunk = tv._pick_chunk(T, S, B, dec.alpha_hist_limit)
-    packed, best = tv._lattice_masks_tree_ckpt(
-        dec._tree_in, dec._tree_out, dec._tree_rstate,
-        dec._fcost, dec._start, ll, dec._scale_j, dec._beam_j,
-        num_states=S, chunk=chunk)
+    if dec.layout == "tree":
+        packed, best = tv._lattice_masks_tree_ckpt(
+            dec._tree_in, dec._tree_out, dec._tree_rstate,
+            dec._fcost, dec._start, ll, dec._scale_j, dec._beam_j,
+            num_states=S, chunk=chunk)
+    else:
+        packed, best = tv._lattice_masks_ckpt(
+            dec._src, dec._dst, dec._pdf, dec._gcost, dec._fcost,
+            dec._start, ll, dec._scale_j, dec._beam_j,
+            num_states=S, chunk=chunk)
     jax.block_until_ready((packed, best))
     t_kern = time.perf_counter() - t0
 
@@ -65,8 +71,9 @@ def main():
     t_sync = 0.0
     for s0 in range(0, T, slab_t):
         slab = packed[s0:s0 + slab_t]
-        gidx, gvals, count = tv._compact_nonzero_groups(
-            slab, cap=dec.compact_cap)
+        gcap = min(dec.compact_cap,
+                   -(-int(np.prod(slab.shape)) // tv._COMPACT_GROUP))
+        gidx, gvals, count = tv._compact_nonzero_groups(slab, cap=gcap)
         ts = time.perf_counter()
         n = int(jax.device_get(count))
         t_sync += time.perf_counter() - ts
