@@ -71,3 +71,12 @@ def test_documented_flags_exist():
         for flag in usage:
             assert flag in defined or flag == "--help", \
                 f"{tool} documents {flag} but never defines it"
+
+
+def test_decode_demo_smoke():
+    """decode.py demo mode on the CPU backend: synthetic graph +
+    posteriors -> transcript + WER line (the end-to-end wiring of the
+    net-new decode stack, BASELINE config 5)."""
+    r = run_tool("decode.py", "--cpu")
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "WER" in r.stdout and "demo-utt" in r.stdout
