@@ -80,3 +80,15 @@ def test_decode_demo_smoke():
     r = run_tool("decode.py", "--cpu")
     assert r.returncode == 0, r.stderr[-800:]
     assert "WER" in r.stdout and "demo-utt" in r.stdout
+
+
+def test_synthwer_smoke():
+    """Closed-loop accuracy proof: train the chain model on synthetic
+    speech, decode held-out utterances through a word-loop graph, and
+    WER must fall to 0 (tools/synthwer.py; BASELINE config 5's
+    decode-after-train end state on the data available here)."""
+    r = run_tool("synthwer.py", "--cpu", "--steps", "45",
+                 "--train-utts", "96", "--test-utts", "12",
+                 "--eval-every", "15")
+    assert r.returncode == 0, r.stderr[-800:]
+    assert '"ok": true' in r.stdout
