@@ -230,3 +230,91 @@ def test_native_sm_wide_onehot_matches_python(tmp_path):
     assert iv_n.fmt == iv_p.fmt == "SM"
     np.testing.assert_array_equal(iv_n.data, iv_p.data)
     np.testing.assert_array_equal(iv_n.data, dense)
+
+
+def _assert_examples_equal(nat, py):
+    assert len(nat) == len(py)
+    for a, b in zip(nat, py):
+        assert a.key == b.key
+        assert len(a.inputs) == len(b.inputs)
+        for ia, ib in zip(a.inputs, b.inputs):
+            assert ia.name == ib.name
+            np.testing.assert_array_equal(ia.data, ib.data)
+            assert [(i.n, i.t, i.x) for i in ia.indexes] == \
+                   [(i.n, i.t, i.x) for i in ib.indexes]
+        sa, sb = a.supervision, b.supervision
+        assert (sa.weight, sa.num_sequences, sa.frames_per_seq,
+                sa.label_dim) == (sb.weight, sb.num_sequences,
+                                  sb.frames_per_seq, sb.label_dim)
+        np.testing.assert_array_equal(sa.deriv_weights, sb.deriv_weights)
+        fa = [(s, arc.label, arc.weight, arc.next_state)
+              for s, st in enumerate(sa.fst.states) for arc in st.arcs]
+        fb = [(s, arc.label, arc.weight, arc.next_state)
+              for s, st in enumerate(sb.fst.states) for arc in st.arcs]
+        assert sa.fst.start == sb.fst.start and fa == fb
+
+
+@pytest.mark.parametrize("seed", [11, 22, 33])
+def test_differential_fuzz(seed, tmp_path):
+    """Randomized differential check: arbitrary (valid) examples across
+    every matrix codec, index-encoding form, FST shape, and weight
+    layout must parse bit-identically through both parsers.  Hunts the
+    framing-bug class the fixed fixtures can't enumerate (the Go
+    reference's long-form index bug is exactly this class)."""
+    from kaldi_fp16_tpu.io.egs import Example, Index, IoBlock, Supervision
+    from kaldi_fp16_tpu.io.fst import Fst, FstArc, FstState
+    rng = np.random.default_rng(seed)
+    exs = []
+    for i in range(24):
+        fps = int(rng.integers(1, 14))
+        frames = int(rng.integers(fps, 3 * fps + 8))
+        feat_dim = int(rng.integers(1, 64))
+        fmt = str(rng.choice(["CM", "CM2", "CM3", "FM"]))
+        feats = rng.normal(size=(frames, feat_dim)).astype(np.float32)
+        style = int(rng.integers(0, 4))
+        if style == 1:
+            feats[:] = feats[0, 0]               # constant (CM degenerate)
+        elif style == 2:
+            feats *= 1e4                          # wide range
+        elif style == 3:
+            feats[::2] = 0.0                      # zero rows
+        # index forms: short deltas, long-form jumps, n/x variation
+        t0 = int(rng.integers(-200, 200))
+        step = int(rng.choice([1, 3, 97]))        # 97 forces long form
+        n = int(rng.integers(0, 3))
+        x = int(rng.integers(0, 2))
+        idx = [Index(n, t0 + t * step, x) for t in range(frames)]
+        blocks = [IoBlock("input", idx, feats, fmt)]
+        if rng.random() < 0.5:
+            iv = rng.normal(size=(1, int(rng.integers(1, 32)))
+                            ).astype(np.float32)
+            blocks.append(IoBlock("ivector", [Index(0, 0, 0)], iv,
+                                  str(rng.choice(["CM2", "FM"]))))
+        # random acyclic FST: arcs from t to t+1 (1..3 parallel arcs)
+        num_pdfs = int(rng.integers(2, 40))
+        states = [FstState() for _ in range(fps + 1)]
+        for t in range(fps):
+            for _ in range(int(rng.integers(1, 4))):
+                states[t].arcs.append(FstArc(
+                    int(rng.integers(1, num_pdfs + 1)),
+                    float(np.float32(rng.uniform(0, 9))), t + 1))
+        states[-1].final = float(np.float32(rng.uniform(0, 2)))
+        dw = rng.uniform(0, 1, size=fps).astype(np.float32)
+        dw[rng.random(fps) < 0.3] = 0.0
+        sup = Supervision(name="output", weight=float(np.float32(
+                              rng.uniform(0.1, 2.0))),
+                          num_sequences=1, frames_per_seq=fps,
+                          label_dim=num_pdfs, end2end=False,
+                          fst=Fst(start=0, states=states),
+                          indexes=[Index(0, t * 3, 0) for t in range(fps)],
+                          deriv_weights=dw)
+        ex = Example(key=f"fuzz-{seed}-{i:03d}", inputs=blocks,
+                     supervision=sup)
+        if rng.random() < 0.3:
+            ex.supervision.deriv_weights_fmt = "DW"
+        exs.append(ex)
+    path = str(tmp_path / "fuzz.ark")
+    write_ark(path, exs)
+    with NativeEgsReader(path) as r:
+        nat = list(r)
+    _assert_examples_equal(nat, read_examples(path))
