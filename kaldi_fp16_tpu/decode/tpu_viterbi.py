@@ -1448,6 +1448,17 @@ def _compact_nonzero_bytes(packed, cap: int):
 _COMPACT_GROUP = 32
 
 
+def _slab_gcap(slab_shape, compact_cap: int,
+               group: int = _COMPACT_GROUP) -> int:
+    """Per-slab group cap: compact_cap bounds a FULL slab; a partial
+    slab (small mask or ragged tail) can never hold more groups than
+    its own byte count / group, so the static nonzero/gather size is
+    clamped to that.  Shared by decode_batch and profile_latdecode so
+    the profiler always times production's exact computation."""
+    return min(int(compact_cap),
+               -(-int(np.prod(slab_shape)) // group))
+
+
 @functools.partial(jax.jit, static_argnames=("cap", "group"))
 def _compact_nonzero_groups(packed, cap: int, group: int = _COMPACT_GROUP):
     """Two-level mask compaction: element-level jnp.nonzero runs at
@@ -1618,15 +1629,13 @@ class DeviceLatticeDecoder:
             idx_parts, val_parts = [], []
             ok = True
             # group cap: kept bytes cluster, but worst-case one group
-            # per kept byte; compact_cap bounds a FULL slab — a partial
-            # slab (small mask or ragged tail) can never hold more
-            # groups than its own byte count / G, so clamp the static
-            # nonzero/gather size to that (an unclamped cap gathers
-            # cap*G bytes of temp per slab however small the mask)
+            # per kept byte; _slab_gcap clamps the static nonzero/gather
+            # size to the slab's real group count (an unclamped cap
+            # gathers cap*G bytes of temp per slab however small the
+            # mask)
             for t0 in range(0, int(packed.shape[0]), slab_t):
                 slab = packed[t0:t0 + slab_t]
-                gcap = min(self.compact_cap,
-                           -(-int(np.prod(slab.shape)) // G))
+                gcap = _slab_gcap(slab.shape, self.compact_cap)
                 gidx, gvals, count = _compact_nonzero_groups(
                     slab, cap=gcap)
                 n = int(jax.device_get(count))

@@ -39,11 +39,26 @@ def _load_lib():
     global _lib, _load_failed
     if _lib is not None or _load_failed:
         return _lib
+    override = os.environ.get("KALDI_FP16_TPU_NATIVE_LIB")
+    if override and not os.path.exists(override):
+        # an EXPLICIT override must be honored or fail loudly — falling
+        # back to another library (or the ~10x-slower Python parser)
+        # would silently ignore the deployment's configuration
+        raise FileNotFoundError(
+            f"KALDI_FP16_TPU_NATIVE_LIB={override} does not exist "
+            f"(unset it to use the bundled/source-tree library or the "
+            f"pure-Python parser)")
     for path in _LIB_PATHS:
         if os.path.exists(path):
             try:
                 lib = ctypes.CDLL(path)
-            except OSError:
+            except OSError as e:
+                if path == override:
+                    # an EXPLICIT override that fails to dlopen must not
+                    # silently degrade to the ~10x-slower Python parser
+                    raise OSError(
+                        f"KALDI_FP16_TPU_NATIVE_LIB={path} exists but "
+                        f"failed to load: {e}") from e
                 continue
             _configure(lib)
             _lib = lib

@@ -475,10 +475,14 @@ def make_eval_step(model: Model,
             xent_objf = jnp.sum(weights[:, None, None] * num_post * xent)
 
         w_frames = jnp.sum(weights) * n_out
+        # num/den weighted by the SAME per-sequence weights objf uses, so
+        # the reported decomposition moves consistently with
+        # objf_per_frame even when supervision weights vary in-batch
+        w_tot = jnp.maximum(jnp.sum(weights), 1e-8)
         return EvalStepOutput(
             objf_per_frame=result.objf_per_frame,
-            num_logprob=result.num_logprob.mean(),
-            den_logprob=result.den_logprob.mean(),
+            num_logprob=jnp.sum(weights * result.num_logprob) / w_tot,
+            den_logprob=jnp.sum(weights * result.den_logprob) / w_tot,
             xent_objf=xent_objf,
             weight_frames=w_frames,
             ok=result.ok.all())

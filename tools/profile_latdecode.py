@@ -71,8 +71,7 @@ def main():
     t_sync = 0.0
     for s0 in range(0, T, slab_t):
         slab = packed[s0:s0 + slab_t]
-        gcap = min(dec.compact_cap,
-                   -(-int(np.prod(slab.shape)) // tv._COMPACT_GROUP))
+        gcap = tv._slab_gcap(slab.shape, dec.compact_cap)
         gidx, gvals, count = tv._compact_nonzero_groups(slab, cap=gcap)
         ts = time.perf_counter()
         n = int(jax.device_get(count))

@@ -65,6 +65,10 @@ def make_lexicon(rng, phones: int, words: int, ppw: int,
         perm = [int(p) for p in rng.permutation(phones)]
         return {w + 1: tuple(perm[w * ppw:(w + 1) * ppw])
                 for w in range(words)}
+    if phones ** ppw < words:
+        raise SystemExit(f"only {phones ** ppw} distinct "
+                         f"{ppw}-phone sequences exist over {phones} "
+                         f"phones — cannot build {words} words")
     lex, seen = {}, set()
     w = 1
     while w <= words:
@@ -332,13 +336,20 @@ def main():
                                            shuffle_buffer=256,
                                            seed=args.seed))
 
+    if args.train_utts < args.batch:
+        raise SystemExit(f"--train-utts {args.train_utts} < --batch "
+                         f"{args.batch}: the loader would never yield a "
+                         f"full batch (drop_remainder)")
+
     history = []
     report = eval_wer()
     history.append({"step": 0, **report})
     print(json.dumps(history[-1]), flush=True)
     steps = 0
     while steps < args.steps:
+        made_progress = False
         for batch in loader():
+            made_progress = True
             out = trainer.train_batch(batch)
             steps += 1
             if steps % args.eval_every == 0 or steps >= args.steps:
@@ -350,6 +361,10 @@ def main():
                 print(json.dumps(history[-1]), flush=True)
             if steps >= args.steps:
                 break
+        if not made_progress:
+            raise SystemExit("the data never filled one homogeneous "
+                             "batch — lower --batch or raise "
+                             "--train-utts")
 
     rescored = None
     if args.lm_rescore:
@@ -378,13 +393,18 @@ def main():
         print(json.dumps({"lm_rescore": rescored}), flush=True)
 
     first, final = history[0]["wer"], history[-1]["wer"]
-    if rescored is not None:
-        final = min(final, rescored["lm_rescored_wer"])
     ok = final < first and final <= 0.05
-    print(json.dumps({"ok": bool(ok), "wer_first": first,
-                      "wer_final": final, "steps": steps,
-                      "lexicon_words": len(lex),
-                      "test_utts": args.test_utts}), flush=True)
+    if rescored is not None:
+        # rescoring must not WORSEN the converged result — a broken
+        # lattice/ARPA path fails the gate instead of hiding behind the
+        # Viterbi number
+        ok = ok and rescored["lm_rescored_wer"] <= max(final, 0.05)
+    out = {"ok": bool(ok), "wer_first": first, "wer_final": final,
+           "steps": steps, "lexicon_words": len(lex),
+           "test_utts": args.test_utts}
+    if rescored is not None:
+        out["wer_rescored"] = rescored["lm_rescored_wer"]
+    print(json.dumps(out), flush=True)
     return 0 if ok else 1
 
 
