@@ -457,3 +457,80 @@ class TestLegacyOffsetsFraming:
         np.testing.assert_array_equal(
             r.int_vectors["<RequiredTimeOffsets>"], [0])
         assert r.matrices["<LinearParams>"].shape == (4, 6)
+
+
+class TestComponentFuzz:
+    """Randomized write->read round-trips across mixed item sequences:
+    the tag-driven reader must reproduce every (tag, kind, value) item
+    in source order for arbitrary (valid) component payloads — the
+    class of framing bug the fixed cases can't enumerate."""
+
+    KNOWN_INT = ["<Dim>", "<BlockDim>", "<RankIn>", "<RankOut>",
+                 "<UpdatePeriod>", "<InputDim>", "<OutputDim>"]
+    KNOWN_FLOAT = ["<LearningRate>", "<Epsilon>", "<TargetRms>",
+                   "<Count>", "<Alpha>", "<NumSamplesHistory>",
+                   "<MaxChange>", "<L2Regularize>"]
+    KNOWN_BOOL = ["<IsGradient>", "<TestMode>", "<UseNaturalGradient>"]
+    KNOWN_INTVEC = ["<TimeOffsets>", "<RequiredTimeOffsets>", "<Context>"]
+
+    @pytest.mark.parametrize("seed", [5, 17, 29])
+    def test_roundtrip(self, seed):
+        rng = np.random.default_rng(seed)
+        c = BinaryComponent(type="FuzzComponent")
+        used = set()
+        for i in range(int(rng.integers(4, 16))):
+            kind = rng.choice(["int", "float", "vector", "matrix",
+                               "intvec", "bool", "pairvec"])
+            if kind == "int":
+                tag = str(rng.choice(self.KNOWN_INT))
+                if tag in used:
+                    continue
+                c.set_int(tag, int(rng.integers(-1000, 100000)))
+            elif kind == "float":
+                tag = str(rng.choice(self.KNOWN_FLOAT))
+                if tag in used:
+                    continue
+                # cover negative exponents, zeros, big values
+                v = float(rng.choice([0.0, 1e-8, -2.5e-4, 3.25,
+                                      65536.0, -1.0]))
+                c.set_float(tag, v)
+            elif kind == "bool":
+                tag = str(rng.choice(self.KNOWN_BOOL))
+                if tag in used:
+                    continue
+                c.set_bool(tag, bool(rng.integers(0, 2)))
+            elif kind == "vector":
+                tag = f"<FuzzVec{i}>"
+                c.set_vector(tag, rng.normal(
+                    size=int(rng.integers(0, 40))).astype(np.float32))
+            elif kind == "matrix":
+                tag = f"<FuzzMat{i}>"
+                c.set_matrix(tag, rng.normal(size=(
+                    int(rng.integers(1, 12)),
+                    int(rng.integers(1, 12)))).astype(np.float32))
+            elif kind == "intvec":
+                tag = str(rng.choice(self.KNOWN_INTVEC))
+                if tag in used:
+                    continue
+                c.set_intvec(tag, rng.integers(
+                    -99, 99, size=int(rng.integers(0, 12))
+                ).astype(np.int32))
+            else:
+                tag = "<Offsets>"
+                if tag in used:
+                    continue
+                n = int(rng.integers(1, 9))
+                c.set_intpairvec(tag, rng.integers(
+                    -9, 9, size=2 * n).astype(np.int32))
+            used.add(tag)
+        r = roundtrip_component(c)
+        assert r.type == c.type
+        assert len(r.items) == len(c.items)
+        for (ta, ka, va), (tb, kb, vb) in zip(c.items, r.items):
+            assert (ta, ka) == (tb, kb), (ta, ka, tb, kb)
+            if ka in ("vector", "matrix", "intvec", "intpairvec"):
+                np.testing.assert_array_equal(va, vb)
+            elif ka == "float":
+                assert abs(va - vb) <= 1e-6 * max(1.0, abs(va))
+            else:
+                assert va == vb
