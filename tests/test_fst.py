@@ -94,3 +94,48 @@ def test_file_roundtrip(tmp_path):
     got = read_fst_file(p)
     assert got.num_arcs == 3
     assert abs(got.states[1].final - 1.5) < 1e-6
+
+
+@pytest.mark.parametrize("seed", [3, 13, 31])
+@pytest.mark.parametrize("writer", [write_fst_compact_acceptor,
+                                    write_fst_vector])
+def test_fuzz_roundtrip(writer, seed):
+    """Randomized round-trips through both binary containers: arbitrary
+    graphs (isolated states, multiple finals, zero/large weights,
+    parallel arcs, self-loops, epsilon labels in the vector form) must
+    reproduce start/arcs/finals exactly.  compact_acceptor is an
+    acceptor: olabels are not carried, everything else must survive."""
+    rng = np.random.default_rng(seed)
+    for _ in range(20):
+        n = int(rng.integers(1, 24))
+        states = [FstState() for _ in range(n)]
+        for s in range(n):
+            for _ in range(int(rng.integers(0, 4))):
+                lab = int(rng.integers(0 if writer is write_fst_vector
+                                       else 1, 50))
+                arc = FstArc(lab,
+                             float(np.float32(rng.choice(
+                                 [0.0, 1e-4, 7.25, 123.5, -2.0]))),
+                             int(rng.integers(0, n)),
+                             olabel=int(rng.integers(0, 9)))
+                states[s].arcs.append(arc)
+            if rng.random() < 0.4:
+                states[s].final = float(np.float32(rng.uniform(0, 5)))
+        start = int(rng.integers(0, n))
+        fst = Fst(start=start, states=states)
+        w = BinaryWriter()
+        writer(w, fst)
+        got = read_fst(BinaryReader(w.getvalue()))
+        assert got is not None and got.start == start
+        assert got.num_states == n
+        for sa, sb in zip(fst.states, got.states):
+            assert sa.is_final == sb.is_final
+            if sa.is_final:
+                assert abs(sa.final - sb.final) < 1e-6
+            assert len(sa.arcs) == len(sb.arcs)
+            for aa, ab in zip(sa.arcs, sb.arcs):
+                assert (aa.label, aa.next_state) == (ab.label,
+                                                     ab.next_state)
+                assert abs(aa.weight - ab.weight) < 1e-6
+                if writer is write_fst_vector:
+                    assert aa.olabel == ab.olabel
