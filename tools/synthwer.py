@@ -23,6 +23,8 @@ Usage:
   python tools/synthwer.py [--cpu] [--steps 150] [--batch 16]
       [--phones 12] [--words 6] [--phones-per-word 2] [--dur 2]
       [--words-per-utt 3] [--feat-dim 24] [--eval-every 30]
+      [--ambiguous] [--zipf 1.2] [--lm-rescore] [--lm-weight 1.0]
+      [--lattice-beam 8.0]
 
 Prints one JSON line per evaluation and a final summary line
 {"ok": true/false, "wer_first": ..., "wer_final": ...}.
