@@ -84,15 +84,20 @@ def make_lexicon(rng, phones: int, words: int, ppw: int,
 
 
 def sample_utt(rng, lex, words_per_utt: int, dur: int,
-               zipf: float = 0.0):
+               zipf: float = 0.0, max_dur: int = 0):
     """-> (word ids, supervision pdf sequence 0-indexed).  `zipf` skews
     the word distribution (p proportional to rank^-zipf; 0 = uniform) —
-    a skew the LM can exploit when rescoring ambiguous lexica."""
+    a skew the LM can exploit when rescoring ambiguous lexica.
+    `max_dur` > dur draws each phone's duration uniformly from
+    [dur, max_dur]: utterance lengths then vary, exercising bucketed
+    batching in training and duration-flexible decoding."""
     n = len(lex)
     p = np.arange(1, n + 1, dtype=np.float64) ** -zipf
     p /= p.sum()
     ws = [int(w) + 1 for w in rng.choice(n, size=words_per_utt, p=p)]
-    pdfs = [p_ for w in ws for p_ in lex[w] for _ in range(dur)]
+    hi = max(max_dur, dur)
+    pdfs = [p_ for w in ws for p_ in lex[w]
+            for _ in range(int(rng.integers(dur, hi + 1)))]
     return ws, np.asarray(pdfs, np.int64)
 
 
@@ -112,7 +117,7 @@ def make_example(rng, key, lex, args, means):
     from kaldi_fp16_tpu.io.egs import Example, Index, IoBlock, Supervision
     from kaldi_fp16_tpu.io.fst import Fst, FstArc, FstState
     ws, pdfs = sample_utt(rng, lex, args.words_per_utt, args.dur,
-                          zipf=args.zipf)
+                          zipf=args.zipf, max_dur=args.max_dur)
     fps = len(pdfs)
     states = [FstState() for _ in range(fps + 1)]
     for i, p in enumerate(pdfs):          # linear chain, 1-indexed labels
@@ -227,6 +232,10 @@ def main():
     ap.add_argument("--words", type=int, default=6)
     ap.add_argument("--phones-per-word", dest="ppw", type=int, default=2)
     ap.add_argument("--dur", type=int, default=2)
+    ap.add_argument("--max-dur", type=int, default=0,
+                    help="> --dur: per-phone durations drawn uniformly "
+                         "from [dur, max-dur] — variable utterance "
+                         "lengths (bucketed batching, flexible decode)")
     ap.add_argument("--words-per-utt", type=int, default=3)
     ap.add_argument("--feat-dim", type=int, default=24)
     ap.add_argument("--noise", type=float, default=0.5)
@@ -289,9 +298,18 @@ def main():
     write_ark(os.path.join(workdir, "cegs.2.ark"), train_exs[half:])
     test = [make_example(rng, f"te-{i:04d}", lex, args, means)
             for i in range(args.test_utts)]
-    test_feats = np.stack([ex.inputs[0].data for ex, _ in test])
     test_refs = [ws for _, ws in test]
-    fps = test[0][0].supervision.frames_per_seq
+    # group test utts by length (durations may vary with --max-dur);
+    # each group decodes as one batch, results land back in test order
+    groups = {}
+    for i, (ex, _) in enumerate(test):
+        groups.setdefault(ex.supervision.frames_per_seq,
+                          []).append(i)
+    test_groups = [
+        (idx, np.stack([test[i][0].inputs[0].data for i in idx]), f)
+        for f, idx in sorted(groups.items())]
+    max_fps = max(ex.supervision.frames_per_seq
+                  for ex, _ in train_pairs + test)
 
     # -- model + trainer --------------------------------------------------
     model = build_model_from_string(
@@ -307,26 +325,37 @@ def main():
                       lr_schedule=exponential_lr(args.lr, args.final_lr,
                                                  args.steps),
                       fst_pad_states=1 << max(4, int(np.ceil(np.log2(
-                          fps + 2)))),
+                          max_fps + 2)))),
                       fst_pad_arcs=1 << max(5, int(np.ceil(np.log2(
-                          fps + 2)))))
+                          max_fps + 2)))))
 
     # -- decoder over the word loop ---------------------------------------
     dec = SparseViterbiDecoder(DecodingGraph.from_fst(word_loop_fst(lex)),
                                acoustic_scale=args.acoustic_scale)
 
-    @jax.jit
-    def acoustic(params, state, feats):
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("fps",))
+    def acoustic(params, state, feats, fps):
         outs, _ = forward(model, params, state, feats, None, train=False,
                           compute_dtype=jnp.float32)
         return subsample_output(outs[model.chain_output().name],
                                 STRIDE, LEFT, fps)
 
+    def posteriors_by_group():
+        """-> [(test indices, loglikes [b, fps, P])] per length group."""
+        out = []
+        for idx, feats, f in test_groups:
+            ll = np.asarray(acoustic(trainer.params, trainer.net_state,
+                                     jnp.asarray(feats), f), np.float64)
+            out.append((idx, ll))
+        return out
+
     def eval_wer():
-        ll = np.asarray(acoustic(trainer.params, trainer.net_state,
-                                 jnp.asarray(test_feats)), np.float64)
-        res = dec.decode_batch(ll)
-        hyps = [r["words"] for r in res]
+        hyps = [None] * len(test_refs)
+        for idx, ll in posteriors_by_group():
+            for i, r in zip(idx, dec.decode_batch(ll)):
+                hyps[i] = r["words"]
         return wer(test_refs, hyps)
 
     def loader():
@@ -380,16 +409,17 @@ def main():
             DecodingGraph.from_fst(word_loop_fst(lex)),
             acoustic_scale=args.acoustic_scale,
             lattice_beam=args.lattice_beam)
-        ll = np.asarray(acoustic(trainer.params, trainer.net_state,
-                                 jnp.asarray(test_feats)), np.float64)
-        hyps_v, hyps_r = [], []
-        for lat in ldec.decode_batch(ll):
-            w0, _ = lat.best_path(acoustic_scale=args.acoustic_scale)
-            rlat = rescore_with_lm(lat, lm, lm_weight=args.lm_weight,
-                                   old_lm_weight=1.0, eos=syms["</s>"])
-            w1, _ = rlat.best_path(acoustic_scale=args.acoustic_scale)
-            hyps_v.append(w0)
-            hyps_r.append(w1)
+        hyps_v = [None] * len(test_refs)
+        hyps_r = [None] * len(test_refs)
+        for idx, ll in posteriors_by_group():
+            for i, lat in zip(idx, ldec.decode_batch(ll)):
+                w0, _ = lat.best_path(acoustic_scale=args.acoustic_scale)
+                rlat = rescore_with_lm(lat, lm, lm_weight=args.lm_weight,
+                                       old_lm_weight=1.0,
+                                       eos=syms["</s>"])
+                w1, _ = rlat.best_path(acoustic_scale=args.acoustic_scale)
+                hyps_v[i] = w0
+                hyps_r[i] = w1
         rescored = {"lattice_viterbi_wer": wer(test_refs, hyps_v)["wer"],
                     "lm_rescored_wer": wer(test_refs, hyps_r)["wer"]}
         print(json.dumps({"lm_rescore": rescored}), flush=True)
