@@ -89,7 +89,8 @@ def test_synthwer_smoke():
     decode-after-train end state on the data available here)."""
     r = run_tool("synthwer.py", "--cpu", "--steps", "45",
                  "--train-utts", "96", "--test-utts", "12",
-                 "--eval-every", "15", "--lm-rescore")
+                 "--eval-every", "15", "--lm-rescore", "--streaming")
     assert r.returncode == 0, r.stderr[-800:]
     assert '"ok": true' in r.stdout
     assert '"lm_rescore"' in r.stdout  # ARPA write -> read -> rescore ran
+    assert '"streaming"' in r.stdout   # windowed online decode ran

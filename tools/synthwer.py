@@ -24,7 +24,8 @@ Usage:
       [--phones 12] [--words 6] [--phones-per-word 2] [--dur 2]
       [--words-per-utt 3] [--feat-dim 24] [--eval-every 30]
       [--ambiguous] [--zipf 1.2] [--lm-rescore] [--lm-weight 1.0]
-      [--lattice-beam 8.0]
+      [--lattice-beam 8.0] [--max-dur 4] [--streaming]
+      [--stream-chunk 6] [--stream-window 12]
 
 Prints one JSON line per evaluation and a final summary line
 {"ok": true/false, "wer_first": ..., "wer_final": ...}.
@@ -260,6 +261,13 @@ def main():
                          "the TRAIN transcripts, compare WER")
     ap.add_argument("--lm-weight", type=float, default=1.0)
     ap.add_argument("--lattice-beam", type=float, default=8.0)
+    ap.add_argument("--streaming", action="store_true",
+                    help="after training: ALSO decode through the "
+                         "windowed streaming decoder (chunked feeds, "
+                         "bounded backpointer window) and score its WER "
+                         "— the online serving path's accuracy check")
+    ap.add_argument("--stream-chunk", type=int, default=6)
+    ap.add_argument("--stream-window", type=int, default=12)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     _common.enable_compile_cache()
@@ -397,6 +405,25 @@ def main():
                              "batch — lower --batch or raise "
                              "--train-utts")
 
+    streamed = None
+    if args.streaming:
+        from kaldi_fp16_tpu.decode.streaming import WindowedStreamingDecoder
+        sdec = WindowedStreamingDecoder(
+            DecodingGraph.from_fst(word_loop_fst(lex)),
+            acoustic_scale=args.acoustic_scale,
+            window=args.stream_window)
+        hyps_s = [None] * len(test_refs)
+        C = args.stream_chunk
+        for idx, ll in posteriors_by_group():
+            st = sdec.init(batch=ll.shape[0])
+            for c0 in range(0, ll.shape[1], C):
+                st = sdec.feed(st, ll[:, c0:c0 + C])
+            for i, r in zip(idx, sdec.finalize(st)):
+                hyps_s[i] = r["words"]
+        streamed = {"streaming_wer": wer(test_refs, hyps_s)["wer"],
+                    "chunk": C, "window": args.stream_window}
+        print(json.dumps({"streaming": streamed}), flush=True)
+
     rescored = None
     if args.lm_rescore:
         from kaldi_fp16_tpu.decode.lattice import rescore_with_lm
@@ -426,6 +453,10 @@ def main():
 
     first, final = history[0]["wer"], history[-1]["wer"]
     ok = final < first and final <= 0.05
+    if streamed is not None:
+        # the online path must match the offline result it's contracted
+        # to (traceback-delay commits; see decode/streaming.py)
+        ok = ok and streamed["streaming_wer"] <= max(final, 0.05)
     if rescored is not None:
         # rescoring must not WORSEN the converged result — a broken
         # lattice/ARPA path fails the gate instead of hiding behind the
@@ -436,6 +467,8 @@ def main():
            "test_utts": args.test_utts}
     if rescored is not None:
         out["wer_rescored"] = rescored["lm_rescored_wer"]
+    if streamed is not None:
+        out["wer_streaming"] = streamed["streaming_wer"]
     print(json.dumps(out), flush=True)
     return 0 if ok else 1
 
