@@ -318,3 +318,40 @@ def test_differential_fuzz(seed, tmp_path):
     with NativeEgsReader(path) as r:
         nat = list(r)
     _assert_examples_equal(nat, read_examples(path))
+
+
+def test_malformed_input_never_crashes(ark, tmp_path):
+    """Truncations and single-byte corruptions of a valid ark must
+    produce a clean Python-level error (or a shorter stream) from the
+    C++ parser — never a segfault, hang, or unbounded allocation.  The
+    sweep runs in one subprocess so a crash fails THIS test instead of
+    killing the suite."""
+    import sys as _sys
+    script = r'''
+import sys
+import numpy as np
+from kaldi_fp16_tpu.io.native import NativeEgsReader
+raw = open(sys.argv[1], "rb").read()
+rng = np.random.default_rng(7)
+n = len(raw)
+cases = [("trunc", int(o), raw[:int(o)])
+         for o in sorted(rng.choice(np.arange(1, n), 40, replace=False))]
+for _ in range(40):
+    pos = int(rng.integers(0, n)); val = int(rng.integers(0, 256))
+    b = bytearray(raw); b[pos] = val
+    cases.append(("flip", pos, bytes(b)))
+for kind, off, data in cases:
+    open(sys.argv[2], "wb").write(data)
+    try:
+        with NativeEgsReader(sys.argv[2]) as r:
+            for _ex in r:
+                pass
+    except (ValueError, OSError, MemoryError):
+        pass
+print("SWEEP_OK")
+'''
+    r = subprocess.run(
+        [_sys.executable, "-c", script, ark, str(tmp_path / "m.ark")],
+        capture_output=True, text=True, timeout=180)
+    assert r.returncode == 0, (r.returncode, r.stderr[-1000:])
+    assert "SWEEP_OK" in r.stdout
